@@ -1,0 +1,17 @@
+"""Sources & sinks: CSV / Parquet / JDBC, and zone-based data movement."""
+
+from cyrela_etl_spark.sources.csv import read_csv, read_wallet_csv, write_csv
+from cyrela_etl_spark.sources.parquet import load_tables, read_parquet, write_parquet
+from cyrela_etl_spark.sources.jdbc import write_jdbc
+from cyrela_etl_spark.sources.zones import ZoneStore
+
+__all__ = [
+    "read_csv",
+    "read_wallet_csv",
+    "write_csv",
+    "read_parquet",
+    "write_parquet",
+    "load_tables",
+    "write_jdbc",
+    "ZoneStore",
+]

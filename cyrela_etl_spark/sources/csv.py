@@ -1,0 +1,69 @@
+"""CSV source/sink (reference operators S1/S2/S4/S5 in SURVEY.md §2.1).
+
+The reference reads curated CSV with an explicit schema and header skip
+(reference spark/jobs/pr-wallet-data-tf.py:60-64) and writes header'd CSV
+with overwrite (reference spark/jobs/pr-wallet-data-tf.py:127-131). The
+pandas leg additionally drops the first *data* row via ``header=1``
+(reference dags/s3-etl-wallet-csv.py:103) — reproduced here behind an
+explicit ``skip_first_data_row`` compat flag so golden outputs match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cyrela_etl_spark.schemas import wallet_schema
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with explicit schema (never inferred — inference is a full
+    extra pass over the data, untenable at scale and version-unstable)."""
+    reader = spark.read.options(header="true" if header else "false", **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # No schema given: read everything as string; callers cast.
+        reader = reader.option("inferSchema", "false")
+    return reader.csv(path)
+
+
+def read_wallet_csv(
+    spark: SparkSession,
+    path: str,
+    skip_first_data_row: bool = False,
+) -> DataFrame:
+    """Read a wallet-zone CSV with the 23-column declared schema.
+
+    ``skip_first_data_row=True`` reproduces the reference's pandas
+    ``header=1`` quirk (reference dags/s3-etl-wallet-csv.py:103): the first
+    data row is treated as a header and discarded, so curated output has
+    N-1 rows. Implemented distributedly via a monotonic row tag on the raw
+    scan — no driver collect.
+    """
+    df = read_csv(spark, path, schema=wallet_schema(), header=True)
+    if skip_first_data_row:
+        # CSV scans preserve file order within a partition;
+        # monotonically_increasing_id is ascending within each partition
+        # and partition ordinals follow file-split order, so the global
+        # minimum id is the first data row of the file. One tiny agg job,
+        # broadcast back — no full sort, no collect of data rows.
+        tagged = df.withColumn("__rowid", F.monotonically_increasing_id())
+        first = tagged.select(F.min("__rowid").alias("__min_rowid"))
+        df = (
+            tagged.join(F.broadcast(first), on=tagged["__rowid"] == first["__min_rowid"], how="left_anti")
+            .drop("__rowid")
+        )
+    return df
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink with header (reference spark/jobs/pr-wallet-data-tf.py:127-131)."""
+    df.write.mode(mode).options(header="true" if header else "false").csv(path)
