@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale design notes (the point of each strategy at 100 TB):
+
+- **exact**: one hash-aggregate on a content fingerprint — a single shuffle
+  keyed by md5, no pairwise anything. ~Free at any scale.
+- **n-gram Jaccard (blocked)**: pairwise comparison is O(n²); it is only
+  run *within blocks* (cheap deterministic keys). The blocked self-join
+  shuffles both sides by block key — candidate volume is sum of block²,
+  controlled by block granularity, never global n².
+- **MinHash + LSH** (Broder 1997; Leskovec et al., "Mining of Massive
+  Datasets" ch.3): signature of K portable min-hashes → banded into B
+  buckets → equality self-join on (band, band_signature) gives candidates
+  in expected near-linear time; exact Jaccard verifies candidates only.
+  All hashes derive from md5 (functions/hashing.py) so signatures are
+  engine-portable and oracle-checkable.
+- **SimHash** (Charikar 2002): per-token hash bits vote sign; Hamming-close
+  fingerprints → near-dups. Computed as a per-row fold over the token
+  array — zero shuffles to fingerprint the corpus.
+- **embedding cosine**: delegated to operators/similarity.py (same blocked
+  self-join machinery over vector buckets).
+
+Everything is expression-only (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.functions.hashing import MERSENNE_PRIME, hex_prefix_long
+from cyrela_etl_spark.operators.text import tokens
+
+# Fixed (a, b) parameters for the universal-hash family simulating
+# independent MinHash permutations. Deterministic by construction (seeded
+# small-prime progression) — NOT runtime-random, so results are stable
+# across runs and engines.
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [(2 * i + 3, 7 * i + 1) for i in range(num_hashes)]
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Built with sequence/slice/concat_ws higher-order functions — per-row,
+    JVM-side. Documents shorter than n tokens yield their whole token join
+    as a single shingle (so no document is unrepresentable).
+    """
+    tok = tokens(col)
+    n_sh = F.greatest(F.size(tok) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by normalized-content md5.
+
+    Returns one row per distinct content: (content_md5, n_dups,
+    canonical_id = min id). Single hash-aggregate; partial aggregation
+    map-side, one shuffle on the 128-bit key.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.md5(norm).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard within blocks.
+
+    jaccard = |A∩B| / |A∪B| over distinct n-gram shingle sets — a ratio of
+    two small ints, bit-exact in IEEE-754 across engines. Pairs are emitted
+    once (id_a < id_b). ``block_cols`` bound the candidate set; default
+    blocks on nothing (full pairwise) — callers at scale MUST block.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (block_cols or [])],
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature (array<bigint>, length num_hashes).
+
+    h_i(doc) = min over shingles of (a_i * md5int(shingle) + b_i) mod P.
+    One pass, per-row fold; no shuffle. Portable across engines.
+    """
+    sh = word_shingles(F.col(text_col), shingle_n)
+    hashed = F.transform(sh, lambda s: hex_prefix_long(s) % F.lit(MERSENNE_PRIME))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hashed, lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME))
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Signatures are banded (rows_per_band = num_hashes/bands); documents
+    sharing any band bucket become candidates (equality self-join on the
+    band key — shuffle on bucket, not n² compare). Candidates are verified
+    with exact shingle Jaccard; output (id_a, id_b, jaccard) with
+    jaccard >= threshold, each pair once.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # band key = (band_index, joined signature slice)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws("-", *[F.col("signature")[bi * rows + r].cast("string") for r in range(rows)]).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("shingles"))
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union = F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+    return (
+        candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Per-document SimHash fingerprint (Charikar 2002) over token hashes.
+
+    bit_j(doc) = sign of Σ_tokens (±1 by bit j of the token's portable
+    hash). Computed as ``bits`` independent folds over the token-hash
+    array — per-row, shuffle-free. Near-dup = small Hamming distance.
+    """
+    tok = tokens(F.col(text_col))
+    hashes = F.transform(tok, lambda t: hex_prefix_long(t))
+    def bit_vote(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+    fp = None
+    for j in range(bits):
+        term = F.when(bit_vote(j) > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return df.select(F.col(id_col).alias("id"), fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, LSH-banded.
+
+    The fingerprint is split into (max_hamming+1) chunks; by pigeonhole two
+    fingerprints within max_hamming share at least one exact chunk → join
+    on (chunk_index, chunk_value) gives a complete candidate set without n²
+    (the standard SimHash blocking from Manku et al. 2007, 'Detecting
+    near-duplicates for web crawling'). Hamming is verified exactly.
+    """
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    fps = simhash(df, text_col, id_col, bits)
+    banded = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftright(F.col("simhash"), ci * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("value"),
+                    )
+                    for ci in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.value")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same results where they overlap:
+
+- **Brute-force top-k** (`cosine_topk`): exact. The query set is broadcast
+  (it is small by construction); each data partition scores its rows
+  against every query independently — no shuffle except the final
+  per-query top-k (a tree-aggregated window over k·|queries| rows).
+  Scoring is JVM-side zip_with/aggregate folds — bit-reproducible,
+  oracle-checkable. For raw throughput over very wide corpora,
+  `cosine_topk_arrow` does the same with Arrow-batched numpy matmul.
+
+- **LSH-bucketed ANN** (`rhp_lsh_topk`): random-hyperplane LSH (Charikar
+  2002). Sign-pattern of dot products with H fixed hyperplanes → bucket
+  key; candidates searched within bucket only (equality join on bucket —
+  shuffle by bucket key, never n²). Recall < 1 by design; hyperplanes are
+  deterministic (seeded) so results are stable and testable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.functions.vectors import cosine_similarity, dot, to_double_array
+
+
+def _rank_window():
+    # Deterministic per-query ranking: score desc, then neighbor id asc.
+    return Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+
+
+def cosine_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest data rows.
+
+    ``queries`` must have columns (query_id, <vec_col>). Vectors are cast
+    to double before arithmetic (float32 accumulation drifts). Scores are
+    rounded to ``round_digits`` BEFORE ranking so ordering is stable across
+    engines whose last-bit rounding differs.
+    """
+    d = data.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    q = queries.select(F.col("query_id"), to_double_array(vec_col).alias("qv"))
+    cos = cosine_similarity(F.col("qv"), F.col("v"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        d.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def cosine_topk_arrow(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k via Arrow-batched numpy matmul (the throughput
+    path). Queries are collected once (small by contract) and closed over;
+    each partition computes a (batch × queries) GEMM and emits only its
+    local top-k per query, so the final global top-k shuffles
+    k·|queries|·n_partitions rows, not the corpus.
+    """
+    qrows = queries.select("query_id", vec_col).collect()
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    spark = data.sparkSession
+    b_qids = spark.sparkContext.broadcast(qids)
+    b_qmat = spark.sparkContext.broadcast(qnorm)
+
+    out_schema = "query_id long, vec_id long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, qm = b_qids.value, b_qmat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ qm.T  # (batch, queries)
+            for j in range(qm.shape[0]):
+                col = sims[:, j]
+                mask = ids != qi[j]
+                cids, cs = ids[mask], col[mask]
+                top = np.argsort(-cs, kind="stable")[:k]
+                yield pd.DataFrame({"query_id": qi[j], "vec_id": cids[top], "cosine": cs[top]})
+
+    scored = data.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    return (
+        scored.withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed → reproducible plans)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def rhp_bucket(vec_col, planes: list[list[float]]):
+    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i)."""
+    v = to_double_array(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(v, p) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def rhp_lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ANN top-k: candidates share the query's hyperplane sign bucket.
+
+    At 100 TB the bucket join replaces the all-pairs broadcast: data is
+    shuffled once by bucket id (2^n_planes buckets), each query probes one
+    bucket. Recall is tunable via n_planes (fewer planes → bigger buckets
+    → higher recall, more compute).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    d = data.select(
+        F.col(id_col).alias("vec_id"),
+        to_double_array(vec_col).alias("v"),
+        rhp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col("query_id"),
+        to_double_array(vec_col).alias("qv"),
+        rhp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    cos = cosine_similarity(F.col("qv"), F.col("v"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        d.join(F.broadcast(q), (d["bucket"] == q["bucket"]) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def embedding_neardup_pairs(
+    data: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    ``block_col`` (e.g. an LSH bucket or cluster label) bounds the
+    self-join; without it this is full n² — fine for correctness tests,
+    blocked in production.
+    """
+    d = data.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
+    a, b = d.alias("a"), d.alias("b")
+    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Temporal operators Spark lacks natively: as-of join and bucketized
+range join, plus time-bucket rollups.
+
+- **as-of join**: for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented with the union-merge trick:
+  tag and union both sides, one shuffle by key, a single ordered window
+  carries the last right value forward (``last(..., ignorenulls=True)``).
+  This is the scalable formulation — no range-condition join explosion,
+  no per-key collect; one sort-within-partition per key group.
+  (DuckDB expresses the same thing natively as ASOF JOIN — used as the
+  test oracle.)
+
+- **range join (bucketized)**: pairs within a time window. A naive
+  inequality join degenerates to broadcast-nested-loop; bucketizing both
+  sides to window-sized buckets and equality-joining on bucket and
+  bucket+1 turns it into a hash join whose candidate set is only adjacent
+  buckets.
+
+- **time_bucket rollup**: tumbling aggregation = ``F.window`` over event
+  time; the hypertable "continuous aggregate" pattern as a plain
+  incremental groupBy (works identically in Structured Streaming with a
+  watermark, see streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, append the most recent right row's value columns
+    at or before the left timestamp, matching on ``on``. Left rows with no
+    prior right row get nulls.
+
+    Ties: a right row with ts equal to the left ts IS visible (<=), and
+    among simultaneous right rows the last by union order wins — callers
+    needing stricter tie-breaks should pre-dedup the right side.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_value_cols],
+    )
+    # Right rows sort BEFORE left rows at equal ts (__is_left asc) so an
+    # equal-timestamp right row is visible to the left row (<= semantics).
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    filled = merged.select(
+        "__is_left",
+        "__left",
+        *[F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(f"__filled_{c}") for c in right_value_cols],
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *[F.col("__left")[c].alias(c) for c in lcols],
+        *[F.col(f"__filled_{c}").alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Pairs (left, right) with same key and
+    ``left.ts <= right.ts < left.ts + window_seconds``.
+
+    Both sides get a bucket = floor(epoch/window); right candidates live in
+    the left row's bucket or the next one, so the join is two equality
+    probes instead of an unbounded inequality scan.
+    """
+    lb = left.withColumn("__bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds))
+    rb = right.withColumn("__bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds))
+    bucket_match = (F.col("r.__bucket") == F.col("l.__bucket")) | (
+        F.col("r.__bucket") == F.col("l.__bucket") + 1
+    )
+    time_match = (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")) & (
+        F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+    )
+    return (
+        lb.alias("l")
+        .join(rb.alias("r"), (F.col(f"l.{on}") == F.col(f"r.{on}")) & bucket_match & time_match)
+        .drop("__bucket")
+    )
+
+
+def time_bucket(ts: Column | str, width: str = "1 hour") -> Column:
+    """Tumbling-window start timestamp (hypertable time_bucket analogue)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.window(c, width).start

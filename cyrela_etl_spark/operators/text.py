@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen, no Python). Every operator is partition-parallel with
+no driver-side collection, so the same plan runs on 500 rows or 100 TB.
+
+Operators: tokenization, token counting, quality scoring
+(length/punct/stopword ratios), n-gram heuristic language ID, and
+deterministic document fingerprinting (portable md5-based rolling identity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.functions.hashing import stable_hash64
+
+# Tiny high-frequency marker lists per language for the n-gram/stopword
+# language-ID heuristic (public-knowledge function words).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+# Deterministic tie-break: first language in this order wins ties.
+LANG_ORDER: list[str] = ["en", "de", "es", "fr", "zh"]
+
+STOPWORDS_EN: list[str] = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "was", "at", "by",
+]
+
+PUNCT_CLASS = r"[^.,!?;:]"  # keep-only-punct via regexp_replace of this class
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties removed (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count — the cheap proxy for LLM token budgeting."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-flavored token estimate: split on whitespace AND on
+    letter/digit/punct boundaries (what a byte-pair tokenizer roughly does
+    to code/numbers), still pure regex, JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.lower(c), r"\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9\s])")
+    return F.size(F.filter(pieces, lambda t: t != F.lit("")))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + a composite score in [0,1]:
+
+    - ``n_tokens``, ``n_chars_measured``, ``avg_token_len``
+    - ``punct_ratio``  (punctuation chars / chars)
+    - ``stopword_ratio`` (stopword tokens / tokens)
+    - ``quality_score`` = mean of three bounded signals: length signal
+      (min(n_tokens,100)/100), stopword signal (min(ratio*4,1)), and
+      1 - min(punct_ratio*10, 1)
+
+    All ratios are single double divisions of exact ints — bit-reproducible
+    against any IEEE-754 oracle.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chr = F.length(t)
+    out = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chr.alias("n_chars_measured"),
+        (F.length(F.regexp_replace(t, r"\s+", "")) / n_tok).alias("avg_token_len"),
+        (punct_count(t) / n_chr).alias("punct_ratio"),
+        (stopword_count(t) / n_tok).alias("stopword_ratio"),
+    )
+    length_sig = F.least(F.col("n_tokens"), F.lit(100)) / F.lit(100)
+    stop_sig = F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+    punct_sig = F.lit(1.0) - F.least(F.col("punct_ratio") * 10, F.lit(1.0))
+    return out.withColumn("quality_score", (length_sig + stop_sig + punct_sig) / F.lit(3.0))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: count marker-word hits per language over
+    the token array, argmax with fixed tie-break order (LANG_ORDER).
+
+    This is the classic n-gram-profile heuristic (Cavnar & Trenkle 1994)
+    reduced to word-unigram markers — deterministic, no model download.
+    """
+    tok = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(tok, lambda t, m=markers: F.array_contains(F.array(*[F.lit(w) for w in m]), t)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    pred = F.lit("und")
+    # Build CASE from last to first so earlier languages win ties.
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    sel = [F.col(id_col), pred.alias("lang_pred")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER]
+    return df.select(*sel)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 60-bit content fingerprint over whitespace-normalized,
+    lowercased text. Portable across engines (md5-based, see
+    functions/hashing.py) — two documents share a fingerprint iff their
+    normalized text is identical; the groupable identity used by exact dedup.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("content_md5"),
+        stable_hash64(norm).alias("fingerprint64"),
+    )
