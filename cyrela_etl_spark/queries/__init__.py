@@ -1,0 +1,47 @@
+"""Declared-query registry: every operator the engine claims is DONE has a
+(spark_fn, oracle_sql) pair here. The driver runs the Spark side at sf0.01
+and the oracle in DuckDB over the same parquet tables and compares
+row-count + schema + order-insensitive value hash.
+
+Determinism contract (what makes the hashes match):
+- money aggregates go through DECIMAL (exact, association-free), cast to
+  double only at the end;
+- ratios are single IEEE-754 divisions of exact ints — bit-identical
+  everywhere;
+- hash outputs derive from md5 (portable, see functions/hashing.py);
+- every double that results from a multi-term float fold (cosine) is
+  rounded to 6 digits on BOTH sides before ranking/output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
+    if name in REGISTRY:
+        raise ValueError(f"duplicate query name {name}")
+    REGISTRY[name] = (fn, oracle)
+
+
+def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
+    """Import every query module (side-effect: registration) and return
+    the merged registry."""
+    from cyrela_etl_spark.queries import (  # noqa: F401
+        multimodalq,
+        relational,
+        streamingq,
+        temporalq,
+        textq,
+        vectorq,
+        walletq,
+    )
+
+    return REGISTRY

@@ -1,0 +1,94 @@
+"""Multimodal-plumbing queries: binary payload columns + Arrow-batched
+``mapInPandas`` metadata extraction / frame sampling (operators/
+multimodal.py).
+
+The payloads here are UTF-8 text bytes (the container has no media
+decoders — the decode step is a documented deterministic stub), so the
+DuckDB oracle can recompute every "decoded" property from the text:
+md5/byte-length are true payload properties; width/height derive from the
+md5 exactly like the stub. What these queries verify is the real part —
+the binary schema, the Arrow batch path, and the mapInPandas output
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.operators.multimodal import binarize_text, extract_media_meta, sample_frames
+from cyrela_etl_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# multimodal_media_meta — binarize → mapInPandas extract (md5, byte length,
+# stub-decoded dimensions).
+# ---------------------------------------------------------------------------
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    binary = binarize_text(_docs(spark, sf_dir))
+    meta = extract_media_meta(binary)
+    return meta.select(
+        "doc_id",
+        "n_bytes",
+        "content_hash",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+register(
+    "multimodal_media_meta",
+    multimodal_media_meta,
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       16 + CAST(CONCAT('0x', SUBSTR(md5(text), 1, 2)) AS BIGINT) AS width,
+       16 + CAST(CONCAT('0x', SUBSTR(md5(text), 3, 2)) AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS n_frames
+FROM documents
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_frame_sample — frame-sampling plumbing: payload → every-2nd
+# fixed-size frame slice. Oracle recomputes (doc_id, frame_index) counts
+# from byte lengths (frame bytes themselves are positional slices of the
+# payload — identity-checked via per-frame md5).
+# ---------------------------------------------------------------------------
+_FRAME_SIZE = 64
+_EVERY_N = 2
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    binary = binarize_text(_docs(spark, sf_dir))
+    frames = sample_frames(binary, every_n=_EVERY_N)
+    return frames.select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+register(
+    "multimodal_frame_sample",
+    multimodal_frame_sample,
+    f"""
+WITH n AS (SELECT doc_id, text,
+                  greatest(octet_length(encode(text)) // {_FRAME_SIZE}, 1) AS n_frames
+           FROM documents),
+idx AS (SELECT doc_id, text,
+               unnest(range(0, CAST(n_frames AS BIGINT), {_EVERY_N})) AS i
+        FROM n)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_index,
+       md5(substr(text, CAST(i * {_FRAME_SIZE} + 1 AS BIGINT), {_FRAME_SIZE})) AS frame_md5
+FROM idx
+""",
+)

@@ -1,0 +1,506 @@
+"""Declared relational queries over the driver star schema (SURVEY.md §2.3–2.8,
+Milestone 3): filters, broadcast/sort-merge joins, semi/anti joins, hash
+aggregation, rollup, window functions, sorts/top-k, set ops, scalar
+subqueries — each with a DuckDB oracle twin.
+
+Determinism: every money aggregate is summed as DECIMAL (exact integer
+arithmetic under the hood — immune to float addition order, which differs
+between Spark's partial aggregation and DuckDB) and cast to double only at
+the end. Ties in every top-k are broken by a unique key.
+
+The reference has no joins/group-bys of its own (SURVEY.md §2.3: its only
+aggregate construct is 9 scalar MAX subqueries, spark/jobs/
+pr-wallet-data-tf.py:79-118) — this module is the table-stakes relational
+surface its Spark dependency implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.queries import register
+
+# Exact money arithmetic: 2-decimal doubles → DECIMAL(12,2) (values < 1e6)
+# so products stay ≤ DECIMAL(38,6) with no scale truncation in either engine.
+DEC = "decimal(12,2)"
+SQL_DEC = "DECIMAL(12,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# q01: TPC-H Q1-flavored pricing summary — hash agg w/ map-side partials.
+# --------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+ORACLE_Q01 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS {SQL_DEC})) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS {SQL_DEC}) * (CAST(1 AS {SQL_DEC}) - CAST(l_discount AS {SQL_DEC}))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS {SQL_DEC}) * (CAST(1 AS {SQL_DEC}) - CAST(l_discount AS {SQL_DEC})) * (CAST(1 AS {SQL_DEC}) + CAST(l_tax AS {SQL_DEC}))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS {SQL_DEC})) AS DOUBLE) / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+register("q01_pricing_summary", q01_pricing_summary, ORACLE_Q01)
+
+
+# --------------------------------------------------------------------------
+# q03: shipping-priority top-k — 3-way join (broadcast dim + SMJ fact),
+# agg, orderBy+limit with unique tie-break.
+# --------------------------------------------------------------------------
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q03 = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS {SQL_DEC}) * (CAST(1 AS {SQL_DEC}) - CAST(l_discount AS {SQL_DEC}))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+register("q03_top_orders", q03_top_orders, ORACLE_Q03)
+
+
+# --------------------------------------------------------------------------
+# q05: multiway star join (region→nation→customer→orders→lineitem→supplier)
+# with the TPC-H local-supplier condition; dims broadcast.
+# --------------------------------------------------------------------------
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(revenue.cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+ORACLE_Q05 = f"""
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS {SQL_DEC}) * (CAST(1 AS {SQL_DEC}) - CAST(l_discount AS {SQL_DEC}))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+"""
+register("q05_region_revenue", q05_region_revenue, ORACLE_Q05)
+
+
+# --------------------------------------------------------------------------
+# join_semi / join_anti — left-semi and left-anti joins.
+# --------------------------------------------------------------------------
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+register(
+    "join_semi",
+    join_semi,
+    """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+register(
+    "join_anti",
+    join_anti,
+    """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# join_outer — left outer join with count of matches (nulls → 0 groups kept).
+# --------------------------------------------------------------------------
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        nation.join(cust, F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.col("c_custkey")).alias("n_rich_customers"))
+    )
+
+
+register(
+    "join_outer",
+    join_outer,
+    """
+SELECT n_nationkey, n_name, count(c_custkey) AS n_rich_customers
+FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c ON c_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# join_broadcast_dim — explicit broadcast-hash join of a small dim into the
+# fact table, aggregated by dim attribute.
+# --------------------------------------------------------------------------
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+register(
+    "join_broadcast_dim",
+    join_broadcast_dim,
+    """
+SELECT p_brand,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# window_rank — top-3 orders per customer (rank window, unique tie-break).
+# --------------------------------------------------------------------------
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+register(
+    "window_rank",
+    window_rank,
+    """
+SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) t
+WHERE rnk <= 3
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# window_lag_running — lag + running decimal sum per customer order history.
+# --------------------------------------------------------------------------
+def window_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.sum(_dec("o_totalprice")).over(running).cast("double").alias("running_spend"),
+    )
+
+
+register(
+    "window_lag_running",
+    window_lag_running,
+    """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# set_ops — UNION DISTINCT then EXCEPT DISTINCT of customer-key sets.
+# --------------------------------------------------------------------------
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return building.union(urgent).distinct().subtract(finished)
+
+
+register(
+    "set_ops",
+    set_ops,
+    """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(F.col("c_custkey").alias("custkey"))
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return machinery.intersect(open_)
+
+
+register(
+    "set_intersect",
+    set_intersect,
+    """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# group_rollup — ROLLUP grouping sets with decimal-exact money sum.
+# --------------------------------------------------------------------------
+def group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+        )
+    )
+
+
+register(
+    "group_rollup",
+    group_rollup,
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# filter_project — row-level filter + computed projection (pushdown surface).
+# --------------------------------------------------------------------------
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast("double")
+    return (
+        li.filter((F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 10))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", disc_price.alias("disc_price"))
+    )
+
+
+register(
+    "filter_project",
+    filter_project,
+    f"""
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       CAST(CAST(l_extendedprice AS {SQL_DEC}) * (CAST(1 AS {SQL_DEC}) - CAST(l_discount AS {SQL_DEC})) AS DOUBLE) AS disc_price
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 10
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# topk_global — global orderBy + limit (TakeOrderedAndProject).
+# --------------------------------------------------------------------------
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(15)
+    )
+
+
+register(
+    "topk_global",
+    topk_global,
+    """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# distinct_agg — COUNT(DISTINCT) (expand + two-phase agg in Spark).
+# --------------------------------------------------------------------------
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus", "o_orderpriority").alias("n_status_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+register(
+    "distinct_agg",
+    distinct_agg,
+    """
+SELECT count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT (o_orderstatus, o_orderpriority)) AS n_status_prio,
+       count(*) AS n_orders
+FROM orders
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# sql_q6 — the spark.sql() surface: scalar filter-aggregate (TPC-H Q6 shape).
+# --------------------------------------------------------------------------
+def sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        f"""
+        SELECT CAST(sum(CAST(l_extendedprice AS {SQL_DEC}) * CAST(l_discount AS {SQL_DEC})) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM v_lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        """
+    )
+
+
+register(
+    "sql_q6",
+    sql_q6,
+    f"""
+SELECT CAST(sum(CAST(l_extendedprice AS {SQL_DEC}) * CAST(l_discount AS {SQL_DEC})) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# sql_scalar_subquery — uncorrelated scalar subquery (the reference's A1–A9
+# pattern, spark/jobs/pr-wallet-data-tf.py:79-118) over the star schema.
+# --------------------------------------------------------------------------
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               o_totalprice / (SELECT max(o_totalprice) FROM v_orders) AS p_totalprice
+        FROM v_orders
+        WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM v_orders)
+        """
+    )
+
+
+register(
+    "sql_scalar_subquery",
+    sql_scalar_subquery,
+    """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       o_totalprice / (SELECT max(o_totalprice) FROM orders) AS p_totalprice
+FROM orders
+WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+""",
+)

@@ -1,0 +1,138 @@
+"""Declared streaming queries: each runs a REAL Structured Streaming job
+(file source over the events parquet, Trigger.AvailableNow, memory sink)
+and returns the materialized result, checked against a DuckDB batch oracle
+over the same events.
+
+This is the strongest available correctness statement for streaming
+operators: event-time windowing/dedup must produce exactly the batch
+relation once the stream is fully drained (the "streaming = incremental
+batch" contract of Structured Streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.queries import register
+from cyrela_etl_spark.streaming import (
+    dedup_within_watermark,
+    read_file_stream,
+    run_available_now,
+    session_agg,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.parquet import events_long_ts_schema, normalize_event_ts
+
+    schema = events_long_ts_schema(spark, sf_dir)
+    raw = read_file_stream(spark, sf_dir, schema, path_glob="events.parquet")
+    return normalize_event_ts(raw)
+
+
+# ---------------------------------------------------------------------------
+# stream_tumbling — 1-hour tumbling count+sum per event_type via a real
+# streaming query (complete mode: every window emitted once drained).
+# ---------------------------------------------------------------------------
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling_counts(_event_stream(spark, sf_dir), width="1 hour", keys=("event_type",))
+    return run_available_now(agg, "stream_tumbling", output_mode="complete")
+
+
+register(
+    "stream_tumbling",
+    stream_tumbling,
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# stream_sliding — 1-hour windows sliding by 30 min: every event counts in
+# exactly 2 windows.
+# ---------------------------------------------------------------------------
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = sliding_counts(
+        _event_stream(spark, sf_dir), width="1 hour", slide="30 minutes", keys=("event_type",)
+    )
+    return run_available_now(agg, "stream_sliding", output_mode="complete")
+
+
+register(
+    "stream_sliding",
+    stream_sliding,
+    """
+SELECT make_timestamp(slot * 1800 * 1000000) AS window_start, event_type,
+       count(*) AS n_events
+FROM events,
+     UNNEST([CAST(floor(epoch(ts) / 1800) AS BIGINT),
+             CAST(floor(epoch(ts) / 1800) AS BIGINT) - 1]) AS t(slot)
+GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# stream_session — 30-minute-gap session windows per user.
+# ---------------------------------------------------------------------------
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = session_agg(_event_stream(spark, sf_dir), gap="30 minutes", keys=("user_id",))
+    return run_available_now(agg, "stream_session", output_mode="complete")
+
+
+register(
+    "stream_session",
+    stream_session,
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTES AS session_end,
+       count(*) AS n_events
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup — stateful dedup: the stream is the events source unioned
+# with itself (every event arrives twice); dropDuplicatesWithinWatermark
+# on event_id must reconstruct exactly the distinct event set.
+# ---------------------------------------------------------------------------
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _event_stream(spark, sf_dir)
+    doubled = s.unionByName(_event_stream(spark, sf_dir))
+    deduped = dedup_within_watermark(doubled, keys=["event_id"], ts_col="ts", watermark="1 hour")
+    out = deduped.select("event_id", "user_id", "event_type", "value")
+    return run_available_now(out, "stream_dedup", output_mode="append")
+
+
+register(
+    "stream_dedup",
+    stream_dedup,
+    """
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)

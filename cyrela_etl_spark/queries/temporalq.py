@@ -1,0 +1,131 @@
+"""Temporal queries over `events`: as-of join, bucketized range join, and
+time-bucket rollup — each with a DuckDB oracle (DuckDB's native ASOF JOIN
+is the as-of oracle, which is the strongest cross-check available: a
+different algorithm computing the same relation).
+
+Determinism: the only float aggregate (rollup sum) goes through
+DECIMAL(12,2); everything else is ints/timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.operators.temporal import asof_join, range_join_buckets, time_bucket
+from cyrela_etl_spark.queries import register
+from cyrela_etl_spark.sources.parquet import read_events as _events
+
+
+# ---------------------------------------------------------------------------
+# temporal_asof_join — for each click, the user's most recent purchase value
+# at or before the click. Union-merge plan (one shuffle) vs DuckDB ASOF JOIN.
+# ---------------------------------------------------------------------------
+def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_value_cols=["p_value"],
+        suffix="",
+    )
+    return out.select("event_id", "user_id", "ts", "value", F.col("p_value").alias("last_purchase_value"))
+
+
+register(
+    "temporal_asof_join",
+    temporal_asof_join,
+    """
+WITH clicks AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.ts, c.value, p.p_value AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND p.p_ts <= c.ts
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# temporal_range_join — (view, click) pairs for the same user with the click
+# inside [view_ts, view_ts + 30 min). Bucketized equi-join plan vs DuckDB's
+# plain inequality join.
+# ---------------------------------------------------------------------------
+_WINDOW_S = 1800
+
+
+def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"), "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"), F.col("user_id").alias("c_user_id")
+    )
+    # range_join_buckets matches on a shared key column name; align names.
+    out = range_join_buckets(
+        views,
+        clicks.withColumnRenamed("c_user_id", "user_id"),
+        on="user_id",
+        left_ts="view_ts",
+        right_ts="click_ts",
+        window_seconds=_WINDOW_S,
+    )
+    return out.select(
+        F.col("l.view_id").alias("view_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.click_id").alias("click_id"),
+    )
+
+
+register(
+    "temporal_range_join",
+    temporal_range_join,
+    f"""
+SELECT v.event_id AS view_id, v.user_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts < v.ts + INTERVAL {_WINDOW_S} SECONDS
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# temporal_time_bucket — tumbling 1-hour rollup per event_type (the
+# hypertable continuous-aggregate pattern as a plain groupBy; the identical
+# builder runs under Structured Streaming in streamingq).
+# ---------------------------------------------------------------------------
+def temporal_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            time_bucket("ts", "1 hour").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+register(
+    "temporal_time_bucket",
+    temporal_time_bucket,
+    """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)

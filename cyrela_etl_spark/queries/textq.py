@@ -1,0 +1,389 @@
+"""Text-analysis + deduplication queries over `documents`, each with a
+DuckDB oracle.
+
+The synthetic documents table has no duplicates, so dedup queries run over
+a planted corpus: documents ∪ exact copies (every 10th doc) ∪ near copies
+(every 7th doc, one appended token) — the same deterministic construction
+on both engines. That way exact_dedup/minhash/simhash outputs are
+non-trivial instead of vacuously empty.
+
+All hash outputs are md5-derived (functions/hashing.py) so the oracle can
+reproduce them bit-for-bit: Spark ``conv(substring(md5(x),1,15),16,10)`` ==
+DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.functions.hashing import MERSENNE_PRIME
+from cyrela_etl_spark.operators import dedup as D
+from cyrela_etl_spark.operators import text as X
+from cyrela_etl_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (the DuckDB spellings of functions/hashing.py and
+# operators/text.py primitives).
+# ---------------------------------------------------------------------------
+P = MERSENNE_PRIME
+
+
+def sql_hex64(expr: str) -> str:
+    """DuckDB twin of hashing.hex_prefix_long (60-bit md5 prefix)."""
+    return f"CAST(CONCAT('0x', SUBSTR(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def sql_tokens(expr: str) -> str:
+    """DuckDB twin of text.tokens: lowercase whitespace split, no empties."""
+    return f"list_filter(string_split_regex(lower({expr}), '\\s+'), t -> t <> '')"
+
+
+def sql_norm(expr: str) -> str:
+    """Whitespace-normalized lowercase content (dedup identity)."""
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def sql_shingles(tokens_expr: str, n: int) -> str:
+    """DuckDB twin of dedup.word_shingles over a tokens list expression."""
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({tokens_expr}) - {n - 1}, 1)), "
+        f"i -> array_to_string({tokens_expr}[i:i+{n - 1}], ' ')))"
+    )
+
+
+# Planted-duplicate corpus (same construction both engines).
+CORPUS_SQL = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zyx extra', lang FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zyx extra")).alias("text"),
+        "lang",
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# text_quality — quality_features (ratios of exact ints → bit-stable).
+# ---------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = X.quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in X.STOPWORDS_EN)
+ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter({sql_tokens('text')}, t -> t <> '')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nospace,
+         length(regexp_replace(text, '{X.PUNCT_CLASS}', '', 'g')) AS n_punct,
+         len(list_filter({sql_tokens('text')}, t -> t IN ({_SW}))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       n_chars AS n_chars_measured,
+       n_nospace / n_tokens AS avg_token_len,
+       n_punct / n_chars AS punct_ratio,
+       n_stop / n_tokens AS stopword_ratio,
+       (least(n_tokens, 100) / 100
+        + least((n_stop / n_tokens) * 4, 1.0)
+        + (1.0 - least((n_punct / n_chars) * 10, 1.0))) / 3.0 AS quality_score
+FROM base
+"""
+register("text_quality", text_quality, ORACLE_QUALITY)
+
+
+# ---------------------------------------------------------------------------
+# text_language_id — marker-word argmax with fixed tie-break.
+# ---------------------------------------------------------------------------
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = X.language_id(docs)
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        *[F.col(f"score_{lang}").cast("long").alias(f"score_{lang}") for lang in X.LANG_ORDER],
+    )
+
+
+def _lang_oracle() -> str:
+    score_exprs = []
+    for lang in X.LANG_ORDER:
+        markers = ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lang])
+        score_exprs.append(f"len(list_filter(tok, t -> t IN ({markers}))) AS score_{lang}")
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in X.LANG_ORDER) + ")"
+    case = "CASE"
+    for lang in X.LANG_ORDER:
+        case += f" WHEN score_{lang} = best THEN '{lang}'"
+    case += " ELSE 'und' END"
+    scores = ", ".join(f"score_{lang}" for lang in X.LANG_ORDER)
+    return f"""
+WITH tokd AS (SELECT doc_id, {sql_tokens('text')} AS tok FROM documents),
+scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM tokd),
+best AS (SELECT doc_id, {scores}, {greatest} AS best FROM scored)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und' ELSE {case} END AS lang_pred,
+       {scores}
+FROM best
+"""
+
+
+register("text_language_id", text_language_id, _lang_oracle())
+
+
+# ---------------------------------------------------------------------------
+# text_fingerprint — md5 + portable 60-bit content hash.
+# ---------------------------------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return X.fingerprint(docs)
+
+
+register(
+    "text_fingerprint",
+    text_fingerprint,
+    f"""
+SELECT doc_id, md5({sql_norm('text')}) AS content_md5,
+       {sql_hex64(sql_norm('text'))} AS fingerprint64
+FROM documents
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# text_token_counts — whitespace + BPE-ish token counting.
+# The BPE-ish oracle re-expresses the Java lookaround split as an RE2
+# extraction: a piece is a letter-run, a digit-run, or a non-alnum char
+# optionally fused with the following letter/digit-run (same piece set).
+# ---------------------------------------------------------------------------
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        X.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+register(
+    "text_token_counts",
+    text_token_counts,
+    f"""
+SELECT doc_id,
+       len({sql_tokens('text')}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[^a-z0-9\\s](?:[a-z]+|[0-9]+)?|[a-z]+|[0-9]+')) AS n_bpe_tokens
+FROM documents
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — md5 hash-agg duplicate groups over the planted corpus.
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(corpus(spark, sf_dir)).select(
+        "content_md5", F.col("n_dups").cast("long").alias("n_dups"), "canonical_id"
+    )
+
+
+register(
+    "dedup_exact",
+    dedup_exact,
+    f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT md5({sql_norm('text')}) AS content_md5,
+       count(*) AS n_dups,
+       min(doc_id) AS canonical_id
+FROM corpus
+GROUP BY 1
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — blocked pairwise shingle Jaccard (block = lang).
+# ---------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        corpus(spark, sf_dir), block_cols=["lang"], n=3, threshold=0.8
+    )
+
+
+register(
+    "dedup_ngram_jaccard",
+    dedup_ngram_jaccard,
+    f"""
+WITH corpus AS ({CORPUS_SQL}),
+sh AS (SELECT doc_id AS id, lang, {sql_shingles(sql_tokens('text'), 3)} AS shingles FROM corpus)
+SELECT a.id AS id_a, b.id AS id_b,
+       len(list_intersect(a.shingles, b.shingles)) / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id
+WHERE len(list_intersect(a.shingles, b.shingles)) / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — banded MinHash-LSH candidates + exact verification.
+# ---------------------------------------------------------------------------
+_NUM_HASHES, _BANDS, _SHINGLE_N, _MH_THRESHOLD = 16, 4, 3, 0.5
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        corpus(spark, sf_dir),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_n=_SHINGLE_N,
+        threshold=_MH_THRESHOLD,
+    )
+
+
+def _minhash_oracle() -> str:
+    rows = _NUM_HASHES // _BANDS
+    hashed = f"list_transform(shingles, s -> ({sql_hex64('s')} % {P}))"
+    sig_exprs = []
+    for i, (a, b) in enumerate(D.minhash_params(_NUM_HASHES)):
+        sig_exprs.append(f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {P})) AS h{i}")
+    band_selects = []
+    for bi in range(_BANDS):
+        parts = ", ".join(f"CAST(h{bi * rows + r} AS VARCHAR)" for r in range(rows))
+        band_selects.append(f"SELECT id, {bi} AS band, concat_ws('-', {parts}) AS bucket FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+sh AS (SELECT doc_id AS id, {sql_shingles(sql_tokens('text'), _SHINGLE_N)} AS shingles FROM corpus),
+hashed AS (SELECT id, shingles, {hashed} AS hs FROM sh),
+sig AS (SELECT id, {', '.join(sig_exprs)} FROM hashed),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(sa.shingles, sb.shingles)) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+FROM cand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id
+WHERE len(list_intersect(sa.shingles, sb.shingles)) / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {_MH_THRESHOLD}
+"""
+
+
+register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle())
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — Charikar fingerprints + Manku-banded Hamming pairs.
+# ---------------------------------------------------------------------------
+_SH_BITS, _SH_MAXHAM = 16, 2
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(corpus(spark, sf_dir), bits=_SH_BITS).select(
+        "id", F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+def _simhash_sql(table: str) -> str:
+    """CTE body computing (id, simhash) from a (doc_id, text) table."""
+    hashed = f"list_transform({sql_tokens('text')}, t -> {sql_hex64('t')})"
+    terms = []
+    for j in range(_SH_BITS):
+        ones = f"len(list_filter(hs, h -> ((h >> {j}) & 1) = 1))"
+        terms.append(f"(CASE WHEN 2 * {ones} > len(hs) THEN {1 << j} ELSE 0 END)")
+    fp = " + ".join(terms)
+    return f"""
+hashed AS (SELECT doc_id AS id, {hashed} AS hs FROM {table}),
+fps AS (SELECT id, CAST({fp} AS BIGINT) AS simhash FROM hashed)
+"""
+
+
+register(
+    "dedup_simhash",
+    dedup_simhash,
+    f"WITH corpus AS ({CORPUS_SQL}), {_simhash_sql('corpus')} SELECT id, simhash FROM fps",
+)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(
+        corpus(spark, sf_dir), bits=_SH_BITS, max_hamming=_SH_MAXHAM
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_pairs_oracle() -> str:
+    chunks = _SH_MAXHAM + 1
+    chunk_bits = _SH_BITS // chunks
+    mask = (1 << chunk_bits) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, simhash, {ci} AS chunk, (simhash >> {ci * chunk_bits}) & {mask} AS value FROM fps"
+        for ci in range(chunks)
+    )
+    return f"""
+WITH corpus AS ({CORPUS_SQL}), {_simhash_sql('corpus')},
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.value = b.value AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_MAXHAM}
+"""
+
+
+register("dedup_simhash_pairs", dedup_simhash_pairs, _simhash_pairs_oracle())
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_signatures — raw signature vectors (stringified for a
+# stable cross-engine representation).
+# ---------------------------------------------------------------------------
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(
+        corpus(spark, sf_dir), num_hashes=_NUM_HASHES, shingle_n=_SHINGLE_N
+    )
+    return sigs.select(
+        "id",
+        F.concat_ws("-", *[F.col("signature")[i].cast("string") for i in range(_NUM_HASHES)]).alias("signature"),
+    )
+
+
+def _sig_oracle() -> str:
+    hashed = f"list_transform(shingles, s -> ({sql_hex64('s')} % {P}))"
+    sig_exprs = [
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {P}))"
+        for (a, b) in D.minhash_params(_NUM_HASHES)
+    ]
+    parts = ", ".join(f"CAST({e} AS VARCHAR)" for e in sig_exprs)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+sh AS (SELECT doc_id AS id, {sql_shingles(sql_tokens('text'), _SHINGLE_N)} AS shingles FROM corpus),
+hashed AS (SELECT id, {hashed} AS hs FROM sh)
+SELECT id, concat_ws('-', {parts}) AS signature FROM hashed
+"""
+
+
+register("dedup_minhash_signatures", dedup_minhash_signatures, _sig_oracle())

@@ -1,0 +1,166 @@
+"""Similarity-search queries over `embeddings` (array<float>, dim 64), each
+with a DuckDB oracle.
+
+Cross-engine float contract: all vector math is double (float32 arrays are
+cast up first); cosine = dot/(||a||·||b||) with sequential folds on both
+engines; scores are rounded to 6 digits BEFORE ranking/thresholding so a
+last-bit accumulation difference can't reorder results; every rank tie
+breaks on vec_id asc.
+
+Near-dup corpus: the synthetic embeddings are random (no near-dups), so
+the near-dup query plants exact directional copies (every 10th vector
+scaled ×2 — cosine exactly 1 after rounding) — same construction on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.functions.vectors import to_double_array
+from cyrela_etl_spark.operators.similarity import (
+    _hyperplanes,
+    cosine_topk,
+    embedding_neardup_pairs,
+    rhp_lsh_topk,
+)
+from cyrela_etl_spark.queries import register
+
+_K = 5
+_N_QUERIES = 8  # query set = vec_id < 8 (small by contract — broadcast side)
+_DIM = 64
+_N_PLANES = 6
+
+# DuckDB spelling of the double-fold cosine (same op order as
+# functions/vectors.py: dot / (l2(a) * l2(b))).
+_SQL_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector_cosine_topk — exact brute-force top-k (expression path).
+# ---------------------------------------------------------------------------
+def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cosine_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=_K)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
+
+
+ORACLE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+         round({_SQL_COS.format(a='q.qv', b='d.v')}, 6) AS cosine
+  FROM d JOIN q ON d.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {_K}
+"""
+register("vector_cosine_topk", vector_cosine_topk, ORACLE_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# vector_rhp_lsh_topk — ANN via random-hyperplane LSH buckets. The oracle
+# inlines the SAME deterministic hyperplanes (seeded, rounded literals) so
+# both engines bucket identically.
+# ---------------------------------------------------------------------------
+def vector_rhp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = rhp_lsh_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=_K,
+        n_planes=_N_PLANES,
+        dim=_DIM,
+    )
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
+
+
+def _rhp_oracle() -> str:
+    planes = _hyperplanes(_DIM, _N_PLANES)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {2**i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+         round({_SQL_COS.format(a='q.qv', b='d.v')}, 6) AS cosine
+  FROM bucketed d JOIN q ON d.bucket = q.bucket AND d.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {_K}
+"""
+
+
+register("vector_rhp_lsh_topk", vector_rhp_lsh_topk, _rhp_oracle())
+
+
+# ---------------------------------------------------------------------------
+# vector_neardup_pairs — embedding-cosine near-duplicates over the planted
+# corpus, blocked by label (the production contract: always blocked).
+# ---------------------------------------------------------------------------
+_NEARDUP_T = 0.99
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("embedding"), "label"
+    )
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(copies)
+
+
+def vector_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        _neardup_corpus(spark, sf_dir), threshold=_NEARDUP_T, block_col="label"
+    )
+
+
+register(
+    "vector_neardup_pairs",
+    vector_neardup_pairs,
+    f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0), label
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_SQL_COS.format(a='a.v', b='b.v')}, 6) AS cosine
+FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_SQL_COS.format(a='a.v', b='b.v')}, 6) >= {_NEARDUP_T}
+""",
+)

@@ -16,6 +16,52 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, normalizing its nanosecond timestamps.
+
+    The driver's events parquet stores ``ts`` as INT64 TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects outright. Reading with
+    ``spark.sql.legacy.parquet.nanosAsLong`` surfaces the raw nanos as a
+    long; ``ts div 1000`` (integer division — a double division would lose
+    precision above 2^53 ns) truncates to whole microseconds, exactly how
+    DuckDB's TIMESTAMP reads the same file. The driver data is whole-micro
+    anyway, so the conversion is lossless.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def events_long_ts_schema(spark: SparkSession, sf_dir: str):
+    """The nanosAsLong schema of the events parquet (ts: long) — what a
+    streaming file source over the events zone must declare."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """nanos-long ``ts`` → microsecond timestamp (streaming-safe projection)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

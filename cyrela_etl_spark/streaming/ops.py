@@ -1,0 +1,164 @@
+"""Streaming operators: file-arrival ingest, event-time windows with
+watermarks, and stateful dedup.
+
+Scale notes (1000-executor story):
+
+- **File source** scales by listing: ``maxFilesPerTrigger`` bounds batch
+  size; state (seen-files log) lives in the checkpoint, not the driver
+  heap. ``cleanSource='delete'`` reproduces the reference's
+  delete-after-consume zone hygiene (reference
+  dags/s3-etl-wallet-csv.py:171-176) without a separate delete operator.
+- **Windowed aggregation** is a streaming hash-agg partitioned by
+  (window, keys) — the same shuffle a batch groupBy does, plus a state
+  store per partition. Watermarks bound state size: without one, state
+  grows forever at 100 TB/day.
+- **Dedup** keeps one state row per key; ``dropDuplicatesWithinWatermark``
+  expires state once the watermark passes, which is the only formulation
+  that survives unbounded streams.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    clean_source: str | None = None,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """File-arrival streaming source over a zone directory (the Structured
+    Streaming replacement for the reference's polling S3KeySensor).
+
+    ``schema`` is mandatory: streaming sources cannot infer, and explicit
+    schemas are the engine contract anyway (SURVEY.md §1.3). ``path`` must
+    be a directory (the zone); ``path_glob`` narrows which arriving files
+    belong to this feed (the reference's ``cyrela/*.csv`` wildcard,
+    dags/s3-etl-wallet-csv.py:144).
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+    return reader.load(path)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str | None = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window count/sum per key. Batch and streaming: identical
+    plan shape (hash agg keyed by (window, keys)); with ``watermark`` set
+    the streaming state store drops windows older than max(event_time) −
+    delay."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(12,2)")).cast("double").alias("total_value"))
+    w = F.window(F.col(ts_col), width)
+    out_cols = ["n_events"] + (["total_value"] if value_col else [])
+    return (
+        df.groupBy(w.alias("w"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), *keys, *out_cols)
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    keys: Sequence[str] = ("event_type",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows
+    (Spark expands via a generator — no self-join)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), width, slide).alias("w"), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: Sequence[str] = ("user_id",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows (gap-based): state merges adjacent events per key
+    until a quiet period ≥ gap. session_window start = first event ts,
+    end = last event ts + gap."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful exactly-once dedup on ``keys`` with bounded state: a
+    duplicate arriving within the watermark delay of the original is
+    dropped; state for keys older than the watermark is evicted (the
+    always-on variant, ``dropDuplicates``, would grow state forever)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def run_available_now(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over all currently
+    available input (``Trigger.AvailableNow`` — the batch-drain trigger
+    that replaces the reference's sensor+DAG run) into an in-memory table;
+    returns the result as a batch DataFrame.
+
+    Used by tests and the declared-query harness; production sinks swap
+    ``format('memory')`` for parquet/kafka with the same trigger.
+    """
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
