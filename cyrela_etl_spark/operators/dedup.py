@@ -79,14 +79,23 @@ def ngram_jaccard_pairs(
     block_cols: list[str] | None = None,
     n: int = 1,
     threshold: float = 0.5,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard within blocks.
 
     jaccard = |A∩B| / |A∪B| over distinct n-gram shingle sets — a ratio of
     two small ints, bit-exact in IEEE-754 across engines. Pairs are emitted
-    once (id_a < id_b). ``block_cols`` bound the candidate set; default
-    blocks on nothing (full pairwise) — callers at scale MUST block.
+    once (id_a < id_b). ``block_cols`` bound the candidate set; without
+    them the plan is a full n² nested-loop self-join — refused unless the
+    caller opts in with ``allow_full_scan=True`` (use minhash_lsh_pairs
+    for unblocked corpora instead).
     """
+    if not block_cols and not allow_full_scan:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_cols plans a full n² "
+            "nested-loop self-join; pass block_cols or opt in explicitly "
+            "with allow_full_scan=True (or use minhash_lsh_pairs)"
+        )
     sh = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],

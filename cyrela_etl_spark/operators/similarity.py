@@ -58,8 +58,23 @@ def cosine_topk(
         d.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", cos.alias("cosine"))
     )
+    # Two-phase top-k: a per-(query, input-partition) local top-k first, so
+    # the final per-query rank sees only k·n_partitions rows instead of the
+    # whole corpus funneling into one reducer partition per query (the
+    # single-window formulation collapses a 100 TB corpus onto |queries|
+    # reducers). Both ranks share one total order (cosine desc, vec_id asc)
+    # so the local cut can never drop a row the global rank would keep.
+    local_w = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(local_w))
+        .filter(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(_rank_window()))
+        pruned.withColumn("rank", F.row_number().over(_rank_window()))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
@@ -71,12 +86,18 @@ def cosine_topk_arrow(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Brute-force top-k via Arrow-batched numpy matmul (the throughput
     path). Queries are collected once (small by contract) and closed over;
     each partition computes a (batch × queries) GEMM and emits only its
     local top-k per query, so the final global top-k shuffles
     k·|queries|·n_partitions rows, not the corpus.
+
+    Matches ``cosine_topk`` exactly: scores are rounded to ``round_digits``
+    BEFORE local selection, and local ties break by vec_id asc (lexsort) —
+    the same total order the global rank uses, so a boundary tie can never
+    drop the row the global window would have kept.
     """
     qrows = queries.select("query_id", vec_col).collect()
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
@@ -97,11 +118,15 @@ def cosine_topk_arrow(
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ qm.T  # (batch, queries)
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
             for j in range(qm.shape[0]):
                 col = sims[:, j]
                 mask = ids != qi[j]
                 cids, cs = ids[mask], col[mask]
-                top = np.argsort(-cs, kind="stable")[:k]
+                # lexsort: primary -cosine, tie-break vec_id asc — the
+                # global rank's total order applied locally.
+                top = np.lexsort((cids, -cs))[:k]
                 yield pd.DataFrame({"query_id": qi[j], "vec_id": cids[top], "cosine": cs[top]})
 
     scored = data.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
@@ -133,7 +158,7 @@ def rhp_lsh_topk(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -145,7 +170,20 @@ def rhp_lsh_topk(
     shuffled once by bucket id (2^n_planes buckets), each query probes one
     bucket. Recall is tunable via n_planes (fewer planes → bigger buckets
     → higher recall, more compute).
+
+    ``dim`` defaults to the embedding length sampled from the data (one
+    1-row job); if given explicitly it is validated — a silent mismatch
+    would null out every plane dot product (zip_with pads with nulls) and
+    collapse all rows into bucket 0, i.e. a full scan with no error.
     """
+    sampled = data.select(F.size(F.col(vec_col)).alias("d")).first()
+    actual_dim = sampled["d"] if sampled is not None else None
+    if dim is None:
+        if actual_dim is None:
+            raise ValueError("cannot derive embedding dim from empty data")
+        dim = actual_dim
+    elif actual_dim is not None and actual_dim != dim:
+        raise ValueError(f"dim={dim} does not match embedding length {actual_dim} in data")
     planes = _hyperplanes(dim, n_planes, seed)
     d = data.select(
         F.col(id_col).alias("vec_id"),
@@ -178,13 +216,21 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     round_digits: int | None = 6,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
     ``block_col`` (e.g. an LSH bucket or cluster label) bounds the
-    self-join; without it this is full n² — fine for correctness tests,
-    blocked in production.
+    self-join. Without it the plan is a full n² cartesian — refused unless
+    the caller opts in with ``allow_full_scan=True`` (safe-by-default: a
+    100×-scale caller must never hit a silent cartesian product).
     """
+    if block_col is None and not allow_full_scan:
+        raise ValueError(
+            "embedding_neardup_pairs without block_col plans a full n² "
+            "self-join; pass block_col (LSH bucket / cluster label) or "
+            "opt in explicitly with allow_full_scan=True"
+        )
     d = data.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"), F.col(block_col).alias("blk") if block_col else F.lit(0).alias("blk"))
     a, b = d.alias("a"), d.alias("b")
     cos = cosine_similarity(F.col("a.v"), F.col("b.v"))

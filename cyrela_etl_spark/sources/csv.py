@@ -50,16 +50,31 @@ def read_wallet_csv(
     """
     df = read_csv(spark, path, schema=wallet_schema(), header=True)
     if skip_first_data_row:
-        # CSV scans preserve file order within a partition;
-        # monotonically_increasing_id is ascending within each partition
-        # and partition ordinals follow file-split order, so the global
-        # minimum id is the first data row of the file. One tiny agg job,
-        # broadcast back — no full sort, no collect of data rows.
-        tagged = df.withColumn("__rowid", F.monotonically_increasing_id())
-        first = tagged.select(F.min("__rowid").alias("__min_rowid"))
+        # Single-file contract: the row being dropped is defined by the
+        # reference's one-file pandas header=1 semantics; with multiple
+        # input files "the first data row" is meaningless.
+        files = df.inputFiles()
+        if len(files) != 1:
+            raise ValueError(
+                "skip_first_data_row requires exactly one input file "
+                f"(got {len(files)}): the dropped row is the file's first "
+                "data row per the reference's header=1 semantics"
+            )
+        # Deterministic identification of the file's first data row, robust
+        # to Spark's split packing (splits are packed size-desc, so
+        # partition ordinals do NOT follow file offsets): the first data
+        # row lives in the byte-offset-0 block (where the CSV reader also
+        # strips the header), and within that block rows are read in order
+        # with ascending monotonically_increasing_id. min(id) over block-0
+        # rows is therefore exactly the first data row. One tiny agg job,
+        # broadcast anti-join back — no global sort, no collect.
+        tagged = df.withColumn("__rowid", F.monotonically_increasing_id()).withColumn(
+            "__blk0", F.input_file_block_start() == 0
+        )
+        first = tagged.filter(F.col("__blk0")).select(F.min("__rowid").alias("__min_rowid"))
         df = (
             tagged.join(F.broadcast(first), on=tagged["__rowid"] == first["__min_rowid"], how="left_anti")
-            .drop("__rowid")
+            .drop("__rowid", "__blk0")
         )
     return df
 
