@@ -31,10 +31,17 @@ def write_jdbc(
     props = dict(properties or {})
     props.setdefault("batchsize", str(batchsize))
     if create_table_ddl is not None:
-        # Pre-action on one JVM-side connection (needs the JDBC driver jar
-        # on the classpath; not exercisable in this container — unit tests
-        # cover the plan construction, integration deferred to a real DW).
-        conn = df.sparkSession._sc._jvm.java.sql.DriverManager.getConnection(url)  # pragma: no cover
+        # Pre-action on one JVM-side connection, with the SAME credential
+        # properties the distributed writer uses (user/password/etc. from
+        # ``properties``) — a bare getConnection(url) would fail against
+        # any authenticated warehouse. Needs the JDBC driver jar on the
+        # classpath; not exercisable in this container — unit tests cover
+        # the plan construction, integration deferred to a real DW.
+        jvm = df.sparkSession._sc._jvm  # pragma: no cover
+        jprops = jvm.java.util.Properties()  # pragma: no cover
+        for k, v in props.items():  # pragma: no cover
+            jprops.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)  # pragma: no cover
         try:  # pragma: no cover
             conn.createStatement().execute(create_table_ddl)
         finally:  # pragma: no cover

@@ -1,0 +1,168 @@
+"""Per-operator unit tests for the LLM-pipeline extension operators
+(dedup / similarity / text / temporal / multimodal) — semantics and plan
+properties the oracle harness can't see.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.operators import dedup as D
+from cyrela_etl_spark.operators import multimodal as M
+from cyrela_etl_spark.operators import text as X
+from cyrela_etl_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_arrow,
+    embedding_neardup_pairs,
+    rhp_lsh_topk,
+)
+from cyrela_etl_spark.operators.temporal import asof_join
+
+
+# -- safety guards ----------------------------------------------------------
+def test_ngram_jaccard_requires_blocking(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="block_cols"):
+        D.ngram_jaccard_pairs(docs)
+
+
+def test_neardup_requires_blocking(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="block_col"):
+        embedding_neardup_pairs(emb)
+
+
+def test_rhp_dim_mismatch_raises(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError, match="dim=128"):
+        rhp_lsh_topk(emb, q, dim=128)
+
+
+# -- similarity: arrow path parity ------------------------------------------
+def test_cosine_topk_arrow_matches_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 6").selectExpr("vec_id AS query_id", "embedding")
+    exact = sorted(map(tuple, cosine_topk(emb, q, k=7).collect()))
+    arrow = sorted(map(tuple, cosine_topk_arrow(emb, q, k=7).collect()))
+    assert exact == arrow
+
+
+# -- dedup: planted duplicates are found ------------------------------------
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unique doc")],
+        ["doc_id", "text"],
+    )
+    out = {r["content_md5"]: r for r in D.exact_dedup(df).collect()}
+    assert len(out) == 2  # whitespace/case-normalized dup group + singleton
+    grp = next(r for r in out.values() if r["n_dups"] == 2)
+    assert grp["canonical_id"] == 1
+
+
+def test_minhash_lsh_finds_planted_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra token"), (3, "совершенно other content entirely " * 5)],
+        ["doc_id", "text"],
+    )
+    pairs = D.minhash_lsh_pairs(df, num_hashes=16, bands=4, threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.7
+
+
+def test_simhash_pairs_hamming_bound(spark):
+    # An exact token-multiset copy has Hamming 0 — guaranteed to share
+    # every chunk, so the banding must surface it (near-copies are only
+    # probabilistically close at bits=16; the oracle queries cover those).
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "wholly different words here " * 6)],
+        ["doc_id", "text"],
+    )
+    pairs = D.simhash_pairs(df, bits=16, max_hamming=2).collect()
+    found = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
+    assert found[(1, 2)] == 0
+    assert all(h <= 2 for h in found.values())
+
+
+# -- temporal: as-of join edges ---------------------------------------------
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_edges(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "k"),
+         (2, _ts("2024-01-01T12:00:00"), "k"),
+         (3, _ts("2024-01-01T09:00:00"), "k")],
+        ["id", "ts", "key"],
+    )
+    right = spark.createDataFrame(
+        [(_ts("2024-01-01T10:00:00"), "k", 100.0),   # equal ts → visible (<=)
+         (_ts("2024-01-01T11:00:00"), "k", 200.0)],
+        ["rts", "key", "val"],
+    )
+    out = {
+        r["id"]: r["val_asof"]
+        for r in asof_join(left, right, on="key", left_ts="ts", right_ts="rts",
+                           right_value_cols=["val"]).collect()
+    }
+    assert out[3] is None          # before any right row → null
+    assert out[1] == 100.0         # equal-timestamp right row IS visible
+    assert out[2] == 200.0         # latest prior wins
+
+
+# -- text -------------------------------------------------------------------
+def test_language_id_markers_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here"),
+         (2, "der hund und die katze ist da"),
+         (3, "xyzzy plugh")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in X.language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_features_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = X.quality_features(docs)
+    bad = q.filter(~F.col("quality_score").between(0.0, 1.0)).count()
+    assert bad == 0
+
+
+# -- multimodal: column pruning + plumbing ----------------------------------
+def test_multimodal_metadata_only_prunes_payload(spark, sf_dir, tmp_path):
+    """A metadata-only query over a binary table must not read the payload
+    column at all — the parquet ReadSchema is the proof (the property that
+    makes metadata ops ~free at 100 TB of media bytes)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "media")
+    M.binarize_text(docs).write.parquet(path)
+    binary = spark.read.parquet(path)
+    meta_only = binary.select("doc_id", "media_type").filter(F.col("doc_id") < 10)
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "payload" not in read_schema
+    assert meta_only.count() > 0
+
+
+def test_media_meta_roundtrip(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    meta = M.extract_media_meta(M.binarize_text(docs)).collect()
+    assert len(meta) == 20
+    for r in meta:
+        assert r["n_bytes"] > 0 and len(r["content_hash"]) == 32
+        assert 16 <= r["width"] <= 271 and 16 <= r["height"] <= 271
+
+
+def test_media_meta_strict_raises(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    meta = M.extract_media_meta(M.binarize_text(docs), strict=True)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        meta.collect()

@@ -1,0 +1,112 @@
+"""Pipeline runner + wallet flow end-to-end through the zone store."""
+
+from __future__ import annotations
+
+import pytest
+
+from cyrela_etl_spark.flows import wallet_flow
+from cyrela_etl_spark.pipeline import Pipeline, PipelineError
+from cyrela_etl_spark.schemas import WALLET_COLUMNS
+from cyrela_etl_spark.sources.zones import ZoneStore
+
+# A 4-row wallet CSV (23 cols). Row 1 is the header=1 casualty in
+# skip_first_data_row mode — the flow output must not contain CLIENTE X1.
+_ROWS = [
+    ["10", "Cyrela", "E1", "CLIENTE X1", "", "1", "1", "100", "15/03/2019", "20/04/2019",
+     "7", "1000.50", "01/06/2020", "0", "0", "-10", "500.25", "250.10", "", "", "", "", "2000.00"],
+    ["20", "Living", "E2", "CLIENTE X2", "", "2", "1", "200", "31/01/2018", "28/02/2018",
+     "8", "2000.00", "01/06/2020", "0", "0", "-45", "1000.00", "500.00", "", "", "", "", "4000.00"],
+    ["30", "VIVAZ", "E3", "CLIENTE X3", "", "3", "1", "300", "01/12/2017", "05/01/2018",
+     "9", "3000.75", "01/06/2020", "0", "0", "-120", "1500.00", "750.00", "", "", "", "", "6000.00"],
+    ["40", "Outra", "E4", "CLIENTE X4", "", "4", "1", "400", "10/10/2016", "12/11/2016",
+     "10", "4000.00", "01/06/2020", "0", "0", "-5", "2000.00", "1000.00", "", "", "", "", "8000.00"],
+]
+
+
+@pytest.fixture
+def store(spark, tmp_path) -> ZoneStore:
+    s = ZoneStore(spark, str(tmp_path))
+    landing = tmp_path / "landing" / "cyrela"
+    landing.mkdir(parents=True)
+    lines = [",".join(WALLET_COLUMNS)] + [",".join(r) for r in _ROWS]
+    (landing / "wallet-data.csv").write_text("\n".join(lines) + "\n")
+    return s
+
+
+def test_runner_retries_then_succeeds():
+    pipe = Pipeline()
+    attempts = {"n": 0}
+
+    @pipe.stage("flaky", retries=2)
+    def flaky(ctx):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return "done"
+
+    results = pipe.run()
+    assert results[0].attempts == 3
+    assert results[0].value == "done"
+
+
+def test_runner_exhausts_retries_and_stops():
+    pipe = Pipeline()
+    ran = []
+
+    @pipe.stage("boom", retries=1)
+    def boom(ctx):
+        ran.append("boom")
+        raise RuntimeError("permanent")
+
+    @pipe.stage("never", retries=0)
+    def never(ctx):
+        ran.append("never")
+
+    with pytest.raises(PipelineError) as ei:
+        pipe.run()
+    assert ei.value.stage == "boom"
+    assert ei.value.attempts == 2
+    assert ran == ["boom", "boom"]  # downstream stage never ran
+
+
+def test_runner_context_passes_values():
+    pipe = Pipeline()
+
+    @pipe.stage("a")
+    def a(ctx):
+        return 21
+
+    @pipe.stage("b")
+    def b(ctx):
+        return ctx["a"] * 2
+
+    results = pipe.run()
+    assert results[-1].value == 42
+
+
+def test_wallet_flow_end_to_end(spark, store, tmp_path):
+    pipe = wallet_flow(spark, store, skip_first_data_row=True)
+    results = pipe.run()
+    names = [r.name for r in results]
+    assert names == [
+        "sense", "promote_processing", "delete_landing",
+        "parse_curated", "delete_processing", "features_serving",
+    ]
+
+    # Landing and processing inputs were consumed (reference S11/S12).
+    assert store.list_keys("landing", "cyrela/") == []
+    assert store.list_keys("processing", "cyrela/") == []
+
+    # Curated: ISO dates, header=1 drop applied.
+    curated = spark.read.parquet(str(tmp_path / "curated" / "cyrela" / "wallet")).toPandas()
+    assert len(curated) == 3  # 4 rows - first data row
+    assert "CLIENTE X1" not in set(curated["cliente"])
+    assert set(curated["dt_venda"]) == {"2018-01-31", "2017-12-01", "2016-10-10"}
+
+    # Serving: 34-col feature CSV with correct normalization/bucket labels.
+    feats = spark.read.csv(str(tmp_path / "serving" / "cyrela" / "wallet"), header=True).toPandas()
+    assert len(feats) == 3 and len(feats.columns) == 34
+    by_emp = {int(r["empresa"]): r for _, r in feats.iterrows()}
+    assert float(by_emp[40]["p_empresa"]) == 1.0  # 40 / max(40)
+    assert int(by_emp[20]["p_marca"]) == 2  # Living
+    assert [int(by_emp[e]["p_dias_atraso_category"]) for e in (20, 30, 40)] == [1, 2, 0]
