@@ -131,24 +131,30 @@ def minhash_signatures(
     h_i(doc) = min over shingles of (a_i * md5int(shingle) + b_i) mod P.
     One pass, per-row fold; no shuffle. Portable across engines.
     """
-    sh = word_shingles(F.col(text_col), shingle_n)
-    hashed = F.transform(sh, lambda s: hex_prefix_long(s) % F.lit(MERSENNE_PRIME))
-    params = minhash_params(num_hashes)
+    sig = minhash_signature_expr(word_shingles(F.col(text_col), shingle_n), num_hashes)
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
-    # One fold computes ALL K mins: md5 is evaluated once per shingle (as
-    # the fold input), and each step does K cheap int ops on the bound
-    # lambda variable. The naive formulation — K separate
-    # array_min(transform(hashed, ...)) expressions — re-evaluates the md5
-    # array K times (HOF bodies are opaque to Spark's subexpression
-    # elimination): measured 16× slower at sf0.1.
+
+def minhash_signature_expr(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array<bigint>) as a single expression over a
+    shingle-array column.
+
+    One fold computes ALL K mins: md5 is evaluated once per shingle (as
+    the fold input), and each step does K cheap int ops on the bound
+    lambda variable. The naive formulation — K separate
+    array_min(transform(hashed, ...)) expressions — re-evaluates the md5
+    array K times (HOF bodies are opaque to Spark's subexpression
+    elimination): measured 16× slower at sf0.1.
+    """
+    hashed = F.transform(shingles, lambda s: hex_prefix_long(s) % F.lit(MERSENNE_PRIME))
+    params = minhash_params(num_hashes)
     init = F.array(*[F.lit(MERSENNE_PRIME).cast("long")] * num_hashes)
 
     def _merge(acc, h):
         perms = F.array(*[(h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME) for a, b in params])
         return F.zip_with(acc, perms, lambda m, v: F.least(m, v))
 
-    sig = F.aggregate(hashed, init, _merge)
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    return F.aggregate(hashed, init, _merge)
 
 
 def minhash_lsh_pairs(
@@ -171,7 +177,20 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # Materialize (id, shingles, signature) ONCE and persist: the banded
+    # self-join and the exact-Jaccard verification reference this relation
+    # four times, and without a persist each reference re-scans the input
+    # and re-hashes every shingle (no exchange reuse across
+    # differently-keyed joins — observed 4× corpus scans in the physical
+    # plan). At cluster scale the same role is played by checkpointing
+    # signatures to a temp table; MEMORY_AND_DISK persist approximates
+    # that here (LRU-evicted under pressure; callers batching many corpora
+    # can unpersist when done).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).withColumn("signature", minhash_signature_expr(F.col("shingles"), num_hashes)).persist()
+    sigs = base
     # band key = (band_index, joined signature slice)
     banded = sigs.select(
         "id",
@@ -199,7 +218,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("shingles"))
+    sh = base.select("id", "shingles")
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
     union = F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
     return (
@@ -264,7 +283,9 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
-    fps = simhash(df, text_col, id_col, bits)
+    # Persist fingerprints: the banded self-join references them on both
+    # sides (same rationale as minhash_lsh_pairs — no recompute at scale).
+    fps = simhash(df, text_col, id_col, bits).persist()
     banded = fps.select(
         "id",
         "simhash",

@@ -209,6 +209,78 @@ def rhp_lsh_topk(
     )
 
 
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF-flavored ANN top-k: partition the corpus into inverted lists by
+    nearest centroid, probe only the query's ``nprobe`` closest lists.
+
+    Centroids are the first ``n_centroids`` vectors by id — a deterministic,
+    training-free seeding (k-means refinement would improve recall but adds
+    an iterative job; the LIST/PROBE machinery is identical). Assignment is
+    a per-row expression fold (no shuffle); the probe join shuffles by
+    centroid id only — at 100 TB that is the difference between an n×q scan
+    and reading nprobe/n_centroids of the corpus per query.
+
+    Deterministic & oracle-checkable: centroid scores are rounded before
+    ranking, ties break on centroid id, final ranking ties on vec_id.
+    """
+    spark = data.sparkSession
+    cent_rows = (
+        data.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+        .filter(F.col(id_col) < n_centroids)
+        .collect()
+    )
+    if not cent_rows:
+        raise ValueError(f"no centroid rows: need ids < {n_centroids} present in data")
+    centroids = {int(r[id_col]): list(r["v"]) for r in cent_rows}
+
+    def _cand_arr(vcol: F.Column) -> F.Column:
+        """array<struct<negc: double, cid: int>> — sortable best-first."""
+        entries = []
+        for cid in sorted(centroids):
+            cvec = F.array(*[F.lit(float(x)) for x in centroids[cid]])
+            c = cosine_similarity(vcol, cvec)
+            if round_digits is not None:
+                c = F.round(c, round_digits)
+            entries.append(F.struct((-c).alias("negc"), F.lit(cid).alias("cid")))
+        return F.sort_array(F.array(*entries))
+
+    d = data.select(
+        F.col(id_col).alias("vec_id"),
+        to_double_array(vec_col).alias("v"),
+        _cand_arr(to_double_array(vec_col))[0]["cid"].alias("list_id"),
+    )
+    q = queries.select(
+        F.col("query_id"),
+        to_double_array(vec_col).alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(_cand_arr(to_double_array(vec_col)), 1, nprobe), lambda s: s["cid"]
+            )
+        ).alias("list_id"),
+    )
+    cos = cosine_similarity(F.col("qv"), F.col("v"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        d.join(F.broadcast(q), (d["list_id"] == q["list_id"]) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def embedding_neardup_pairs(
     data: DataFrame,
     threshold: float = 0.95,

@@ -35,6 +35,7 @@ def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
     """Import every query module (side-effect: registration) and return
     the merged registry."""
     from cyrela_etl_spark.queries import (  # noqa: F401
+        functionsq,
         multimodalq,
         relational,
         streamingq,

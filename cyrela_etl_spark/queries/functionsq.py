@@ -1,0 +1,214 @@
+"""Scalar-function surface queries (SURVEY.md §2.8 table stakes plus the
+JSON/event-props functions a pipeline over semi-structured events needs).
+
+Cross-engine float discipline: only operations with IEEE-754-exact or
+integer semantics are compared bit-for-bit (abs/round/floor/ceil/mod/
+sqrt/exact division); transcendentals (exp/log/pow) are deliberately
+excluded from value-hashed oracles — their last bit is
+implementation-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.queries import register
+from cyrela_etl_spark.sources.parquet import read_events
+
+
+# ---------------------------------------------------------------------------
+# func_json_extract — JSON path extraction over the events props column.
+# ---------------------------------------------------------------------------
+def func_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.when(F.get_json_object("props", "$.missing").isNull(), F.lit("absent"))
+        .otherwise(F.lit("present"))
+        .alias("missing_probe"),
+    )
+
+
+register(
+    "func_json_extract",
+    func_json_extract,
+    """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CASE WHEN json_extract_string(props, '$.missing') IS NULL
+            THEN 'absent' ELSE 'present' END AS missing_probe
+FROM events
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# func_string — string function battery over customer/part.
+# ---------------------------------------------------------------------------
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.lower("c_mktsegment").alias("lower_seg"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("name_digits"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias("trimmed"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_head"),
+    )
+
+
+register(
+    "func_string",
+    func_string,
+    """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       lower(c_mktsegment) AS lower_seg,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       substr(c_name, 1, 8) AS name_prefix,
+       concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+       coalesce(regexp_extract(c_name, '(\\d+)', 1), '') AS name_digits,
+       trim(concat('  ', c_mktsegment, '  ')) AS trimmed,
+       reverse(c_mktsegment) AS seg_rev,
+       string_split(c_name, '#')[1] AS name_head
+FROM customer
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# func_math — exact math battery (abs/round/floor/ceil/mod/sqrt/sign,
+# greatest/least, conditional nulls).
+# ---------------------------------------------------------------------------
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.round(F.col("l_extendedprice") / 1000, 2).alias("price_k"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax_or_null"),
+        F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(-1.0)).alias("tax_coalesced"),
+    )
+
+
+register(
+    "func_math",
+    func_math,
+    """
+SELECT l_orderkey, l_linenumber,
+       abs(l_quantity - 25) AS abs_dev,
+       round(l_extendedprice / 1000, 2) AS price_k,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+       sqrt(l_quantity) AS qty_sqrt,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       nullif(l_tax, 0.0) AS tax_or_null,
+       coalesce(nullif(l_tax, 0.0), -1.0) AS tax_coalesced
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# func_datetime — timestamp decomposition/arithmetic battery over orders.
+# ---------------------------------------------------------------------------
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.hour("o_orderdate").cast("long").alias("h"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow_1sun"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym_str"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+register(
+    "func_datetime",
+    func_datetime,
+    """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(day(o_orderdate) AS BIGINT) AS d,
+       CAST(hour(o_orderdate) AS BIGINT) AS h,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_1sun,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       date_trunc('month', o_orderdate) AS month_start,
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+       strftime(o_orderdate, '%Y-%m') AS ym_str,
+       CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS epoch_s
+FROM orders
+WHERE o_orderkey % 50 = 0
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# agg_cube + approx_distinct — grouping-sets surface; approx_count_distinct
+# is declared WITHOUT an oracle (HLL sketches are engine-specific — the
+# driver records a rows-only check, which is the honest claim).
+# ---------------------------------------------------------------------------
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_spend"),
+        )
+    )
+
+
+register(
+    "agg_cube",
+    agg_cube,
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    )
+
+
+register("agg_approx_distinct", agg_approx_distinct, None)  # sketch: rows-only check

@@ -504,3 +504,60 @@ FROM orders
 WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# sql_correlated_subquery — correlated scalar COUNT per outer row (planned
+# by Catalyst as a rewritten aggregate+join; integer-exact, no float risk).
+# --------------------------------------------------------------------------
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority
+        FROM v_orders o
+        WHERE (SELECT count(*) FROM v_lineitem l WHERE l.l_orderkey = o.o_orderkey) >= 6
+        """
+    )
+
+
+register(
+    "sql_correlated_subquery",
+    sql_correlated_subquery,
+    """
+SELECT o_orderkey, o_orderpriority
+FROM orders o
+WHERE (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) >= 6
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# q13_order_distribution — customer order-count histogram (left join that
+# must keep 0-order customers + two-level aggregation, TPC-H Q13 shape).
+# --------------------------------------------------------------------------
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+register(
+    "q13_order_distribution",
+    q13_order_distribution,
+    """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY n_orders
+""",
+)

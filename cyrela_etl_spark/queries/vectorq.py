@@ -23,6 +23,7 @@ from cyrela_etl_spark.operators.similarity import (
     _hyperplanes,
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     rhp_lsh_topk,
 )
 from cyrela_etl_spark.queries import register
@@ -121,6 +122,54 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {_K}
 
 
 register("vector_rhp_lsh_topk", vector_rhp_lsh_topk, _rhp_oracle())
+
+
+# ---------------------------------------------------------------------------
+# vector_ivf_topk — IVF inverted-list ANN: assign to nearest of 16 seed
+# centroids, probe the query's 2 closest lists. The oracle replays the
+# same assignment/probe ranking in SQL.
+# ---------------------------------------------------------------------------
+_N_CENT, _NPROBE = 16, 2
+
+
+def vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ivf_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=_K,
+        n_centroids=_N_CENT,
+        nprobe=_NPROBE,
+    )
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
+
+
+ORACLE_IVF = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {_N_CENT}),
+cscored AS (
+  SELECT b.vec_id, b.v, c.cid,
+         row_number() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY round({_SQL_COS.format(a='b.v', b='c.cv')}, 6) DESC, c.cid
+         ) AS crank
+  FROM base b CROSS JOIN cent c
+),
+assign AS (SELECT vec_id, v, cid AS list_id FROM cscored WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cid AS list_id
+           FROM cscored WHERE vec_id < {_N_QUERIES} AND crank <= {_NPROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_SQL_COS.format(a='p.qv', b='a.v')}, 6) AS cosine
+  FROM assign a JOIN probes p ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {_K}
+"""
+register("vector_ivf_topk", vector_ivf_topk, ORACLE_IVF)
 
 
 # ---------------------------------------------------------------------------
