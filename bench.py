@@ -26,6 +26,9 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_top_orders",
     "q05_region_revenue",
+    "q13_order_distribution",
+    "join_salted",
+    "join_bucketed",
     "window_lag_running",
     "group_rollup",
     "wallet_features",
@@ -36,6 +39,8 @@ HEADLINE = [
     "text_language_id",
     "vector_cosine_topk",
     "vector_rhp_lsh_topk",
+    "vector_ivf_topk",
+    "func_json_extract",
     "temporal_asof_join",
     "temporal_time_bucket",
     "multimodal_media_meta",

@@ -561,3 +561,70 @@ FROM (
 GROUP BY n_orders
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# join_salted — explicit salt-spread equi-join for hot keys; result must be
+# EXACTLY the plain join (the oracle is the unsalted SQL).
+# --------------------------------------------------------------------------
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    out = salted_join(li, orders, on=["l_orderkey"], salts=8, salt_on="l_linenumber")
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )
+
+
+register(
+    "join_salted",
+    join_salted,
+    """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# join_bucketed — co-located fact-fact join through bucketed storage; the
+# join itself runs with zero exchanges (asserted in tests), results equal
+# the plain join.
+# --------------------------------------------------------------------------
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cyrela_etl_spark.sources.bucketed import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    bli = write_bucketed(li, "b_lineitem", "l_orderkey", buckets=8, path=f"{base}/lineitem")
+    bo = write_bucketed(orders, "b_orders", "o_orderkey", buckets=8, path=f"{base}/orders")
+    return (
+        bli.join(bo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+register(
+    "join_bucketed",
+    join_bucketed,
+    f"""
+SELECT o_orderstatus, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS {SQL_DEC})) AS DOUBLE) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
