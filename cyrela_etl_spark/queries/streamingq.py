@@ -136,3 +136,30 @@ register(
 SELECT event_id, user_id, event_type, value FROM events
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_stateful_running — custom stateful operator (applyInPandasWithState):
+# per-user running count + running sum in integer cents. The drained stream
+# must equal the batch cumulative-window relation.
+# ---------------------------------------------------------------------------
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.streaming.stateful import running_totals
+
+    out = running_totals(_event_stream(spark, sf_dir))
+    return run_available_now(out, "stream_stateful_running", output_mode="append")
+
+
+register(
+    "stream_stateful_running",
+    stream_stateful_running,
+    """
+SELECT event_id, user_id,
+       row_number() OVER w AS running_n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)

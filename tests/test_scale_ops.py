@@ -48,6 +48,62 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
     assert _rows(salted.select("o_orderstatus", "n", "mx", "mn")) == _rows(plain)
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned zone writes must let a date filter prune at the
+    source: the scan's partition count is the proof (at 100 TB/day this is
+    reading one day, not the lake)."""
+    from cyrela_etl_spark.sources.parquet import read_events, write_parquet
+
+    ev = read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    write_parquet(ev, path, partition_by=["day"])
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("day") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    # partition filters present, and only 1 of ~30 day-partitions selected
+    assert "PartitionFilters" in plan
+    n_days = ev.select("day").distinct().count()
+    assert one_day.count() == ev.filter(F.col("day") == "2024-01-05").count()
+    files_read = one_day.select(F.input_file_name()).distinct().count()
+    all_files = back.select(F.input_file_name()).distinct().count()
+    assert files_read < all_files / (n_days / 3), (files_read, all_files)
+
+
+def test_stateful_running_totals_resume_across_batches(spark, sf_dir):
+    """applyInPandasWithState must carry state across micro-batches: feed
+    the same events in 2 file-batches (maxFilesPerTrigger=1) and the final
+    running totals must equal the single-batch run."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from cyrela_etl_spark.sources.parquet import read_events
+    from cyrela_etl_spark.streaming import read_file_stream, run_available_now
+    from cyrela_etl_spark.streaming.stateful import running_totals
+
+    # Per-user-disjoint split across two files: ts order across batches is
+    # not guaranteed for one key, so keep each key's rows in one file while
+    # the OPERATOR still runs across 2 sequential micro-batches.
+    ev = read_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ev_split_")
+    ev.filter("user_id < 75").coalesce(1).write.parquet(f"{tmp}/f1")
+    ev.filter("user_id >= 75").coalesce(1).write.parquet(f"{tmp}/f2")
+    os.makedirs(f"{tmp}/in")
+    for i, f in enumerate(sorted(glob.glob(f"{tmp}/f*/part-*.parquet"))):
+        shutil.copy(f, f"{tmp}/in/{i}.parquet")
+
+    schema = ev.schema
+    stream = read_file_stream(spark, f"{tmp}/in", schema, max_files_per_trigger=1)
+    out = run_available_now(running_totals(stream), "t_stateful_2batch", output_mode="append")
+    # Last running_n per user == that user's event count (state survived)
+    final = out.groupBy("user_id").agg(F.max("running_n").alias("n")).collect()
+    expect = {r["user_id"]: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    got = {r["user_id"]: r["n"] for r in final}
+    assert got == expect
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_orderstatus")
