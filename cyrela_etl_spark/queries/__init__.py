@@ -38,6 +38,7 @@ def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
         functionsq,
         multimodalq,
         relational,
+        storageq,
         streamingq,
         temporalq,
         textq,

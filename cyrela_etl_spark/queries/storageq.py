@@ -1,0 +1,87 @@
+"""Storage-path queries: CSV source/sink and zone promotion exercised
+through the correctness gate (reference S1/S2/S5/S10 — SURVEY.md §2.1).
+
+Each query round-trips driver data through the engine's own writers into
+a scratch directory, reads it back, and aggregates; the oracle computes
+the same aggregate straight from the parquet — so a value mismatch means
+the storage path corrupted something (type fidelity through CSV being the
+classic hazard: these queries pin explicit-schema reads, header handling,
+and decimal-exact re-aggregation after a write/read cycle).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.queries import register
+from cyrela_etl_spark.sources.csv import read_csv, write_csv
+from cyrela_etl_spark.sources.zones import ZoneStore
+
+
+# ---------------------------------------------------------------------------
+# storage_csv_roundtrip — orders → CSV (header, overwrite) → explicit-schema
+# read → decimal-exact aggregate.
+# ---------------------------------------------------------------------------
+def storage_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/orders"
+    write_csv(orders, path)
+    back = read_csv(spark, path, schema=orders.schema, header=True)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+register(
+    "storage_csv_roundtrip",
+    storage_csv_roundtrip,
+    """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# storage_zone_promote — landing CSV → curated parquet via ZoneStore
+# promotion, then aggregate from curated (the reference's copy+parse leg
+# as one verified relation).
+# ---------------------------------------------------------------------------
+def storage_zone_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="zones_rt_")
+    store = ZoneStore(spark, root)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    store.promote(cust, "landing", "cust", fmt="csv")
+    landed = read_csv(spark, store.path("landing", "cust"), schema=cust.schema, header=True)
+    curated_path = store.promote(landed, "curated", "cust", fmt="parquet")
+    curated = spark.read.parquet(curated_path)
+    return curated.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_balance"),
+    )
+
+
+register(
+    "storage_zone_promote",
+    storage_zone_promote,
+    """
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
