@@ -18,8 +18,9 @@ Everything here derives from the public Apache Spark API and the public
 reference repository; no proprietary systems are referenced.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+from cyrela_etl_spark.pipeline import Pipeline, PipelineError, Stage
 from cyrela_etl_spark.session import get_spark
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "Pipeline", "Stage", "PipelineError", "__version__"]

@@ -218,7 +218,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = base.select("id", "shingles")
+    # merge-hint the shingle side: its array payloads deserialize to many
+    # times their on-disk estimate, so a size-based broadcast decision can
+    # OOM the driver (observed at 10× sf0.1: "Not enough memory to build
+    # and broadcast"). A shuffled join on id is safe at every scale.
+    sh = base.select("id", "shingles").hint("merge")
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
     union = F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
     return (

@@ -64,6 +64,11 @@ def get_spark(
         builder = builder.master(master)
 
     conf = dict(_DEFAULT_CONF)
+    # Local mode runs everything in one JVM whose default 1g heap is far
+    # below this host's capacity — size it explicitly (no-op if a JVM
+    # already exists; on a cluster spark-submit owns these).
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    conf.setdefault("spark.driver.maxResultSize", "4g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
