@@ -240,6 +240,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     hash). Computed as ``bits`` independent folds over the token-hash
     array — per-row, shuffle-free. Near-dup = small Hamming distance.
     """
+    if not 1 <= bits <= 60:
+        # hex_prefix_long carries 60 md5 bits; beyond that every vote for
+        # the high bits would read a constant 0 — silently degrading the
+        # fingerprint. (60 bits is ample: Manku et al. used 64 on 8B docs.)
+        raise ValueError(f"bits must be in [1, 60] (md5-prefix width), got {bits}")
     tok = tokens(F.col(text_col))
     hashes = F.transform(tok, lambda t: hex_prefix_long(t))
 
