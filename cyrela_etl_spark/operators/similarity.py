@@ -243,15 +243,29 @@ def ivf_topk(
     centroids = {int(r[id_col]): list(r["v"]) for r in cent_rows}
 
     def _cand_arr(vcol: F.Column) -> F.Column:
-        """array<struct<negc: double, cid: int>> — sortable best-first."""
-        entries = []
-        for cid in sorted(centroids):
-            cvec = F.array(*[F.lit(float(x)) for x in centroids[cid]])
-            c = cosine_similarity(vcol, cvec)
+        """array<struct<negc: double, cid: int>> — sortable best-first.
+
+        Centroids travel as ONE array-of-structs literal and the cosine
+        fold appears once inside a transform lambda — a per-centroid
+        expression list would duplicate the 64-element fold body C times
+        and spend seconds in codegen before the first row."""
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in centroids[cid]]).alias("cv"),
+                )
+                for cid in sorted(centroids)
+            ]
+        )
+
+        def _score(c: F.Column) -> F.Column:
+            cos = cosine_similarity(vcol, c["cv"])
             if round_digits is not None:
-                c = F.round(c, round_digits)
-            entries.append(F.struct((-c).alias("negc"), F.lit(cid).alias("cid")))
-        return F.sort_array(F.array(*entries))
+                cos = F.round(cos, round_digits)
+            return F.struct((-cos).alias("negc"), c["cid"].alias("cid"))
+
+        return F.sort_array(F.transform(cent_arr, _score))
 
     d = data.select(
         F.col(id_col).alias("vec_id"),

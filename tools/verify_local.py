@@ -2,7 +2,11 @@
 query in Spark and its DuckDB oracle over the same parquet tables, compare
 row count + schema + order-insensitive values.
 
-Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+Usage: python tools/verify_local.py [--plain-session] [sf_dir] [query_name ...]
+
+``--plain-session`` uses a default SparkSession (Spark 4 defaults: ANSI
+on, no engine conf) instead of the engine's get_spark — the closest
+emulation of the round driver's own session.
 """
 
 from __future__ import annotations
@@ -64,14 +68,28 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain-session"]
+    plain = "--plain-session" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from cyrela_etl_spark.queries import load_all
-    from cyrela_etl_spark.session import get_spark
 
     registry = load_all()
-    spark = get_spark(app_name="verify-local")
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .appName("verify-local-plain")
+            .getOrCreate()
+        )
+    else:
+        from cyrela_etl_spark.session import get_spark
+
+        spark = get_spark(app_name="verify-local")
 
     con = duckdb.connect()
     for t in TABLES:
