@@ -387,3 +387,98 @@ SELECT id, concat_ws('-', {parts}) AS signature FROM hashed
 
 
 register("dedup_minhash_signatures", dedup_minhash_signatures, _sig_oracle())
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline — the end-to-end training-data curation flow as ONE
+# relation: quality gate → language keep-list → exact-dedup canonical pick
+# → per-language corpus stats. Composes quality_features, language_id and
+# exact_dedup over the planted-duplicate corpus.
+# ---------------------------------------------------------------------------
+_MIN_QUALITY = 0.5
+_KEEP_LANGS = ("en", "de", "es", "fr")
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    q = X.quality_features(c).select("doc_id", "quality_score", "n_tokens")
+    lang = X.language_id(c).select("doc_id", "lang_pred")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    keyed = c.select("doc_id", F.md5(norm).alias("content_md5"))
+    kept = (
+        keyed.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality_score") >= _MIN_QUALITY) & F.col("lang_pred").isin(*_KEEP_LANGS))
+    )
+    # Canonical pick: min doc_id per surviving content group (exact dedup).
+    canonical = kept.groupBy("content_md5").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("lang_pred").alias("lang_pred"),  # same content → same lang
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    return canonical.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _curation_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for w in X.STOPWORDS_EN)
+    score_exprs = []
+    for lang in X.LANG_ORDER:
+        markers = ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lang])
+        score_exprs.append(f"len(list_filter(tok, t -> t IN ({markers}))) AS score_{lang}")
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in X.LANG_ORDER) + ")"
+    case = "CASE"
+    for lang in X.LANG_ORDER:
+        case += f" WHEN score_{lang} = best THEN '{lang}'"
+    case += " ELSE 'und' END"
+    keep = ", ".join(f"'{l}'" for l in _KEEP_LANGS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+base AS (
+  SELECT doc_id, text, {sql_tokens('text')} AS tok,
+         md5({sql_norm('text')}) AS content_md5
+  FROM corpus
+),
+feat AS (
+  SELECT doc_id, content_md5,
+         len(tok) AS n_tokens,
+         len(list_filter(tok, t -> t IN ({sw}))) AS n_stop,
+         length(regexp_replace(text, '{X.PUNCT_CLASS}', '', 'g')) AS n_punct,
+         length(text) AS n_chars,
+         {', '.join(score_exprs)}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, content_md5, n_tokens,
+         (least(n_tokens, 100) / 100
+          + least((n_stop / n_tokens) * 4, 1.0)
+          + (1.0 - least((n_punct / n_chars) * 10, 1.0))) / 3.0 AS quality_score,
+         {greatest} AS best,
+         {', '.join('score_' + l for l in X.LANG_ORDER)}
+  FROM feat
+),
+kept AS (
+  SELECT doc_id, content_md5, n_tokens,
+         CASE WHEN best = 0 THEN 'und' ELSE {case} END AS lang_pred
+  FROM scored
+  WHERE quality_score >= {_MIN_QUALITY}
+    AND (CASE WHEN best = 0 THEN 'und' ELSE {case} END) IN ({keep})
+),
+canonical AS (
+  SELECT content_md5, min(doc_id) AS doc_id,
+         any_value(lang_pred) AS lang_pred,
+         any_value(n_tokens) AS n_tokens
+  FROM kept GROUP BY content_md5
+)
+SELECT lang_pred, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id
+FROM canonical
+GROUP BY lang_pred
+"""
+
+
+register("curation_pipeline", curation_pipeline, _curation_oracle())
