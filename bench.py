@@ -62,15 +62,23 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
 
+    from pyspark.sql import functions as F
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _oracle = registry[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        # Full materialization of every output column (checksum via count
-        # over a non-trivial projection), without driver-side collect of
-        # the whole result.
-        n = df.count()
+        # Full materialization of every output column: a bare count() lets
+        # Catalyst prune ALL projected columns (the scan+filter would be
+        # timed, the projections wouldn't), so aggregate a per-column
+        # xxhash64 checksum alongside the row count — every column is
+        # computed and folded, with nothing but one row on the driver.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("checksum"),
+        ).collect()[0]
+        n = row["n"]
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 

@@ -209,6 +209,119 @@ def rhp_lsh_topk(
     )
 
 
+def seed_centroids(
+    data: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random centroid sample: the ``n_centroids``
+    rows that sort first by ``md5(cast(id as string))``. md5 ordering is a
+    uniform shuffle of the id space, so the seeds spread across the corpus
+    (unlike "first N ids", which at real scale is whatever landed in the
+    oldest file) while staying engine-reproducible: any SQL oracle can
+    replay ``ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT N``.
+
+    Executes as a TakeOrdered (per-partition top-N, then a driver merge of
+    N·n_partitions candidate rows) — no global sort, scale-safe. Returns
+    driver-side values because centroids are small by contract (C·dim
+    doubles); they ship to executors as a broadcast variable, never as plan
+    literals.
+    """
+    rows = (
+        data.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot seed centroids from empty data")
+    return sorted((int(r["id"]), list(r["v"])) for r in rows)
+
+
+def kmeans_refine(
+    data: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of seeded centroids: each iteration assigns every
+    row to its nearest centroid (Arrow GEMM, no shuffle) and recomputes
+    per-list element-wise means with one ``posexplode`` + hash aggregation
+    (shuffle volume = C·dim partial sums per map partition, independent of
+    corpus size). Empty lists keep their previous centroid. Refined
+    centroids keep their seed cid, so downstream tie-breaks stay stable.
+    """
+    for _ in range(iters):
+        assigned = _ivf_assign(data, centroids, 1, id_col, vec_col, "vec_id", 6)
+        means = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .collect()
+        )
+        by_cid = dict(centroids)
+        for r in means:
+            by_cid[int(r["list_id"])] = [p["m"] for p in r["pm"]]
+        centroids = sorted(by_cid.items())
+    return centroids
+
+
+def _ivf_assign(
+    data: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nearest_m: int,
+    id_col: str,
+    vec_col: str,
+    id_out: str,
+    round_digits: int | None,
+) -> DataFrame:
+    """(id, v, list_id) rows: each input row replicated once per its
+    ``nearest_m`` closest centroids (by rounded cosine desc, cid asc).
+
+    Arrow-batched numpy GEMM against a *broadcast variable* of centroids —
+    per-row, zero shuffle, and the plan is O(1) in n_centroids×dim (plan
+    literals at 1k centroids × 1k dims would be a multi-MB codegen'd
+    expression). Same determinism contract as ``cosine_topk_arrow``:
+    scores round to ``round_digits`` before selection; ties break cid asc.
+    """
+    spark = data.sparkSession
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    b_cids = spark.sparkContext.broadcast(cids)
+    b_cmat = spark.sparkContext.broadcast(cmat)
+    m = min(nearest_m, len(centroids))
+    schema = f"{id_out} long, v array<double>, list_id long"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ci, cm = b_cids.value, b_cmat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vecs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ cm.T
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            # Per-row total order (cosine desc, cid asc), vectorized.
+            order = np.lexsort((np.broadcast_to(ci, sims.shape), -sims), axis=1)[:, :m]
+            yield pd.DataFrame(
+                {
+                    id_out: np.repeat(ids, m),
+                    "v": [list(v) for v in np.repeat(vecs, m, axis=0)],
+                    "list_id": ci[order].ravel(),
+                }
+            )
+
+    return data.select(
+        F.col(id_col).alias(id_col), to_double_array(vec_col).alias(vec_col)
+    ).mapInPandas(assign, schema=schema)
+
+
 def ivf_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -218,68 +331,29 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flavored ANN top-k: partition the corpus into inverted lists by
     nearest centroid, probe only the query's ``nprobe`` closest lists.
 
-    Centroids are the first ``n_centroids`` vectors by id — a deterministic,
-    training-free seeding (k-means refinement would improve recall but adds
-    an iterative job; the LIST/PROBE machinery is identical). Assignment is
-    a per-row expression fold (no shuffle); the probe join shuffles by
-    centroid id only — at 100 TB that is the difference between an n×q scan
-    and reading nprobe/n_centroids of the corpus per query.
+    Centroids are a deterministic md5-ordered sample (``seed_centroids``),
+    optionally Lloyd-refined (``refine_iters``); they travel to executors
+    as a broadcast variable and assignment is an Arrow GEMM per batch
+    (``_ivf_assign``) — per-row, no shuffle, plan size independent of
+    n_centroids×dim. The probe join shuffles by centroid id only — at
+    100 TB that is the difference between an n×q scan and reading
+    nprobe/n_centroids of the corpus per query.
 
     Deterministic & oracle-checkable: centroid scores are rounded before
     ranking, ties break on centroid id, final ranking ties on vec_id.
     """
-    spark = data.sparkSession
-    cent_rows = (
-        data.select(F.col(id_col), to_double_array(vec_col).alias("v"))
-        .filter(F.col(id_col) < n_centroids)
-        .collect()
-    )
-    if not cent_rows:
-        raise ValueError(f"no centroid rows: need ids < {n_centroids} present in data")
-    centroids = {int(r[id_col]): list(r["v"]) for r in cent_rows}
-
-    def _cand_arr(vcol: F.Column) -> F.Column:
-        """array<struct<negc: double, cid: int>> — sortable best-first.
-
-        Centroids travel as ONE array-of-structs literal and the cosine
-        fold appears once inside a transform lambda — a per-centroid
-        expression list would duplicate the 64-element fold body C times
-        and spend seconds in codegen before the first row."""
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in centroids[cid]]).alias("cv"),
-                )
-                for cid in sorted(centroids)
-            ]
-        )
-
-        def _score(c: F.Column) -> F.Column:
-            cos = cosine_similarity(vcol, c["cv"])
-            if round_digits is not None:
-                cos = F.round(cos, round_digits)
-            return F.struct((-cos).alias("negc"), c["cid"].alias("cid"))
-
-        return F.sort_array(F.transform(cent_arr, _score))
-
-    d = data.select(
-        F.col(id_col).alias("vec_id"),
-        to_double_array(vec_col).alias("v"),
-        _cand_arr(to_double_array(vec_col))[0]["cid"].alias("list_id"),
-    )
-    q = queries.select(
-        F.col("query_id"),
-        to_double_array(vec_col).alias("qv"),
-        F.explode(
-            F.transform(
-                F.slice(_cand_arr(to_double_array(vec_col)), 1, nprobe), lambda s: s["cid"]
-            )
-        ).alias("list_id"),
+    centroids = seed_centroids(data, n_centroids, id_col, vec_col)
+    if refine_iters:
+        centroids = kmeans_refine(data, centroids, refine_iters, id_col, vec_col)
+    d = _ivf_assign(data, centroids, 1, id_col, vec_col, "vec_id", round_digits)
+    q = (
+        _ivf_assign(queries, centroids, nprobe, "query_id", vec_col, "query_id", round_digits)
+        .withColumnRenamed("v", "qv")
     )
     cos = cosine_similarity(F.col("qv"), F.col("v"))
     if round_digits is not None:

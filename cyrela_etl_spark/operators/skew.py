@@ -21,7 +21,7 @@ Results are exactly those of the unsalted operation (the declared query
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -42,7 +42,20 @@ def salted_join(
     key across salts (pick something uniform-ish per row, e.g. a line
     number or unique id); defaults to all left columns (row-content hash —
     deterministic, no rand()).
+
+    Only left-preserving joins are salt-safe under this pattern: the right
+    side is replicated once per salt, so ``right``/``full`` outer joins
+    would emit every unmatched right row ``salts`` times (and a right-semi
+    would dedupe by accident). Those are rejected rather than silently
+    wrong — for a skewed right side, swap the inputs.
     """
+    _SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in _SAFE_HOW:
+        raise ValueError(
+            f"salted_join(how={how!r}): only left-preserving joins are "
+            f"salt-safe ({sorted(_SAFE_HOW)}); unmatched right rows would "
+            f"duplicate once per salt"
+        )
     if salts < 1:
         raise ValueError("salts must be >= 1")
     salt_cols: list[Column] = (
@@ -61,35 +74,51 @@ def salted_join(
     return out
 
 
+# Named recombiners for salted_agg — the full set of safely decomposable
+# final phases. Anything else (avg, countDistinct, first, min_by/max_by)
+# is NOT decomposable this way and must be expressed by the caller as a
+# combination of these (avg = sum+count re-divided, etc.).
+_COMBINERS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "bit_or": F.bit_or,
+    "bit_and": F.bit_and,
+    "bool_or": F.bool_or,
+    "bool_and": F.bool_and,
+}
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     salts: int = 8,
     salt_on: str | None = None,
 ) -> DataFrame:
     """Two-phase salted aggregation for decomposable aggregates.
 
-    ``aggs`` maps output name → partial aggregate expression; the final
-    phase re-aggregates partials with the matching combiner (sum of sums,
-    sum of counts, min of mins, max of maxes — the caller's expressions
-    must be decomposable; averages should be shipped as sum+count).
+    ``aggs`` maps output name → ``(partial_expr, combiner)`` where
+    ``combiner`` names the final-phase re-aggregation explicitly (a key of
+    ``_COMBINERS``: sum/min/max/bit_or/bit_and/bool_or/bool_and). The
+    pairing is the caller's statement of decomposability — no inference
+    from the partial's plan string, no silent mis-combining: count partials
+    recombine by ``"sum"``, min by ``"min"``, and a mean ships as two
+    entries (sum + count) divided afterwards. An unknown combiner raises.
     """
     salt_cols = [F.col(salt_on)] if salt_on else [F.col(c) for c in df.columns]
+    for name, (_, combiner) in aggs.items():
+        if combiner not in _COMBINERS:
+            raise ValueError(
+                f"salted_agg agg {name!r}: unknown combiner {combiner!r} "
+                f"(expected one of {sorted(_COMBINERS)})"
+            )
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salts)))
     partial = salted.groupBy(*keys, "__salt").agg(
-        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()]
     )
-
-    def _combine(name: str, expr: Column) -> Column:
-        # Recombine by the aggregate family encoded in the partial's plan.
-        s = expr._jc.toString().lower()
-        src = F.col(f"__p_{name}")
-        if s.startswith("min"):
-            return F.min(src).alias(name)
-        if s.startswith("max"):
-            return F.max(src).alias(name)
-        # sum / count / sum-of-products all recombine by sum.
-        return F.sum(src).alias(name)
-
-    return partial.groupBy(*keys).agg(*[_combine(n, e) for n, e in aggs.items()])
+    final = [
+        _COMBINERS[combiner](F.col(f"__p_{name}")).alias(name)
+        for name, (_, combiner) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*final)

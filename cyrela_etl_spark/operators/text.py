@@ -67,6 +67,32 @@ def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Col
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
 
 
+def quality_columns(t: Column) -> dict[str, Column]:
+    """The quality-feature expressions over a text column, as a name→Column
+    dict so callers can take any subset in ONE projection (the curation
+    pipeline composes these with language/fingerprint columns in a single
+    corpus scan — no per-feature joins).
+
+    All ratios are single double divisions of exact ints — bit-reproducible
+    against any IEEE-754 oracle.
+    """
+    n_tok = token_count(t)
+    n_chr = F.length(t)
+    stop_ratio = stopword_count(t) / n_tok
+    punct_ratio = punct_count(t) / n_chr
+    length_sig = F.least(n_tok, F.lit(100)) / F.lit(100)
+    stop_sig = F.least(stop_ratio * 4, F.lit(1.0))
+    punct_sig = F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))
+    return {
+        "n_tokens": n_tok,
+        "n_chars_measured": n_chr,
+        "avg_token_len": F.length(F.regexp_replace(t, r"\s+", "")) / n_tok,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": (length_sig + stop_sig + punct_sig) / F.lit(3.0),
+    }
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features + a composite score in [0,1]:
 
@@ -76,25 +102,48 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     - ``quality_score`` = mean of three bounded signals: length signal
       (min(n_tokens,100)/100), stopword signal (min(ratio*4,1)), and
       1 - min(punct_ratio*10, 1)
-
-    All ratios are single double divisions of exact ints — bit-reproducible
-    against any IEEE-754 oracle.
     """
-    t = F.col(text_col)
-    n_tok = token_count(t)
-    n_chr = F.length(t)
-    out = df.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        n_chr.alias("n_chars_measured"),
-        (F.length(F.regexp_replace(t, r"\s+", "")) / n_tok).alias("avg_token_len"),
-        (punct_count(t) / n_chr).alias("punct_ratio"),
-        (stopword_count(t) / n_tok).alias("stopword_ratio"),
-    )
-    length_sig = F.least(F.col("n_tokens"), F.lit(100)) / F.lit(100)
-    stop_sig = F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
-    punct_sig = F.lit(1.0) - F.least(F.col("punct_ratio") * 10, F.lit(1.0))
-    return out.withColumn("quality_score", (length_sig + stop_sig + punct_sig) / F.lit(3.0))
+    cols = quality_columns(F.col(text_col))
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def language_scores(t: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over a text column
+    (``score_en`` … ``score_zh``), one filter-HOF each."""
+    tok = tokens(t)
+
+    def _marker_hits(markers: list[str]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        # NB: the closure must stay single-argument — PySpark infers lambda
+        # arity from ALL positional params (defaults included).
+        return F.size(F.filter(tok, lambda x: F.array_contains(arr, x)))
+
+    return {f"score_{lang}": _marker_hits(LANG_MARKERS[lang]) for lang in LANG_ORDER}
+
+
+def language_pred(scores: dict[str, Column]) -> Column:
+    """Argmax language with fixed tie-break (LANG_ORDER), 'und' on zero
+    hits. Takes the score columns as inputs so callers can materialize
+    them in an inner projection first — the CASE references each score
+    ~3×, and HOF score expressions are interpreted (no codegen CSE), so
+    inlining them here would re-evaluate each tokenize+filter tree per
+    reference. Pass column REFS for the cheap two-level plan."""
+    best = F.greatest(*[scores[f"score_{lang}"] for lang in LANG_ORDER])
+    pred = F.lit("und")
+    # Build CASE from last to first so earlier languages win ties.
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(scores[f"score_{lang}"] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
+def language_columns(t: Column) -> dict[str, Column]:
+    """Language-ID expressions over a text column (``lang_pred`` plus the
+    per-language marker-hit scores) — the single-projection form. For
+    plans that keep the score columns anyway, prefer materializing
+    ``language_scores`` first and applying ``language_pred`` to the refs.
+    """
+    scores = language_scores(t)
+    return {"lang_pred": language_pred(scores), **scores}
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -104,24 +153,8 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     This is the classic n-gram-profile heuristic (Cavnar & Trenkle 1994)
     reduced to word-unigram markers — deterministic, no model download.
     """
-    tok = tokens(F.col(text_col))
-
-    def _marker_hits(markers: list[str]):
-        arr = F.array(*[F.lit(w) for w in markers])
-        # NB: the closure must stay single-argument — PySpark infers lambda
-        # arity from ALL positional params (defaults included).
-        return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
-
-    scores = {lang: _marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
-    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
-    pred = F.lit("und")
-    # Build CASE from last to first so earlier languages win ties.
-    for lang in reversed(LANG_ORDER):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    sel = [F.col(id_col), pred.alias("lang_pred")]
-    sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER]
-    return df.select(*sel)
+    cols = language_columns(F.col(text_col))
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -58,9 +58,11 @@ FROM documents
 
 # ---------------------------------------------------------------------------
 # multimodal_frame_sample — frame-sampling plumbing: payload → every-2nd
-# fixed-size frame slice. Oracle recomputes (doc_id, frame_index) counts
-# from byte lengths (frame bytes themselves are positional slices of the
-# payload — identity-checked via per-frame md5).
+# fixed-size frame slice. Frames are BYTE slices of the payload; the oracle
+# slices in byte space too (hex of the encoded payload — a char-space
+# substr() would drift on any multi-byte document). Comparing the hex of
+# the frame bytes is byte-exact and, unlike md5, DuckDB-expressible for
+# arbitrary (non-UTF-8-aligned) slices.
 # ---------------------------------------------------------------------------
 _FRAME_SIZE = 64
 _EVERY_N = 2
@@ -72,7 +74,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id",
         F.col("frame_index").cast("long").alias("frame_index"),
-        F.md5("frame_bytes").alias("frame_md5"),
+        F.hex("frame_bytes").alias("frame_hex"),
     )
 
 
@@ -80,15 +82,15 @@ register(
     "multimodal_frame_sample",
     multimodal_frame_sample,
     f"""
-WITH n AS (SELECT doc_id, text,
+WITH n AS (SELECT doc_id, hex(encode(text)) AS payload_hex,
                   greatest(octet_length(encode(text)) // {_FRAME_SIZE}, 1) AS n_frames
            FROM documents),
-idx AS (SELECT doc_id, text,
+idx AS (SELECT doc_id, payload_hex,
                unnest(range(0, CAST(n_frames AS BIGINT), {_EVERY_N})) AS i
         FROM n)
 SELECT doc_id,
        CAST(i AS BIGINT) AS frame_index,
-       md5(substr(text, CAST(i * {_FRAME_SIZE} + 1 AS BIGINT), {_FRAME_SIZE})) AS frame_md5
+       substr(payload_hex, CAST(i * {2 * _FRAME_SIZE} + 1 AS BIGINT), {2 * _FRAME_SIZE}) AS frame_hex
 FROM idx
 """,
 )

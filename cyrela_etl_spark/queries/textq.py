@@ -401,13 +401,27 @@ _KEEP_LANGS = ("en", "de", "es", "fr")
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus(spark, sf_dir)
-    q = X.quality_features(c).select("doc_id", "quality_score", "n_tokens")
-    lang = X.language_id(c).select("doc_id", "lang_pred")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    keyed = c.select("doc_id", F.md5(norm).alias("content_md5"))
+    # Quality, language and fingerprint are all per-row expressions over
+    # `text`, so the gate is ONE corpus scan — no per-feature joins (a
+    # join per feature re-reads the corpus and adds a doc_id shuffle each;
+    # at 100 TB that's the whole job's cost). Two-level projection: the
+    # HOF-heavy score/quality trees are materialized once as columns, and
+    # the multi-reference lang CASE reads the refs — HOFs are interpreted
+    # (no codegen CSE), so inlining would re-evaluate each tree ~3×.
+    t = F.col("text")
+    qc = X.quality_columns(t)
+    scores = X.language_scores(t)
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    inner = c.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        qc["quality_score"].alias("quality_score"),
+        qc["n_tokens"].alias("n_tokens"),
+        *[e.alias(n) for n, e in scores.items()],
+    )
+    pred = X.language_pred({n: F.col(n) for n in scores})
     kept = (
-        keyed.join(q, "doc_id")
-        .join(lang, "doc_id")
+        inner.select("doc_id", "content_md5", "quality_score", "n_tokens", pred.alias("lang_pred"))
         .filter((F.col("quality_score") >= _MIN_QUALITY) & F.col("lang_pred").isin(*_KEEP_LANGS))
     )
     # Canonical pick: min doc_id per surviving content group (exact dedup).

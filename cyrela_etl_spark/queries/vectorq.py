@@ -126,8 +126,9 @@ register("vector_rhp_lsh_topk", vector_rhp_lsh_topk, _rhp_oracle())
 
 # ---------------------------------------------------------------------------
 # vector_ivf_topk — IVF inverted-list ANN: assign to nearest of 16 seed
-# centroids, probe the query's 2 closest lists. The oracle replays the
-# same assignment/probe ranking in SQL.
+# centroids (md5-ordered deterministic sample, broadcast to executors —
+# never plan literals), probe the query's 2 closest lists. The oracle
+# replays the same seeding, assignment and probe ranking in SQL.
 # ---------------------------------------------------------------------------
 _N_CENT, _NPROBE = 16, 2
 
@@ -145,7 +146,8 @@ def vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_IVF = f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {_N_CENT}),
+cent AS (SELECT vec_id AS cid, v AS cv FROM base
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_N_CENT}),
 cscored AS (
   SELECT b.vec_id, b.v, c.cid,
          row_number() OVER (

@@ -38,9 +38,9 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
         orders,
         keys=["o_orderstatus"],
         aggs={
-            "n": F.count(F.lit(1)),
-            "mx": F.max("o_totalprice"),
-            "mn": F.min("o_totalprice"),
+            "n": (F.count(F.lit(1)), "sum"),
+            "mx": (F.max("o_totalprice"), "max"),
+            "mn": (F.min("o_totalprice"), "min"),
         },
         salts=7,
         salt_on="o_orderkey",
