@@ -1,0 +1,143 @@
+"""Corpus-preparation operators for LLM training-data pipelines: document
+chunking, deterministic dataset splits, PII redaction, and token-budget
+packing.
+
+All hot paths are built-in expressions (JVM-side, codegen) — no Python in
+any per-row path. Determinism: every derived id/assignment is md5-based
+(functions/hashing.py portability contract), every count is exact-integer,
+so any SQL engine can replay the outputs bit-for-bit.
+
+Scale notes:
+- ``chunk_documents`` is a generator expansion (posexplode) — per-row,
+  no shuffle; output rows ≈ total_tokens / step.
+- ``dataset_split`` is a pure projection (hash mod 100) — the split is a
+  *property* of the row, so adding data never reshuffles prior splits.
+- ``redact_pii`` is regexp work in one projection.
+- ``pack_token_budget`` needs a running sum per shard; sharding first
+  (hash of doc id) keeps every window partition-local and bounded — a
+  single global cumsum would funnel the corpus through one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.operators.text import token_count, tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the unit of
+    LLM pretraining ingestion. Chunk i covers tokens
+    ``[i·step, i·step + chunk_size)`` with ``step = chunk_size − overlap``;
+    every document yields ≥ 1 chunk (short docs → one short chunk).
+
+    Output: (doc_id, chunk_index, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    step = chunk_size - overlap
+    tok = tokens(F.col(text_col))
+    n = F.size(tok)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    with_tok = df.select(F.col(id_col), tok.alias("__tok"), starts.alias("__starts"))
+    exploded = with_tok.select(
+        id_col, "__tok", F.posexplode("__starts").alias("chunk_index", "__i")
+    )
+    piece = F.slice(F.col("__tok"), F.col("__i") * step + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_index"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free id hash:
+    ``pmod(md5-hash(id), 100)`` buckets → train < train_pct ≤ val <
+    train_pct+val_pct ≤ test. Stable under corpus growth (a document's
+    split never changes when others are added) — the property that keeps
+    eval sets uncontaminated across dataset versions."""
+    from cyrela_etl_spark.functions.hashing import stable_hash64
+
+    bucket = F.pmod(stable_hash64(F.col(id_col).cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"), split.alias("split"))
+
+
+# Redaction patterns: RE2-compatible (no lookaround) so Java and DuckDB
+# agree byte-for-byte. Email, then international-ish phone runs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    replacement: str = "[PII]",
+) -> DataFrame:
+    """Scrub emails/phone-shaped spans; emits per-kind match counts so a
+    curation run can audit redaction rates. One projection, all regexp —
+    no Python, no shuffle."""
+    out = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0))).alias(f"n_{kind}"))
+        out = F.regexp_replace(out, pat, replacement)
+    return df.select(F.col(id_col), *counts, out.alias("redacted_text"))
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to contiguous token-budget bins (context-window
+    packing): within a shard, docs in id order fill bin k over the token
+    ranges ``[k·budget, (k+1)·budget)`` — ``bin_id = floor((cumsum −
+    n_tokens) / budget)``, i.e. a doc lands in the bin where its first
+    token falls (boundary docs straddle into the next range; exact no-split
+    packing is a sequential decision chain, deliberately not emulated).
+
+    Sharding by id hash keeps the running sum partition-local: each shard
+    packs independently in parallel — the scale-true layout (global
+    packing order across 100 TB would serialize through one reducer) at
+    the cost of ≤ n_shards partially-filled final bins.
+    """
+    from cyrela_etl_spark.functions.hashing import stable_hash64
+
+    n_tok = token_count(F.col(text_col))
+    shard = F.pmod(stable_hash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    base = df.select(
+        F.col(id_col), shard.cast("int").alias("shard"), n_tok.cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("bin_id"),
+    )

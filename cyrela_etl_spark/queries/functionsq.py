@@ -204,11 +204,67 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 )
 
 
+_APPROX_RSD = 0.02
+
+
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch with a bounded-error contract the oracle CAN check:
+    the approx value itself is engine-specific (DuckDB can't replay
+    Spark's sketch), so the query emits the exact distinct count plus a
+    ``within_tolerance`` boolean — |approx − exact| / exact ≤ 3·rsd, the
+    sketch's published error bound — computed engine-side. The oracle
+    asserts the exact counts and that the bound holds (TRUE column)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    out = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=_APPROX_RSD).alias("approx"),
+        F.countDistinct("o_custkey").alias("n_exact"),
     )
+    tol = F.abs(F.col("approx") - F.col("n_exact")) / F.col("n_exact") <= 3 * _APPROX_RSD
+    return out.select("o_orderstatus", "n_exact", tol.alias("within_tolerance"))
 
 
-register("agg_approx_distinct", agg_approx_distinct, None)  # sketch: rows-only check
+# ---------------------------------------------------------------------------
+# grouped_map_normalize — the grouped-map leg of the pandas-UDF surface
+# (groupBy().applyInPandas): per-user min-max normalization in integer
+# cents; one pandas frame per user group, exact-int statistics, a single
+# IEEE division — bit-identical to the window-function oracle.
+# ---------------------------------------------------------------------------
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.grouped import minmax_normalize
+
+    return minmax_normalize(read_events(spark, sf_dir))
+
+
+register(
+    "grouped_map_normalize",
+    grouped_map_normalize,
+    """
+WITH c AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+stats AS (
+  SELECT event_id, user_id, value_cents,
+         min(value_cents) OVER (PARTITION BY user_id) AS mn,
+         max(value_cents) OVER (PARTITION BY user_id) AS mx
+  FROM c
+)
+SELECT event_id, user_id, value_cents,
+       CAST(value_cents - mn AS DOUBLE)
+         / (CASE WHEN mx = mn THEN 1 ELSE mx - mn END) AS norm_value
+FROM stats
+""",
+)
+
+
+register(
+    "agg_approx_distinct",
+    agg_approx_distinct,
+    """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_exact,
+       TRUE AS within_tolerance
+FROM orders
+GROUP BY o_orderstatus
+""",
+)

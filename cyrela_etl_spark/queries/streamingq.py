@@ -19,6 +19,7 @@ from cyrela_etl_spark.streaming import (
     dedup_within_watermark,
     read_file_stream,
     run_available_now,
+    run_available_now_to_parquet,
     session_agg,
     sliding_counts,
     tumbling_counts,
@@ -132,6 +133,32 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "stream_dedup",
     stream_dedup,
+    """
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# stream_parquet_sink — the SAME stateful dedup drained through a PARQUET
+# file sink instead of the driver-resident memory sink, then read back:
+# proves the scale-true sink path (partitions stream straight to storage;
+# nothing accumulates on the driver) produces the identical relation.
+# ---------------------------------------------------------------------------
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    s = _event_stream(spark, sf_dir)
+    doubled = s.unionByName(_event_stream(spark, sf_dir))
+    deduped = dedup_within_watermark(doubled, keys=["event_id"], ts_col="ts", watermark="1 hour")
+    out = deduped.select("event_id", "user_id", "event_type", "value")
+    sink = tempfile.mkdtemp(prefix="stream_pq_sink_") + "/out"
+    return run_available_now_to_parquet(out, sink)
+
+
+register(
+    "stream_parquet_sink",
+    stream_parquet_sink,
     """
 SELECT event_id, user_id, event_type, value FROM events
 """,

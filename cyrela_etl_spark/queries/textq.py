@@ -226,11 +226,20 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
-# dedup_ngram_jaccard — blocked pairwise shingle Jaccard (block = lang).
+# dedup_ngram_jaccard — blocked pairwise shingle Jaccard. The block key is
+# CONTENT-DERIVED: md5 of the first 4 normalized tokens. Block size is then
+# bounded by exact-prefix collisions (near-dups share it; unrelated docs
+# almost never do), unlike an attribute block like `lang` where one value
+# covers ~a whole corpus and sum-of-block² degenerates to ~n². Prefix
+# blocking trades recall for bound (an edit inside the first 4 tokens
+# escapes the block) — MinHash-LSH (`dedup_minhash_lsh`) is the
+# recall-tunable alternative.
 # ---------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    blk = F.md5(F.concat_ws(" ", F.slice(X.tokens(F.col("text")), 1, 4)))
     return D.ngram_jaccard_pairs(
-        corpus(spark, sf_dir), block_cols=["lang"], n=3, threshold=0.8
+        c.withColumn("prefix_blk", blk), block_cols=["prefix_blk"], n=3, threshold=0.8
     )
 
 
@@ -239,10 +248,13 @@ register(
     dedup_ngram_jaccard,
     f"""
 WITH corpus AS ({CORPUS_SQL}),
-sh AS (SELECT doc_id AS id, lang, {sql_shingles(sql_tokens('text'), 3)} AS shingles FROM corpus)
+sh AS (SELECT doc_id AS id,
+              md5(array_to_string({sql_tokens('text')}[1:4], ' ')) AS prefix_blk,
+              {sql_shingles(sql_tokens('text'), 3)} AS shingles
+       FROM corpus)
 SELECT a.id AS id_a, b.id AS id_b,
        len(list_intersect(a.shingles, b.shingles)) / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id
+FROM sh a JOIN sh b ON a.prefix_blk = b.prefix_blk AND a.id < b.id
 WHERE len(list_intersect(a.shingles, b.shingles)) / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
 """,
 )
@@ -496,3 +508,170 @@ GROUP BY lang_pred
 
 
 register("curation_pipeline", curation_pipeline, _curation_oracle())
+
+
+# ---------------------------------------------------------------------------
+# corpus_chunking — overlapping token-window chunks (chunk_size 64,
+# overlap 16): the pretraining ingestion unit. Generator expansion, no
+# shuffle; both engines compute chunk i = tokens[i·48, i·48+64).
+# ---------------------------------------------------------------------------
+_CHUNK, _OVERLAP = 64, 16
+
+
+def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+_STEP = _CHUNK - _OVERLAP
+register(
+    "corpus_chunking",
+    corpus_chunking,
+    f"""
+WITH tokd AS (
+  SELECT doc_id, {sql_tokens('text')} AS tok FROM documents
+),
+sized AS (
+  SELECT doc_id, tok,
+         CAST(greatest(ceil((len(tok) - {_OVERLAP}) / {_STEP}), 1) AS BIGINT) AS n_chunks
+  FROM tokd
+),
+idx AS (
+  SELECT doc_id, tok, unnest(range(0, n_chunks)) AS chunk_index FROM sized
+)
+SELECT doc_id,
+       CAST(chunk_index AS BIGINT) AS chunk_index,
+       CAST(len(tok[chunk_index * {_STEP} + 1 : chunk_index * {_STEP} + {_CHUNK}]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(tok[chunk_index * {_STEP} + 1 : chunk_index * {_STEP} + {_CHUNK}], ' ')
+         AS chunk_text
+FROM idx
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_dataset_split — deterministic train/val/test via portable id hash:
+# a document's split never changes as the corpus grows (eval-contamination
+# guard). Pure projection.
+# ---------------------------------------------------------------------------
+def corpus_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.corpus import dataset_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dataset_split(docs, train_pct=80, val_pct=10)
+    return out.select("doc_id", F.col("bucket").cast("long").alias("bucket"), "split")
+
+
+register(
+    "corpus_dataset_split",
+    corpus_dataset_split,
+    f"""
+SELECT doc_id,
+       {sql_hex64('CAST(doc_id AS VARCHAR)')} % 100 AS bucket,
+       CASE WHEN {sql_hex64('CAST(doc_id AS VARCHAR)')} % 100 < 80 THEN 'train'
+            WHEN {sql_hex64('CAST(doc_id AS VARCHAR)')} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_pii_redact — email/phone scrubbing with per-kind audit counts.
+# The synthetic docs carry no PII, so the query plants a deterministic
+# contact line on every 5th document (same construction both engines) —
+# the counts and the redacted text are then non-vacuous.
+# ---------------------------------------------------------------------------
+def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.corpus import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +15550100"),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = redact_pii(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+def _pii_oracle() -> str:
+    from cyrela_etl_spark.operators.corpus import PII_PATTERNS
+
+    email, phone = PII_PATTERNS["email"], PII_PATTERNS["phone"]
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +15550100' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(regexp_replace(text, '{email}', '[PII]', 'g'), '{phone}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(text, '{email}', '[PII]', 'g'), '{phone}', '[PII]', 'g')) AS redacted_md5
+FROM planted
+"""
+
+
+register("corpus_pii_redact", corpus_pii_redact, _pii_oracle())
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_pack — contiguous token-budget bin assignment within hash
+# shards (context-window packing). The windowed cumsum is partition-local
+# by construction — each shard packs independently.
+# ---------------------------------------------------------------------------
+_BUDGET, _N_SHARDS = 2048, 8
+
+
+def corpus_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.corpus import pack_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_token_budget(docs, budget=_BUDGET, n_shards=_N_SHARDS)
+    return out.select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "n_tokens", "bin_id"
+    )
+
+
+register(
+    "corpus_token_pack",
+    corpus_token_pack,
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         {sql_hex64('CAST(doc_id AS VARCHAR)')} % {_N_SHARDS} AS shard,
+         CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(CAST(sum(n_tokens) OVER w - n_tokens AS DOUBLE) / {_BUDGET}) AS BIGINT) AS bin_id
+FROM base
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+""",
+)

@@ -34,17 +34,16 @@ def write_jdbc(
         # Pre-action on one JVM-side connection, with the SAME credential
         # properties the distributed writer uses (user/password/etc. from
         # ``properties``) — a bare getConnection(url) would fail against
-        # any authenticated warehouse. Needs the JDBC driver jar on the
-        # classpath; not exercisable in this container — unit tests cover
-        # the plan construction, integration deferred to a real DW.
-        jvm = df.sparkSession._sc._jvm  # pragma: no cover
-        jprops = jvm.java.util.Properties()  # pragma: no cover
-        for k, v in props.items():  # pragma: no cover
+        # any authenticated warehouse. Exercised end-to-end against
+        # embedded Derby (ships with Spark) in tests/test_jdbc.py.
+        jvm = df.sparkSession._sc._jvm
+        jprops = jvm.java.util.Properties()
+        for k, v in props.items():
             jprops.setProperty(k, v)
-        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)  # pragma: no cover
-        try:  # pragma: no cover
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+        try:
             conn.createStatement().execute(create_table_ddl)
-        finally:  # pragma: no cover
+        finally:
             conn.close()
     writer = df
     if num_partitions is not None:

@@ -18,6 +18,40 @@ from pyspark.sql import DataFrame, SparkSession
 ZONE_ORDER = ["landing", "processing", "curated", "serving"]
 
 
+def s3a_conf(
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    path_style: bool = True,
+    ssl: bool = False,
+) -> dict[str, str]:
+    """The S3A connector settings for an object-store-backed ZoneStore
+    (the Spark-side spelling of the reference's hand-carried MinIO conf,
+    reference spark/jobs/pr-wallet-data-tf.py:7-16). Pass to
+    ``get_spark(extra_conf=s3a_conf(...))`` at session build, or to
+    ``configure_s3a`` to attach to a live session."""
+    return {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    }
+
+
+def configure_s3a(spark: SparkSession, conf: dict[str, str]) -> None:
+    """Attach S3A settings to a LIVE session's Hadoop configuration.
+
+    ``getOrCreate`` silently ignores ``spark.hadoop.*`` entries once a
+    session exists, so mid-session credential attachment must write the
+    Hadoop configuration directly (the ``spark.hadoop.`` prefix is
+    stripped — that prefix is only the launch-time conf namespace)."""
+    hconf = spark._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k.removeprefix("spark.hadoop."), v)
+
+
 @dataclass
 class ZoneStore:
     """A lakehouse root with the reference's four zones under it."""

@@ -17,6 +17,7 @@ from cyrela_etl_spark.streaming.ops import (
     dedup_within_watermark,
     read_file_stream,
     run_available_now,
+    run_available_now_to_parquet,
     session_agg,
     sliding_counts,
     tumbling_counts,
@@ -25,6 +26,7 @@ from cyrela_etl_spark.streaming.ops import (
 __all__ = [
     "read_file_stream",
     "run_available_now",
+    "run_available_now_to_parquet",
     "tumbling_counts",
     "sliding_counts",
     "session_agg",

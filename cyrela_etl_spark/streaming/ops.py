@@ -162,3 +162,33 @@ def run_available_now(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def run_available_now_to_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame (``Trigger.AvailableNow``) into a
+    PARQUET sink and read the result back — the scale-true sink path: the
+    memory-sink harness above holds results on the driver heap, a file
+    sink streams each partition straight to storage and is the only shape
+    that survives a 100 TB day.
+
+    File sinks support append mode only, which also means windowed
+    aggregations flush a window only once the watermark passes its end —
+    the final open windows of a drained stream stay unemitted by contract.
+    Row-wise operators (dedup, stateful per-event emission, maps) emit
+    everything and round-trip exactly.
+    """
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_pq_")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.read.parquet(path)

@@ -27,6 +27,32 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert _rows(salted.select(*plain.columns)) == _rows(plain)
 
 
+def test_salted_join_rejects_right_and_full(spark, sf_dir):
+    """Right/full joins would duplicate unmatched right rows once per salt
+    — the API must refuse instead of silently returning wrong results."""
+    import pytest
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salt-safe"):
+            salted_join(li, orders, on=["l_orderkey"], how=how)
+
+
+def test_salted_agg_rejects_unknown_combiner(spark, sf_dir):
+    import pytest
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="unknown combiner"):
+        salted_agg(
+            orders,
+            keys=["o_orderstatus"],
+            aggs={"a": (F.avg("o_totalprice"), "avg")},
+        )
+
+
 def test_salted_agg_equals_plain_agg(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     plain = orders.groupBy("o_orderstatus").agg(
@@ -102,6 +128,52 @@ def test_stateful_running_totals_resume_across_batches(spark, sf_dir):
     expect = {r["user_id"]: r["count"] for r in ev.groupBy("user_id").count().collect()}
     got = {r["user_id"]: r["n"] for r in final}
     assert got == expect
+
+
+def test_stateful_running_totals_drops_cross_batch_late_rows(spark, tmp_path):
+    """A row arriving in a LATER micro-batch with (ts, event_id) at or
+    before the key's max already processed is a late arrival and must be
+    dropped (watermark contract), not accumulated out of order."""
+    import os
+
+    from cyrela_etl_spark.streaming import read_file_stream, run_available_now
+    from cyrela_etl_spark.streaming.stateful import running_totals
+
+    rows1 = [(1, 100, "2024-01-01 10:00:00", 1.0), (2, 100, "2024-01-01 11:00:00", 2.0)]
+    rows2 = [(3, 100, "2024-01-01 10:30:00", 50.0), (4, 100, "2024-01-01 12:00:00", 4.0)]
+    cols = ["event_id", "user_id", "ts", "value"]
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+
+    os.makedirs(f"{tmp_path}/in")
+    mk(rows1).coalesce(1).write.parquet(f"{tmp_path}/b1")
+    mk(rows2).coalesce(1).write.parquet(f"{tmp_path}/b2")
+    import glob
+    import shutil
+
+    import time
+
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{tmp_path}/b*/part-*.parquet"))):
+        dst = f"{tmp_path}/in/{i}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource orders by modification time — pin it so batch 1
+        # is strictly older and is consumed first.
+        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+
+    schema = mk(rows1).schema
+    stream = read_file_stream(spark, f"{tmp_path}/in", schema, max_files_per_trigger=1)
+    out = run_available_now(running_totals(stream), "t_late_drop", output_mode="append")
+    got = {r["event_id"]: (r["running_n"], r["running_sum_cents"]) for r in out.collect()}
+    # event 3 (ts 10:30 < max-seen 11:00 from batch 1) is dropped;
+    # event 4 continues from batch-1 state (n=2, sum=300 cents)
+    assert 3 not in got
+    assert got[1] == (1, 100) and got[2] == (2, 300)
+    assert got[4] == (3, 700)
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
