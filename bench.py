@@ -37,6 +37,10 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "text_quality",
     "text_language_id",
+    "curation_pipeline",
+    "corpus_chunking",
+    "corpus_token_pack",
+    "grouped_map_normalize",
     "vector_cosine_topk",
     "vector_rhp_lsh_topk",
     "vector_ivf_topk",
@@ -59,10 +63,17 @@ def main() -> None:
     spark = get_spark(app_name="cyrela-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM + codegen + parquet footer caches.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
-
     from pyspark.sql import functions as F
+
+    # Warmup: JVM + whole-stage codegen + shuffle machinery + parquet
+    # footer caches + the Arrow Python-worker pool, so the first timed
+    # query isn't charged session-startup cost (it's ~2 s of one-time
+    # overhead that exists at any scale and would distort per-query ratios).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")), F.count(F.lit(1))
+    ).collect()
+    spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -53,6 +53,9 @@ _PRIORITY: list[str] = [
     "corpus_token_pack",
     "grouped_map_normalize",
     "stream_parquet_sink",
+    "window_frames",
+    "agg_pivot",
+    "agg_unpivot",
     # definition changed in round 3 (fresh rows needed)
     "agg_approx_distinct",
     "dedup_ngram_jaccard",

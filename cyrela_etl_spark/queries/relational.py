@@ -716,3 +716,109 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# window_frames — the frame/distribution window battery: ntile,
+# percent_rank, cume_dist (all exact integer ratios — bit-stable) and
+# first/last_value over explicit ROWS frames. One shuffle on the partition
+# key; ordering is total (date + unique key) so every function is
+# deterministic.
+# --------------------------------------------------------------------------
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value(F.col("o_orderkey")).over(full).alias("first_key"),
+        F.last_value(F.col("o_orderkey")).over(full).alias("last_key"),
+    )
+
+
+register(
+    "window_frames",
+    window_frames,
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_orderkey) OVER wf AS first_key,
+       last_value(o_orderkey) OVER wf AS last_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# agg_pivot — pivot rows to columns (priority histogram per status) with an
+# EXPLICIT value list: at scale an implicit pivot first runs a distinct over
+# the pivot column (extra job + unbounded width); the explicit list keeps
+# the plan a single hash aggregation with conditional counts.
+# --------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderstatus", *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(p) for p in _PRIORITIES]
+    )
+
+
+register(
+    "agg_pivot",
+    agg_pivot,
+    """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# agg_unpivot — wide→long melt (the inverse of agg_pivot): each order row
+# becomes one row per measure. Pure generator projection (no shuffle);
+# the oracle spells it as the equivalent UNION ALL.
+# --------------------------------------------------------------------------
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        (F.col("o_custkey") % 100).cast("double").alias("cust_bucket"),
+    )
+    return wide.unpivot("o_orderkey", ["total_price", "cust_bucket"], "metric", "value")
+
+
+register(
+    "agg_unpivot",
+    agg_unpivot,
+    """
+SELECT o_orderkey, 'total_price' AS metric, CAST(o_totalprice AS DOUBLE) AS value
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'cust_bucket', CAST(o_custkey % 100 AS DOUBLE) FROM orders
+""",
+)
