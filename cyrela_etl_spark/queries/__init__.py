@@ -56,6 +56,9 @@ _PRIORITY: list[str] = [
     "window_frames",
     "agg_pivot",
     "agg_unpivot",
+    "sql_q04_exists",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
     # definition changed in round 3 (fresh rows needed)
     "agg_approx_distinct",
     "dedup_ngram_jaccard",

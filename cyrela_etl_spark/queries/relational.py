@@ -822,3 +822,113 @@ UNION ALL
 SELECT o_orderkey, 'cust_bucket', CAST(o_custkey % 100 AS DOUBLE) FROM orders
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# sql_q04_exists — TPC-H Q4 adapted to this schema (no commitdate column):
+# priority histogram of orders with at least one lineitem shipped after the
+# order date, over one quarter. Exercises correlated EXISTS — Catalyst
+# rewrites it to a left-semi hash join, never a per-row subquery.
+# --------------------------------------------------------------------------
+def sql_q04_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+register(
+    "sql_q04_exists",
+    sql_q04_exists,
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# q12_priority_shipping — TPC-H Q12 shape (shipmode → returnflag on this
+# schema): per flag, CASE-conditional counts of urgent vs other orders.
+# One fact-dim-free join + hash agg with map-side partials.
+# --------------------------------------------------------------------------
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+register(
+    "q12_priority_shipping",
+    q12_priority_shipping,
+    """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# q14_promo_revenue — TPC-H Q14: promo-type revenue share over one month.
+# Both sums fold as DECIMAL (exact); the percentage is ONE double division
+# of two exactly-representable values — bit-stable cross-engine.
+# --------------------------------------------------------------------------
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    out = joined.agg(
+        F.sum(promo).alias("promo_dec"),
+        F.sum(rev).alias("total_dec"),
+    )
+    return out.select(
+        (F.lit(100.0) * F.col("promo_dec").cast("double") / F.col("total_dec").cast("double")).alias("promo_revenue_pct"),
+        F.col("total_dec").cast("double").alias("total_revenue"),
+    )
+
+
+register(
+    "q14_promo_revenue",
+    q14_promo_revenue,
+    f"""
+WITH j AS (
+  SELECT CAST(l_extendedprice AS {SQL_DEC}) * (1 - CAST(l_discount AS {SQL_DEC})) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS promo_revenue_pct,
+       CAST(sum(rev) AS DOUBLE) AS total_revenue
+FROM j
+""",
+)
