@@ -1,12 +1,83 @@
-"""Property-based invariants (hypothesis) for the text/dedup operators —
-random corpora, structural guarantees that must hold for ANY input, not
-just the fixture tables. Example counts are small because each example is
-a Spark job; the properties are exact, not statistical."""
+"""Property-based tests (SURVEY.md §5.3): date reformatting, delinquency
+bucketization boundaries, and null-guard behavior — hypothesis-generated
+inputs checked against plain-Python reference semantics."""
 
 from __future__ import annotations
 
+import datetime
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cyrela_etl_spark.functions.dates import reformat_date
+from cyrela_etl_spark.operators.wallet import wallet_features
+
+_SETTINGS = dict(
+    max_examples=12,  # each example is a Spark job — keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    dates=st.lists(
+        st.one_of(
+            st.dates(datetime.date(1950, 1, 1), datetime.date(2099, 12, 31)),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_reformat_date_roundtrip_and_null_guard(spark, dates):
+    raw = [(d.strftime("%d/%m/%Y") if d else None,) for d in dates]
+    df = spark.createDataFrame(raw, T.StructType().add("s", T.StringType(), True))
+    out = [r["iso"] for r in df.select(reformat_date("s").alias("iso")).collect()]
+    expect = [d.strftime("%Y-%m-%d") if d else None for d in dates]
+    assert out == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    days=st.lists(st.integers(min_value=-1500, max_value=0), min_size=1, max_size=12)
+)
+def test_bucketize_boundaries(spark, days):
+    # Reference first-match CASE (spark/jobs/pr-wallet-data-tf.py:109-112):
+    # >= -30 → 0, >= -90 → 1, else 2. Exercised through the REAL feature
+    # query so predicate order is what's under test.
+    rows = [
+        (1, "Cyrela", i, 10, 1, d, "2020-01-15", "2020-02-15", "2020-06-01",
+         100.0, 50.0, 25.0, 200.0)
+        for i, d in enumerate(days)
+    ]
+    schema = (
+        T.StructType()
+        .add("empresa", T.IntegerType())
+        .add("marca", T.StringType())
+        .add("obra", T.IntegerType())
+        .add("unidade", T.IntegerType())
+        .add("bloco", T.IntegerType())
+        .add("dias_atraso", T.IntegerType())
+        .add("dt_venda", T.StringType())
+        .add("dt_chaves", T.StringType())
+        .add("data_base", T.StringType())
+        .add("saldo_devedor", T.DoubleType())
+        .add("valor_pago_atualizado", T.DoubleType())
+        .add("valor_pago", T.DoubleType())
+        .add("vgv", T.DoubleType())
+    )
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "carteira_sd_gerencial", F.col("obra")
+    )
+    out = wallet_features(df).select("obra", "p_dias_atraso_category").collect()
+    got = {r["obra"]: r["p_dias_atraso_category"] for r in out}
+    for i, d in enumerate(days):
+        expect = 0 if d >= -30 else (1 if d >= -90 else 2)
+        assert got[i] == expect, f"dias_atraso={d}"
+
 
 WORD = st.text(alphabet="abcdefg", min_size=1, max_size=6)
 DOC = st.lists(WORD, min_size=1, max_size=40).map(" ".join)
