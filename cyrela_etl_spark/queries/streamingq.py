@@ -34,13 +34,34 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
+def _drain(spark: SparkSession, mk, *args, **kwargs) -> DataFrame:
+    """Run a stream-drain helper under a bounded shuffle-partition count.
+
+    Stateful streaming stages inherit ``spark.sql.shuffle.partitions`` with
+    no AQE coalescing (AQE is disabled for stateful workloads), so a
+    default-conf session pays one state store + task per partition — 200
+    near-empty state partitions turn a 1 s drain into ~10 s at test SF.
+    The drain is eager (AvailableNow inside), so set-and-restore is safe:
+    batch queries planned after this function keep the caller's conf. On a
+    real cluster the equivalent knob is sizing shuffle partitions to the
+    stream's key cardinality, not the session default.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16")
+    try:
+        return mk(*args, **kwargs)
+    finally:
+        spark.conf.set(key, old)
+
+
 # ---------------------------------------------------------------------------
 # stream_tumbling — 1-hour tumbling count+sum per event_type via a real
 # streaming query (complete mode: every window emitted once drained).
 # ---------------------------------------------------------------------------
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(_event_stream(spark, sf_dir), width="1 hour", keys=("event_type",))
-    return run_available_now(agg, "stream_tumbling", output_mode="complete")
+    return _drain(spark, run_available_now, agg, "stream_tumbling", output_mode="complete")
 
 
 register(
@@ -64,7 +85,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sliding_counts(
         _event_stream(spark, sf_dir), width="1 hour", slide="30 minutes", keys=("event_type",)
     )
-    return run_available_now(agg, "stream_sliding", output_mode="complete")
+    return _drain(spark, run_available_now, agg, "stream_sliding", output_mode="complete")
 
 
 register(
@@ -86,7 +107,7 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = session_agg(_event_stream(spark, sf_dir), gap="30 minutes", keys=("user_id",))
-    return run_available_now(agg, "stream_session", output_mode="complete")
+    return _drain(spark, run_available_now, agg, "stream_session", output_mode="complete")
 
 
 register(
@@ -127,7 +148,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = s.unionByName(_event_stream(spark, sf_dir))
     deduped = dedup_within_watermark(doubled, keys=["event_id"], ts_col="ts", watermark="1 hour")
     out = deduped.select("event_id", "user_id", "event_type", "value")
-    return run_available_now(out, "stream_dedup", output_mode="append")
+    return _drain(spark, run_available_now, out, "stream_dedup", output_mode="append")
 
 
 register(
@@ -153,7 +174,7 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(doubled, keys=["event_id"], ts_col="ts", watermark="1 hour")
     out = deduped.select("event_id", "user_id", "event_type", "value")
     sink = tempfile.mkdtemp(prefix="stream_pq_sink_") + "/out"
-    return run_available_now_to_parquet(out, sink)
+    return _drain(spark, run_available_now_to_parquet, out, sink)
 
 
 register(
@@ -174,7 +195,7 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.streaming.stateful import running_totals
 
     out = running_totals(_event_stream(spark, sf_dir))
-    return run_available_now(out, "stream_stateful_running", output_mode="append")
+    return _drain(spark, run_available_now, out, "stream_stateful_running", output_mode="append")
 
 
 register(
