@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "sql_q04_exists",
     "q12_priority_shipping",
     "q14_promo_revenue",
+    "func_arrays",
     # definition changed in round 3 (fresh rows needed)
     "agg_approx_distinct",
     "dedup_ngram_jaccard",

@@ -268,3 +268,42 @@ FROM orders
 GROUP BY o_orderstatus
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# func_arrays — the array-function surface over a grouped collect: sorted
+# collect_list (sorting makes the aggregation order-insensitive, hence
+# deterministic), size/element_at/array_max/contains/slice/concat_ws.
+# ---------------------------------------------------------------------------
+def func_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    arr = F.array_sort(F.collect_list(F.col("l_linenumber").cast("long")))
+    out = li.groupBy("l_orderkey").agg(arr.alias("lines"))
+    return out.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.array_max("lines").alias("max_line"),
+        F.array_contains("lines", F.lit(3)).alias("has_line3"),
+        F.concat_ws(",", F.slice("lines", 1, 2).cast("array<string>")).alias("head2"),
+    )
+
+
+register(
+    "func_arrays",
+    func_arrays,
+    """
+WITH g AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_linenumber AS BIGINT))) AS lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       lines[1] AS first_line,
+       list_max(lines) AS max_line,
+       list_contains(lines, 3) AS has_line3,
+       array_to_string(lines[1:2], ',') AS head2
+FROM g
+""",
+)
