@@ -74,6 +74,31 @@ def extract_media_meta(binary_df: DataFrame, strict: bool = False) -> DataFrame:
     return binary_df.mapInPandas(extract, schema=MEDIA_META_SCHEMA)
 
 
+def byte_histogram(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL feature extraction over opaque payloads (no codec needed): the
+    16-bin high-nibble byte histogram — the classic cheap content-type /
+    entropy signal (text, compressed and media bytes have very different
+    nibble profiles). Arrow-batched numpy bincount per batch; output is one
+    (doc_id, nibble, n) row per non-empty bin — long form so downstream
+    aggregation/classification is relational.
+    """
+    import numpy as np
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nibbles, counts = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8) >> 4
+                c = np.bincount(arr, minlength=16)
+                nz = np.nonzero(c)[0]
+                ids.extend([doc_id] * len(nz))
+                nibbles.extend(nz.tolist())
+                counts.extend(c[nz].tolist())
+            yield pd.DataFrame({"doc_id": ids, "nibble": nibbles, "n": counts})
+
+    return binary_df.mapInPandas(hist, schema="doc_id long, nibble int, n long")
+
+
 def sample_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing: explode each payload into (doc_id,
     frame_index, frame_bytes) keeping every ``every_n``-th frame. The

@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "q12_priority_shipping",
     "q14_promo_revenue",
     "func_arrays",
+    "multimodal_byte_histogram",
     # definition changed in round 3 (fresh rows needed)
     "agg_approx_distinct",
     "dedup_ngram_jaccard",

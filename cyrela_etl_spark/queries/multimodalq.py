@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cyrela_etl_spark.operators.multimodal import binarize_text, extract_media_meta, sample_frames
+from cyrela_etl_spark.operators.multimodal import (
+    binarize_text,
+    byte_histogram,
+    extract_media_meta,
+    sample_frames,
+)
 from cyrela_etl_spark.queries import register
 
 
@@ -52,6 +57,37 @@ SELECT doc_id,
        16 + CAST(CONCAT('0x', SUBSTR(md5(text), 3, 2)) AS BIGINT) AS height,
        CAST(1 AS BIGINT) AS n_frames
 FROM documents
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_byte_histogram — REAL payload feature extraction (no codec):
+# 16-bin high-nibble histogram per document. The oracle counts hex digits
+# at odd positions of hex(payload) — the same quantity, SQL-spelled.
+# ---------------------------------------------------------------------------
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    binary = binarize_text(_docs(spark, sf_dir))
+    out = byte_histogram(binary)
+    return out.select("doc_id", F.col("nibble").cast("int").alias("nibble"), "n")
+
+
+register(
+    "multimodal_byte_histogram",
+    multimodal_byte_histogram,
+    r"""
+WITH h AS (
+  SELECT doc_id,
+         regexp_replace(hex(encode(text)), '(.).', '\1', 'g') AS hi
+  FROM documents
+),
+nib AS (SELECT unnest(range(0, 16)) AS nibble)
+SELECT doc_id,
+       CAST(nibble AS INT) AS nibble,
+       CAST(length(hi) - length(replace(hi, substr('0123456789ABCDEF', CAST(nibble AS INT) + 1, 1), ''))
+            AS BIGINT) AS n
+FROM h CROSS JOIN nib
+WHERE length(hi) - length(replace(hi, substr('0123456789ABCDEF', CAST(nibble AS INT) + 1, 1), '')) > 0
 """,
 )
 
