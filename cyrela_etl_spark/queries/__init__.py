@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "q14_promo_revenue",
     "func_arrays",
     "multimodal_byte_histogram",
+    "agg_approx_percentile",
     # definition changed in round 3 (fresh rows needed)
     "agg_approx_distinct",
     "dedup_ngram_jaccard",

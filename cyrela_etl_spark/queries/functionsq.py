@@ -307,3 +307,49 @@ SELECT l_orderkey,
 FROM g
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_percentile — the quantile sketch with a bounded-RANK oracle:
+# the sketch value is engine-specific, but its rank error is bounded by
+# n/accuracy (Greenwald-Khanna contract), so the query re-ranks its own
+# output against the data (one extra broadcast join) and emits a
+# within_tolerance boolean the oracle can assert as TRUE.
+# ---------------------------------------------------------------------------
+_PCT_ACCURACY = 1000
+
+
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sk = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, _PCT_ACCURACY).alias("approx_med"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ranked = (
+        orders.join(F.broadcast(sk), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.first("n_orders").alias("n_orders"),
+            (
+                F.sum(F.when(F.col("o_totalprice") <= F.col("approx_med"), 1).otherwise(0))
+                / F.first("n_orders")
+            ).alias("frac_le"),
+        )
+    )
+    # rank-error bound: sketch rank error ≤ n/accuracy (→ 1/accuracy as a
+    # fraction) plus up to 2/n of discreteness (the lower-median element's
+    # own rank overshoots 0.5 by ≤ 1/n, ties add more at tiny n).
+    margin = F.lit(1.0 / _PCT_ACCURACY) + 2.0 / F.col("n_orders")
+    within = (F.col("frac_le") >= 0.5 - margin) & (F.col("frac_le") <= 0.5 + margin)
+    return ranked.select("o_orderstatus", "n_orders", within.alias("within_tolerance"))
+
+
+register(
+    "agg_approx_percentile",
+    agg_approx_percentile,
+    """
+SELECT o_orderstatus, count(*) AS n_orders, TRUE AS within_tolerance
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
