@@ -330,3 +330,76 @@ def simhash_pairs(
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over an
+    undirected pair-edge relation → (id, component), component = min id in
+    the component (canonical representative — the survivor a dedup keep
+    policy retains). Only vertices that appear in an edge are emitted.
+
+    Min-label propagation: each round every vertex takes the min of its own
+    and its neighbors' labels (one shuffle join + partial-agg per round);
+    converges in O(graph diameter) rounds — duplicate clusters are
+    near-cliques from banded pair generation, so 3–5 rounds in practice,
+    bounded by ``max_iters``. Per-round ``localCheckpoint`` truncates
+    lineage (an iterative plan otherwise doubles per round and analysis
+    time explodes long before data size matters); on a cluster the same
+    role is played by checkpointing to reliable storage. This is the
+    DataFrame-native form of the map-reduce CC algorithms (cf. Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond" — small-star/
+    large-star; min-propagation is the simple variant that suffices at
+    dup-cluster diameters).
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("dst_comp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+        )
+        # Pointer doubling (shortcutting): follow my label's label — path
+        # lengths halve per round, so convergence is O(log diameter)
+        # rounds instead of O(diameter).
+        new_labels = (
+            stepped.alias("l")
+            .join(
+                stepped.select(F.col("id").alias("comp"), F.col("comp").alias("comp2")).alias("r"),
+                "comp",
+                "left",
+            )
+            .select("id", F.least(F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))).alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+        # Convergence via one aggregate, no extra join: labels only ever
+        # DECREASE, so sum(comp) strictly decreases until fixpoint. The
+        # action also materializes the lazy checkpoint — one job per round.
+        cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("id", F.col("comp").alias("component"))

@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "func_arrays",
     "multimodal_byte_histogram",
     "agg_approx_percentile",
+    "dedup_components",
     # definition changed in round 3 (fresh rows needed)
     "agg_approx_distinct",
     "dedup_ngram_jaccard",

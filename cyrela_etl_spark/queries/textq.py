@@ -370,6 +370,70 @@ register("dedup_simhash_pairs", dedup_simhash_pairs, _simhash_pairs_oracle())
 
 
 # ---------------------------------------------------------------------------
+# dedup_components — duplicate-CLUSTER resolution: connected components
+# over the union of two pair sources (exact content-md5 pairs + prefix-key
+# pairs), the step after pair generation that a keep policy actually
+# consumes — pipelines merge edges from several detectors before picking
+# survivors. Spark runs min-label propagation with pointer doubling
+# (O(log diameter) shuffle rounds); the oracle computes the same
+# components with a recursive transitive-closure CTE — feasible at oracle
+# SF, while the propagation form is the one that scales. (Multi-hop
+# correctness on the dense simhash-pair graph is pinned separately in
+# tests/test_corpus_ops.py against a union-find reference.)
+# ---------------------------------------------------------------------------
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    keyed = c.select(
+        F.col("doc_id").alias("id"),
+        F.md5(norm).alias("k_exact"),
+        F.md5(F.concat_ws(" ", F.slice(X.tokens(F.col("text")), 1, 6))).alias("k_prefix"),
+    )
+
+    def _pairs(key: str) -> DataFrame:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.id") < F.col("b.id"))).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+
+    edges = _pairs("k_exact").unionByName(_pairs("k_prefix"))
+    return D.connected_components(edges)
+
+
+_COMPONENTS_EDGES_SQL = f"""
+keyed AS (
+  SELECT doc_id AS id,
+         md5({sql_norm('text')}) AS k_exact,
+         md5(array_to_string({sql_tokens('text')}[1:6], ' ')) AS k_prefix
+  FROM corpus
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b FROM keyed a JOIN keyed b
+    ON a.k_exact = b.k_exact AND a.id < b.id
+  UNION ALL
+  SELECT a.id, b.id FROM keyed a JOIN keyed b
+    ON a.k_prefix = b.k_prefix AND a.id < b.id
+)
+"""
+
+register(
+    "dedup_components",
+    dedup_components,
+    f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+{_COMPONENTS_EDGES_SQL.strip()},
+e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
+)
+SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # dedup_minhash_signatures — raw signature vectors (stringified for a
 # stable cross-engine representation).
 # ---------------------------------------------------------------------------

@@ -83,3 +83,36 @@ def test_pack_token_budget_invariants(spark, sf_dir):
         assert (bins[1:] >= bins[:-1]).all()
         cum = grp["n_tokens"].cumsum() - grp["n_tokens"]
         assert ((cum // 512) == grp["bin_id"]).all()
+
+
+def test_connected_components_multi_hop_vs_union_find(spark, sf_dir):
+    """Min-label propagation must equal a reference union-find on the
+    DENSE simhash pair graph (multi-hop chains through random 16-bit
+    collisions — transitivity genuinely exercised, unlike clique blocks)."""
+    from cyrela_etl_spark.operators.dedup import connected_components, simhash_pairs
+    from cyrela_etl_spark.queries.textq import corpus
+
+    pairs = simhash_pairs(corpus(spark, sf_dir), bits=16, max_hamming=2)
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {v: find(v) for v in parent}
+    # canonicalize: min id per component
+    comp_min: dict[int, int] = {}
+    for v, r in expect.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expect = {v: comp_min[find(v)] for v in parent}
+
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == expect
