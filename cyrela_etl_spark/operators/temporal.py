@@ -113,3 +113,39 @@ def time_bucket(ts: Column | str, width: str = "1 hour") -> Column:
     """Tumbling-window start timestamp (hypertable time_bucket analogue)."""
     c = F.col(ts) if isinstance(ts, str) else ts
     return F.window(c, width).start
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    width: str = "1 hour",
+    count_col: str = "n_events",
+) -> DataFrame:
+    """Time-series resample with gap filling: per key, one row for EVERY
+    bucket between the key's first and last event — missing buckets filled
+    with a zero count (the hypertable `time_bucket_gapfill` analogue).
+
+    Plan: one hash-agg to counts, a per-key min/max agg, a `sequence`
+    generator to build the calendar spine (no driver loop, no cross join
+    against a global calendar), and one left join back — all partitioned
+    by key. Spine size is bounded by the key's own time span, so a
+    100 TB/day table gap-fills without materializing a global calendar.
+    """
+    bucket = time_bucket(ts_col, width)
+    counts = df.groupBy(F.col(key), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias(count_col)
+    )
+    spine = (
+        counts.groupBy(key)
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            key,
+            F.explode(
+                F.sequence(F.col("b0"), F.col("b1"), F.expr(f"INTERVAL {width}"))
+            ).alias("bucket"),
+        )
+    )
+    return spine.join(counts, [key, "bucket"], "left").select(
+        key, "bucket", F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias(count_col)
+    )

@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "multimodal_byte_histogram",
     "agg_approx_percentile",
     "dedup_components",
+    "temporal_gap_fill",
     # definition changed in round 3 (fresh rows needed)
     "agg_approx_distinct",
     "dedup_ngram_jaccard",

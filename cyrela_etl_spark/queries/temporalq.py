@@ -129,3 +129,32 @@ FROM events
 GROUP BY 1, 2
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_gap_fill — resample with zero-filled missing buckets per key
+# (time_bucket_gapfill analogue): calendar spine via per-key sequence
+# explode, never a global calendar materialization.
+# ---------------------------------------------------------------------------
+def temporal_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.temporal import gap_fill
+
+    return gap_fill(_events(spark, sf_dir), width="1 hour")
+
+
+register(
+    "temporal_gap_fill",
+    temporal_gap_fill,
+    """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket FROM r
+)
+SELECT s.event_type, s.bucket, CAST(coalesce(b.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+""",
+)
