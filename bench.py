@@ -44,9 +44,12 @@ HEADLINE = [
     "vector_cosine_topk",
     "vector_rhp_lsh_topk",
     "vector_ivf_topk",
+    "dedup_components",
     "func_json_extract",
     "temporal_asof_join",
     "temporal_time_bucket",
+    "temporal_gap_fill",
+    "text_term_stats",
     "multimodal_media_meta",
     "stream_tumbling",
 ]

@@ -64,6 +64,7 @@ _PRIORITY: list[str] = [
     "agg_approx_percentile",
     "dedup_components",
     "temporal_gap_fill",
+    "text_term_stats",
     # definition changed in round 3 (fresh rows needed)
     "agg_approx_distinct",
     "dedup_ngram_jaccard",

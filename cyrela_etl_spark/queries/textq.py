@@ -739,3 +739,55 @@ FROM base
 WINDOW w AS (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# text_term_stats — TF/DF corpus statistics (the vocabulary + document-
+# frequency tables behind TF-IDF, vocab pruning, stopword induction): top-5
+# terms per document by term frequency with each term's corpus document
+# frequency attached. All counts exact ints; idf's log() is deliberately
+# left to consumers (transcendentals are excluded from value-hash oracles).
+# Plan: explode → two hash aggs → broadcast-joined df (vocab is small
+# relative to the corpus; at 100 TB the df relation shuffles instead —
+# same plan, Catalyst picks by size).
+# ---------------------------------------------------------------------------
+_TOP_TERMS = 5
+
+
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    top = tf.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= _TOP_TERMS)
+    return top.join(df_, "term").select(
+        "doc_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+register(
+    "text_term_stats",
+    text_term_stats,
+    f"""
+WITH terms AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+ranked AS (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rnk
+  FROM tf
+)
+SELECT r.doc_id, r.rnk, r.term, r.tf, d.df
+FROM ranked r JOIN df d ON r.term = d.term
+WHERE r.rnk <= {_TOP_TERMS}
+""",
+)
