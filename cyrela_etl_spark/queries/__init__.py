@@ -65,6 +65,7 @@ _PRIORITY: list[str] = [
     "dedup_components",
     "temporal_gap_fill",
     "text_term_stats",
+    "fuzzy_match_names",
     # definition changed in round 3 (fresh rows needed)
     "agg_approx_distinct",
     "dedup_ngram_jaccard",

@@ -932,3 +932,73 @@ SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS D
 FROM j
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# fuzzy_match_names — edit-distance-1 record matching via SUBSTITUTION-
+# NEIGHBORHOOD blocking: each name emits L variants with one position
+# masked; names agreeing on any masked variant are candidates (equi-join on
+# the variant key — the scalable formulation; a direct levenshtein self-
+# join is n² and an attribute block degenerates the same way). Candidates
+# are verified with exact levenshtein. Both sides compute identical
+# variants, so the oracle is the same construction in SQL.
+# --------------------------------------------------------------------------
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variants = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("pos"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        "pos",
+        F.concat(
+            F.expr("substring(c_name, 1, pos - 1)"),
+            F.lit("*"),
+            F.expr("substring(c_name, pos + 1, length(c_name))"),
+        ).alias("masked"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.masked") == F.col("b.masked"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.select("id_a", "id_b", dist.cast("long").alias("edit_distance")).filter(
+        F.col("edit_distance") <= 1
+    )
+
+
+register(
+    "fuzzy_match_names",
+    fuzzy_match_names,
+    """
+WITH v AS (
+  SELECT c_custkey, c_name, pos,
+         substr(c_name, 1, CAST(pos AS INT) - 1) || '*' ||
+         substr(c_name, CAST(pos AS INT) + 1, length(c_name)) AS masked
+  FROM customer, UNNEST(generate_series(1, length(c_name))) AS t(pos)
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                  a.c_name AS name_a, b.c_name AS name_b
+  FROM v a JOIN v b
+    ON a.pos = b.pos AND a.masked = b.masked AND a.c_custkey < b.c_custkey
+)
+SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+""",
+)
