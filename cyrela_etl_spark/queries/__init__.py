@@ -38,38 +38,41 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 # them; queries already green in an earlier round's CORRECTNESS file are the
 # safest to fall off the tail.
 _PRIORITY: list[str] = [
-    # unscored in round 2 (driver budget cut at 50)
-    "wallet_features",
-    "vector_cosine_topk",
-    "vector_rhp_lsh_topk",
-    "vector_ivf_topk",
-    "vector_neardup_pairs",
-    "dedup_minhash_signatures",
-    "curation_pipeline",
-    # new in round 3
-    "corpus_chunking",
-    "corpus_dataset_split",
-    "corpus_pii_redact",
-    "corpus_token_pack",
-    "grouped_map_normalize",
-    "stream_parquet_sink",
-    "window_frames",
-    "agg_pivot",
-    "agg_unpivot",
-    "sql_q04_exists",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "func_arrays",
-    "multimodal_byte_histogram",
-    "agg_approx_percentile",
-    "dedup_components",
-    "temporal_gap_fill",
-    "text_term_stats",
+    # unscored in round 3 (driver budget cut at 50; all green in round 2) —
+    # the core dedup, streaming, storage, and temporal paths
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "join_salted",
+    "join_bucketed",
+    "storage_csv_roundtrip",
+    "storage_zone_promote",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_stateful_running",
+    "temporal_asof_join",
+    "temporal_range_join",
+    "temporal_time_bucket",
+    "text_quality",
+    "text_language_id",
+    "text_fingerprint",
+    "text_token_counts",
+    "sql_q6",
+    "sql_scalar_subquery",
+    "sql_correlated_subquery",
+    "q07_volume_shipping",
+    "q10_returned_revenue",
+    "q13_order_distribution",
+    # definition changed or added in round 4 (fresh rows needed)
     "fuzzy_match_names",
-    # definition changed in round 3 (fresh rows needed)
-    "agg_approx_distinct",
-    "dedup_ngram_jaccard",
-    "multimodal_frame_sample",
+    "grouped_map_normalize",
+    "multimodal_media_meta",
+    "storage_table_roundtrip",
+    "minmax_normalize_window",
+    "stream_rate_windowed",
 ]
 
 
