@@ -6,14 +6,22 @@
      "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
 
 One shared SparkSession for the whole run (no per-query spin-up); each
-query is timed to full materialization (count + a cheap checksum action so
-lazy plans can't cheat). A warmup query first absorbs JVM/codegen startup.
+query is timed to full materialization (count + a per-column xxhash64
+checksum action so lazy plans can't cheat). A warmup query first absorbs
+JVM/codegen startup.
+
+Each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and the
+reported per-query number is the MEDIAN — single-shot numbers on
+sub-second queries are dominated by GC/scheduler jitter (the r2→r3
+comparison was contaminated exactly this way). ``value`` is the sum of
+the medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -78,23 +86,30 @@ def main() -> None:
     ).collect()
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _oracle = registry[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Full materialization of every output column: a bare count() lets
-        # Catalyst prune ALL projected columns (the scan+filter would be
-        # timed, the projections wouldn't), so aggregate a per-column
-        # xxhash64 checksum alongside the row count — every column is
-        # computed and folded, with nothing but one row on the driver.
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("checksum"),
-        ).collect()[0]
-        n = row["n"]
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+        samples: list[float] = []
+        for r in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Full materialization of every output column: a bare count()
+            # lets Catalyst prune ALL projected columns (the scan+filter
+            # would be timed, the projections wouldn't), so aggregate a
+            # per-column xxhash64 checksum alongside the row count — every
+            # column is computed and folded, one row on the driver.
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("checksum"),
+            ).collect()[0]
+            n = row["n"]
+            samples.append(time.perf_counter() - t0)
+            print(f"# {name} run {r + 1}/{runs}: {n} rows in {samples[-1]:.2f}s", file=sys.stderr)
+            # Queries that persist() internally (the LSH family) would
+            # otherwise accumulate stale cached relations across runs.
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

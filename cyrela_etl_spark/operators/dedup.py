@@ -157,6 +157,79 @@ def minhash_signature_expr(shingles: Column, num_hashes: int = 16) -> Column:
     return F.aggregate(hashed, init, _merge)
 
 
+def _cap_buckets(banded: DataFrame, bucket_cols: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop every row belonging to a bucket larger than ``max_bucket_size``.
+
+    The Manku-era hot-bucket guard: a bucket of size s emits ~s²/2
+    candidate pairs, so one boilerplate-heavy bucket (mass-duplicated
+    content all sharing a signature) turns the near-linear LSH join
+    quadratic. Oversized buckets are dropped WHOLE — their members are by
+    construction near-identical and belong to exact dedup
+    (``exact_dedup`` + ``connected_components``), not pairwise verify.
+    Use the matching ``*_oversize_audit`` function to see what was
+    dropped. One window count over the same key the self-join shuffles on
+    (partitioning reused, no extra exchange)."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        banded.withColumn("_bucket_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_size") <= max_bucket_size)
+        .drop("_bucket_size")
+    )
+
+
+def _oversize_audit(banded: DataFrame, bucket_cols: list[str], max_bucket_size: int) -> DataFrame:
+    """Buckets exceeding the cap, with member counts — the drop audit:
+    (bucket key columns..., bucket_size). Run this alongside a capped
+    pair generation to quantify (and sample) what the cap excluded."""
+    return (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def _minhash_banded(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, bucket) — band key = (band index, joined signature
+    slice) — from a (id, signature) relation."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[F.col("signature")[bi * rows + r].cast("string") for r in range(rows)],
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_oversize_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(band, bucket, bucket_size) for buckets a capped
+    ``minhash_lsh_pairs`` run with the same parameters would drop."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return _oversize_audit(_minhash_banded(sigs, bands, rows), ["band", "bucket"], max_bucket_size)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -165,6 +238,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
@@ -173,6 +247,12 @@ def minhash_lsh_pairs(
     band key — shuffle on bucket, not n² compare). Candidates are verified
     with exact shingle Jaccard; output (id_a, id_b, jaccard) with
     jaccard >= threshold, each pair once.
+
+    ``max_bucket_size`` is the hot-bucket guard (see ``_cap_buckets``):
+    buckets with more members are dropped whole, and
+    ``minhash_lsh_oversize_audit`` reports them. At corpus scale ALWAYS
+    set it (10³–10⁴ is typical); run exact dedup first so mass-duplicated
+    content never reaches the pairwise path.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -190,22 +270,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).withColumn("signature", minhash_signature_expr(F.col("shingles"), num_hashes)).persist()
-    sigs = base
-    # band key = (band_index, joined signature slice)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws("-", *[F.col("signature")[bi * rows + r].cast("string") for r in range(rows)]).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _cap_buckets(_minhash_banded(base, bands, rows), ["band", "bucket"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -275,27 +340,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return df.select(F.col(id_col).alias("id"), fp.cast("long").alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bits: int = 16,
-    max_hamming: int = 2,
-) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, LSH-banded.
-
-    The fingerprint is split into (max_hamming+1) chunks; by pigeonhole two
-    fingerprints within max_hamming share at least one exact chunk → join
-    on (chunk_index, chunk_value) gives a complete candidate set without n²
-    (the standard SimHash blocking from Manku et al. 2007, 'Detecting
-    near-duplicates for web crawling'). Hamming is verified exactly.
-    """
-    chunks = max_hamming + 1
-    chunk_bits = bits // chunks
-    # Persist fingerprints: the banded self-join references them on both
-    # sides (same rationale as minhash_lsh_pairs — no recompute at scale).
-    fps = simhash(df, text_col, id_col, bits).persist()
-    banded = fps.select(
+def _simhash_banded(fps: DataFrame, chunks: int, chunk_bits: int) -> DataFrame:
+    """(id, simhash, chunk, value) — Manku pigeonhole chunk keys from a
+    (id, simhash) relation."""
+    return fps.select(
         "id",
         "simhash",
         F.explode(
@@ -312,6 +360,49 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.value")
+
+
+def simhash_oversize_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(chunk, value, bucket_size) for buckets a capped ``simhash_pairs``
+    run with the same parameters would drop."""
+    chunks = max_hamming + 1
+    fps = simhash(df, text_col, id_col, bits)
+    return _oversize_audit(_simhash_banded(fps, chunks, bits // chunks), ["chunk", "value"], max_bucket_size)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, LSH-banded.
+
+    The fingerprint is split into (max_hamming+1) chunks; by pigeonhole two
+    fingerprints within max_hamming share at least one exact chunk → join
+    on (chunk_index, chunk_value) gives a complete candidate set without n²
+    (the standard SimHash blocking from Manku et al. 2007, 'Detecting
+    near-duplicates for web crawling'). Hamming is verified exactly.
+
+    ``max_bucket_size``: hot-bucket guard, same contract as
+    ``minhash_lsh_pairs`` (drop oversized chunk buckets whole; audit via
+    ``simhash_oversize_audit``; set it at corpus scale).
+    """
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    # Persist fingerprints: the banded self-join references them on both
+    # sides (same rationale as minhash_lsh_pairs — no recompute at scale).
+    fps = simhash(df, text_col, id_col, bits).persist()
+    banded = _cap_buckets(_simhash_banded(fps, chunks, chunk_bits), ["chunk", "value"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -366,6 +457,7 @@ def connected_components(
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -399,7 +491,18 @@ def connected_components(
         cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # Silently-split components are a correctness hazard; with pointer
+        # doubling (O(log diameter) rounds) hitting this at max_iters=20
+        # means ~2^20-diameter chains — raise rather than return wrong
+        # labels. Callers with genuinely pathological graphs can raise
+        # max_iters.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters}; "
+            "labels would be split — raise max_iters"
+        )
     return labels.select("id", F.col("comp").alias("component"))

@@ -257,6 +257,37 @@ FROM stats
 )
 
 
+def minmax_normalize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM window-function twin of grouped_map_normalize (the recommended
+    production path — no Arrow round-trip); parity-tested identical to the
+    grouped-map version in tests/test_operators.py."""
+    from cyrela_etl_spark.operators.grouped import minmax_normalize_window as mmw
+
+    return mmw(read_events(spark, sf_dir))
+
+
+register(
+    "minmax_normalize_window",
+    minmax_normalize_window,
+    """
+WITH c AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+stats AS (
+  SELECT event_id, user_id, value_cents,
+         min(value_cents) OVER (PARTITION BY user_id) AS mn,
+         max(value_cents) OVER (PARTITION BY user_id) AS mx
+  FROM c
+)
+SELECT event_id, user_id, value_cents,
+       CAST(value_cents - mn AS DOUBLE)
+         / (CASE WHEN mx = mn THEN 1 ELSE mx - mn END) AS norm_value
+FROM stats
+""",
+)
+
+
 register(
     "agg_approx_distinct",
     agg_approx_distinct,

@@ -942,15 +942,33 @@ FROM j
 # join is n² and an attribute block degenerates the same way). Candidates
 # are verified with exact levenshtein. Both sides compute identical
 # variants, so the oracle is the same construction in SQL.
+#
+# Hot-group guard: the variant join runs on DISTINCT names only. With n
+# records sharing one name, joining record-level variants would emit
+# ~L·n²/2 candidate rows before distinct (the hot-bucket blowup on
+# mass-duplicated names); on distinct names the join is near-linear, and
+# the quadratic part that remains — expanding a matched name pair (or an
+# identical-name group) back to record pairs — is exactly the output
+# relation itself, never an inflated intermediate. Two distinct names
+# differing at exactly one position agree on exactly one masked variant,
+# so the name-pair join needs no distinct either.
+#
+# Degenerate rows: zero-length names are filtered before the explode —
+# Spark's sequence(1, 0) yields a DESCENDING [1, 0] (auto step -1) and
+# would emit phantom variants where DuckDB's generate_series(1, 0) is
+# empty (engine divergence).
 # --------------------------------------------------------------------------
-def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    variants = cust.select(
-        "c_custkey",
-        "c_name",
-        F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("pos"),
+def fuzzy_name_pair_candidates(names: DataFrame, name_col: str = "c_name") -> DataFrame:
+    """Distinct-name pairs within substitution distance 1, via the masked-
+    variant equi-join. Input must be a DISTINCT-name relation — candidate
+    volume then scales with distinct names (each pair agrees on exactly
+    one masked variant, so no dedup pass is needed), never with record
+    multiplicity. Output: (name_a, name_b, edit_distance) with
+    name_a < name_b."""
+    variants = names.filter(F.length(name_col) >= 1).select(
+        F.col(name_col).alias("c_name"),
+        F.explode(F.sequence(F.lit(1), F.length(name_col))).alias("pos"),
     ).select(
-        "c_custkey",
         "c_name",
         "pos",
         F.concat(
@@ -960,45 +978,84 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("masked"),
     )
     a, b = variants.alias("a"), variants.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.masked") == F.col("b.masked"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("id_a"),
-            F.col("b.c_custkey").alias("id_b"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
-        )
-        .distinct()
-    )
-    dist = F.levenshtein("name_a", "name_b")
-    return cand.select("id_a", "id_b", dist.cast("long").alias("edit_distance")).filter(
+    name_pairs = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.masked") == F.col("b.masked"))
+        & (F.col("a.c_name") < F.col("b.c_name")),
+    ).select(F.col("a.c_name").alias("name_a"), F.col("b.c_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b").cast("long")
+    return name_pairs.select("name_a", "name_b", dist.alias("edit_distance")).filter(
         F.col("edit_distance") <= 1
     )
+
+
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .filter(F.length("c_name") >= 1)
+    )
+    verified = fuzzy_name_pair_candidates(cust.select("c_name").distinct())
+    # Re-expand matched name pairs to record pairs (equi-joins on name).
+    ia = cust.select(F.col("c_name").alias("name_a"), F.col("c_custkey").alias("ka"))
+    ib = cust.select(F.col("c_name").alias("name_b"), F.col("c_custkey").alias("kb"))
+    cross_pairs = (
+        verified.join(ia, "name_a")
+        .join(ib, "name_b")
+        .select(
+            F.least("ka", "kb").alias("id_a"),
+            F.greatest("ka", "kb").alias("id_b"),
+            "edit_distance",
+        )
+    )
+    # Identical-name record pairs (edit distance 0) — the within-group leg.
+    x = cust.select(F.col("c_name"), F.col("c_custkey").alias("ka"))
+    y = cust.select(F.col("c_name"), F.col("c_custkey").alias("kb"))
+    same_pairs = (
+        x.join(y, "c_name")
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            F.col("ka").alias("id_a"),
+            F.col("kb").alias("id_b"),
+            F.lit(0).cast("long").alias("edit_distance"),
+        )
+    )
+    return cross_pairs.unionByName(same_pairs)
 
 
 register(
     "fuzzy_match_names",
     fuzzy_match_names,
     """
-WITH v AS (
-  SELECT c_custkey, c_name, pos,
+WITH cust AS (
+  SELECT c_custkey, c_name FROM customer WHERE length(c_name) >= 1
+),
+names AS (SELECT DISTINCT c_name FROM cust),
+v AS (
+  SELECT c_name, pos,
          substr(c_name, 1, CAST(pos AS INT) - 1) || '*' ||
          substr(c_name, CAST(pos AS INT) + 1, length(c_name)) AS masked
-  FROM customer, UNNEST(generate_series(1, length(c_name))) AS t(pos)
+  FROM names, UNNEST(generate_series(1, length(c_name))) AS t(pos)
 ),
-cand AS (
-  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
-                  a.c_name AS name_a, b.c_name AS name_b
-  FROM v a JOIN v b
-    ON a.pos = b.pos AND a.masked = b.masked AND a.c_custkey < b.c_custkey
+np AS (
+  SELECT a.c_name AS name_a, b.c_name AS name_b,
+         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+  FROM v a JOIN v b ON a.pos = b.pos AND a.masked = b.masked AND a.c_name < b.c_name
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+cross_pairs AS (
+  SELECT least(ia.c_custkey, ib.c_custkey) AS id_a,
+         greatest(ia.c_custkey, ib.c_custkey) AS id_b,
+         np.edit_distance
+  FROM np
+  JOIN cust ia ON ia.c_name = np.name_a
+  JOIN cust ib ON ib.c_name = np.name_b
+),
+same_pairs AS (
+  SELECT x.c_custkey AS id_a, y.c_custkey AS id_b, CAST(0 AS BIGINT) AS edit_distance
+  FROM cust x JOIN cust y ON x.c_name = y.c_name AND x.c_custkey < y.c_custkey
 )
-SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
-FROM cand
-WHERE levenshtein(name_a, name_b) <= 1
+SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs
 """,
 )

@@ -9,8 +9,10 @@ pattern. The equivalent batch relation is a cumulative window aggregate,
 which is exactly what the DuckDB oracle computes: a custom stateful
 operator whose output is still value-exactly checkable.
 
-Determinism: running sums accumulate in integer cents (round(value*100)),
-so float addition order can never drift.
+Determinism: running sums accumulate in integer cents (round(value*100),
+half AWAY from zero to match SQL round() — pandas Series.round is
+half-to-even and would diverge on exact .5-cent products), so float
+addition order can never drift.
 
 Ordering contract: a group's rows arrive as MULTIPLE Arrow chunks (10k-row
 default) and possibly across micro-batches, so per-chunk sorting is not a
@@ -69,7 +71,9 @@ def running_totals(
             on_time = (ts_i > max_ts) | ((ts_i == max_ts) & (ids > max_id))
             pdf, ts_i, ids = pdf[on_time], ts_i[on_time], ids[on_time]
             if len(pdf):
-                cents = (pdf[value_col] * 100).round().astype("int64")
+                from cyrela_etl_spark.operators.grouped import _cents_half_away
+
+                cents = _cents_half_away(pdf[value_col])
                 cum = cents.cumsum() + s0
                 idx = np.arange(1, len(pdf) + 1, dtype="int64") + n0
                 n0, s0 = n0 + len(pdf), int(cum.iloc[-1])

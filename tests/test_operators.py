@@ -166,3 +166,34 @@ def test_media_meta_strict_raises(spark, sf_dir):
     meta = M.extract_media_meta(M.binarize_text(docs), strict=True)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         meta.collect()
+
+
+def test_minmax_window_parity_with_grouped_map(spark, sf_dir):
+    """The JVM window path and the grouped-map (Arrow) path are the same
+    relation — the grouped-map version exists to exercise the pandas-UDF
+    surface, the window version is the production path."""
+    import pandas as pd
+
+    from cyrela_etl_spark.operators.grouped import minmax_normalize, minmax_normalize_window
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir)
+    a = minmax_normalize(ev).toPandas().sort_values("event_id").reset_index(drop=True)
+    b = minmax_normalize_window(ev).toPandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_cents_half_away_matches_sql_round():
+    """pandas .round() is half-to-even; the engine must round half AWAY
+    from zero to agree with SQL round() on exact .5-cent products."""
+    import pandas as pd
+
+    from cyrela_etl_spark.operators.grouped import _cents_half_away
+
+    vals = pd.Series([0.125, -0.125, 1.005, 0.1, -2.675])
+    got = list(_cents_half_away(vals))
+    # 0.125*100 = 12.5 and -2.675*100 = -267.5 are exact halves in binary
+    # → away from zero (13 / -268), NOT pandas half-even (12 / -268 is
+    # where they differ: Series.round gives 12). 1.005*100 = 100.49999…
+    # is not a half → 100 in every engine.
+    assert got == [13, -13, 100, 10, -268]
