@@ -2,10 +2,12 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct. The Spark-side machinery — schema, Arrow batch shape, partitioning,
-``mapInPandas`` signatures — is real and tested; the actual media DECODE is
-stubbed (the decode libraries are not in this container) behind
-``decode_stub``: a deterministic fake that derives "decoded" properties
-from the bytes, or ``NotImplementedError`` in strict mode.
+``mapInPandas`` signatures — is real and tested. The decode step parses
+REAL container headers for two formats that need no codec library — BMP
+(dimensions) and RIFF/WAV (sample rate, channel count, frame count,
+duration) — as pure-Python byte parsing; payloads in any other container
+fall back to a deterministic hash-derived stub (this container ships no
+image/av codecs), or ``NotImplementedError`` in strict mode.
 
 At scale: binary payloads dominate partition size, so ``maxPartitionBytes``
 / explicit repartition must target bytes not rows; metadata-only operations
@@ -17,16 +19,95 @@ plan's ReadSchema).
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Deterministic fake media properties derived from payload bytes.
+# Deterministic fake media properties derived from payload bytes (the
+# fallback for containers with no pure-Python header parse).
 FAKE_DECODE = True
 
-MEDIA_META_SCHEMA = "doc_id long, n_bytes long, content_hash string, width int, height int, n_frames int"
+MEDIA_META_SCHEMA = (
+    "doc_id long, n_bytes long, content_hash string, media_kind string, "
+    "width int, height int, n_frames int, sample_rate int, duration_ms long"
+)
+
+
+# ---------------------------------------------------------------------------
+# Real container builders + header parsers (pure Python, no codec deps).
+# ---------------------------------------------------------------------------
+def make_bmp(width: int, height: int) -> bytes:
+    """A valid minimal 24-bpp BITMAPINFOHEADER .bmp: 54-byte header + rows
+    padded to 4 bytes. Pixel data is a deterministic gradient."""
+    row = ((width * 3 + 3) // 4) * 4
+    data_size = row * height
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + data_size, 0, 0, 54,
+        40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0,
+    )
+    px = bytearray(data_size)
+    for y in range(height):
+        for x in range(width):
+            o = y * row + x * 3
+            px[o : o + 3] = bytes(((x * 7) & 0xFF, (y * 13) & 0xFF, (x ^ y) & 0xFF))
+    return header + bytes(px)
+
+
+def make_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
+    """A valid minimal RIFF/WAVE PCM file: 44-byte header + sine-free
+    deterministic sawtooth samples."""
+    block_align = channels * bits // 8
+    data_size = n_samples * block_align
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + data_size, b"WAVE", b"fmt ", 16,
+        1, channels, sample_rate, sample_rate * block_align, block_align, bits,
+        b"data", data_size,
+    )
+    samples = b"".join(
+        struct.pack("<h", ((i * 257) % 65536) - 32768) for i in range(n_samples * channels)
+    )
+    return header + samples
+
+
+def parse_bmp_header(b: bytes) -> dict | None:
+    """(width, height) from a BITMAPINFOHEADER .bmp, None if not a BMP.
+    Height may be negative (top-down rows) — reported as magnitude."""
+    if len(b) < 26 or b[:2] != b"BM":
+        return None
+    width, height = struct.unpack_from("<ii", b, 18)
+    return {"width": abs(width), "height": abs(height)}
+
+
+def parse_wav_header(b: bytes) -> dict | None:
+    """(sample_rate, channels, n_frames, duration_ms) from a RIFF/WAVE
+    file by walking its chunk list, None if not a WAV."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt " and pos + 24 <= len(b):
+            _, channels, sample_rate = struct.unpack_from("<HHI", b, pos + 8)
+            block_align = struct.unpack_from("<H", b, pos + 20)[0]
+            fmt = (channels, sample_rate, block_align)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None or fmt[2] == 0 or fmt[1] == 0:
+        return None
+    channels, sample_rate, block_align = fmt
+    n_frames = data_size // block_align
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate,
+    }
 
 
 def binarize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -39,35 +120,93 @@ def binarize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-container test media: even ids become 24-bpp
+    BMPs (width/height derived from the id), odd ids become 16-bit mono
+    PCM WAVs (sample rate / length derived from the id). Every byte is a
+    valid container an external tool could open — this is the generator
+    the media-decode oracle predicts arithmetically."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads, kinds = [], []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    payloads.append(make_bmp(1 + i % 64, 1 + (i // 64) % 64))
+                    kinds.append("image/bmp")
+                else:
+                    payloads.append(make_wav(8000 + (i % 8) * 1000, 1 + i % 1000))
+                    kinds.append("audio/wav")
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads, "media_type": kinds})
+
+    return df.select(id_col).mapInPandas(
+        synth, schema="doc_id long, payload binary, media_type string"
+    )
+
+
 def extract_media_meta(binary_df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode / feature-extract media payloads via Arrow-batched
     ``mapInPandas``.
 
-    Real work per batch: byte length + md5 content hash (true properties
-    of the payload). Stubbed work: width/height/n_frames, which a real
-    implementation would get from an image/av decoder — here derived
-    deterministically from the payload hash so tests are stable. With
-    ``strict=True`` the stub raises NotImplementedError instead (the
-    behavior a production build replaces).
+    Per batch: byte length + md5 content hash (true properties of any
+    payload), then a REAL header parse for BMP (width/height) and
+    RIFF/WAV (sample_rate, n_frames, duration_ms) containers — pure
+    byte parsing, no codec library. Payloads in other containers get
+    hash-derived stub dimensions (media_kind='unknown') so tests are
+    stable, or — with ``strict=True`` — raise NotImplementedError (the
+    behavior a codec-equipped production build replaces).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not FAKE_DECODE or strict:
-                raise NotImplementedError(
-                    "media decode requires an image/audio decoder; not available in this environment"
-                )
-            payloads = pdf["payload"]
-            hashes = [hashlib.md5(p).hexdigest() for p in payloads]
+            out = {k: [] for k in (
+                "doc_id", "n_bytes", "content_hash", "media_kind",
+                "width", "height", "n_frames", "sample_rate", "duration_ms",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                h = hashlib.md5(p).hexdigest()
+                row = {"doc_id": doc_id, "n_bytes": len(p), "content_hash": h,
+                       "width": None, "height": None, "n_frames": None,
+                       "sample_rate": None, "duration_ms": None}
+                if (bmp := parse_bmp_header(p)) is not None:
+                    row.update(media_kind="bmp", n_frames=1, **bmp)
+                elif (wav := parse_wav_header(p)) is not None:
+                    row.update(
+                        media_kind="wav",
+                        sample_rate=wav["sample_rate"],
+                        n_frames=wav["n_frames"],
+                        duration_ms=wav["duration_ms"],
+                    )
+                elif not FAKE_DECODE or strict:
+                    raise NotImplementedError(
+                        "media decode beyond BMP/WAV headers requires an "
+                        "image/audio codec; not available in this environment"
+                    )
+                else:
+                    row.update(
+                        media_kind="unknown",
+                        width=16 + int(h[:2], 16),
+                        height=16 + int(h[2:4], 16),
+                        n_frames=1,
+                    )
+                for k, v in row.items():
+                    out[k].append(v)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(p) for p in payloads],
-                    "content_hash": hashes,
-                    # Deterministic fake decode: dimensions from hash bytes.
-                    "width": [16 + int(h[:2], 16) for h in hashes],
-                    "height": [16 + int(h[2:4], 16) for h in hashes],
-                    "n_frames": [1 for _ in hashes],
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "n_bytes": pd.array(out["n_bytes"], dtype="int64"),
+                    "content_hash": out["content_hash"],
+                    "media_kind": out["media_kind"],
+                    # pandas nullable ints → Arrow ints with nulls (a plain
+                    # float64 column would trip non-finite→int conversion)
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
                 }
             )
 

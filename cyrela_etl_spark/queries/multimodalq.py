@@ -21,6 +21,7 @@ from cyrela_etl_spark.operators.multimodal import (
     byte_histogram,
     extract_media_meta,
     sample_frames,
+    synthesize_media,
 )
 from cyrela_etl_spark.queries import register
 
@@ -30,19 +31,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multimodal_media_meta — binarize → mapInPandas extract (md5, byte length,
-# stub-decoded dimensions).
+# multimodal_media_meta — REAL container decode: synthesize_media builds a
+# valid 24-bpp BMP (even doc_id) or PCM WAV (odd doc_id) per document with
+# id-derived parameters, extract_media_meta parses the actual container
+# headers back (pure-Python byte parse, operators/multimodal.py), and the
+# oracle predicts every decoded field arithmetically from doc_id — so a
+# header-layout bug on either the build or parse side breaks the hash.
+# BMP size = 54 + 4-aligned 24-bpp rows; WAV size = 44-byte RIFF header +
+# 2 bytes per 16-bit mono sample.
 # ---------------------------------------------------------------------------
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    binary = binarize_text(_docs(spark, sf_dir))
-    meta = extract_media_meta(binary)
+    media = synthesize_media(_docs(spark, sf_dir))
+    meta = extract_media_meta(media, strict=True)
     return meta.select(
         "doc_id",
         "n_bytes",
-        "content_hash",
+        "media_kind",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
     )
 
 
@@ -50,13 +59,24 @@ register(
     "multimodal_media_meta",
     multimodal_media_meta,
     """
+WITH p AS (
+  SELECT doc_id,
+         1 + doc_id % 64 AS w,
+         1 + (doc_id // 64) % 64 AS h,
+         8000 + (doc_id % 8) * 1000 AS sr,
+         1 + doc_id % 1000 AS ns
+  FROM documents
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS content_hash,
-       16 + CAST(CONCAT('0x', SUBSTR(md5(text), 1, 2)) AS BIGINT) AS width,
-       16 + CAST(CONCAT('0x', SUBSTR(md5(text), 3, 2)) AS BIGINT) AS height,
-       CAST(1 AS BIGINT) AS n_frames
-FROM documents
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + ((w * 3 + 3) // 4 * 4) * h
+                 ELSE 44 + ns * 2 END AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS media_kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN w END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN h END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE ns END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN sr END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN ns * 1000 // sr END AS BIGINT) AS duration_ms
+FROM p
 """,
 )
 

@@ -197,3 +197,51 @@ def test_cents_half_away_matches_sql_round():
     # where they differ: Series.round gives 12). 1.005*100 = 100.49999…
     # is not a half → 100 in every engine.
     assert got == [13, -13, 100, 10, -268]
+
+
+def test_bmp_wav_build_parse_roundtrip():
+    """Real container headers: what make_* writes, parse_*_header reads
+    back — byte-level layout verified without any codec library."""
+    from cyrela_etl_spark.operators.multimodal import (
+        make_bmp,
+        make_wav,
+        parse_bmp_header,
+        parse_wav_header,
+    )
+
+    b = make_bmp(33, 7)
+    assert parse_bmp_header(b) == {"width": 33, "height": 7}
+    # 24-bpp rows are padded to 4 bytes: 33*3=99 → 100 per row
+    assert len(b) == 54 + 100 * 7
+    assert parse_wav_header(b) is None
+
+    w = make_wav(11025, 500)
+    got = parse_wav_header(w)
+    assert got == {
+        "sample_rate": 11025,
+        "channels": 1,
+        "n_frames": 500,
+        "duration_ms": 500 * 1000 // 11025,
+    }
+    assert len(w) == 44 + 500 * 2
+    assert parse_bmp_header(w) is None
+    # garbage is neither
+    assert parse_bmp_header(b"\x00" * 100) is None
+    assert parse_wav_header(b"RIFFxxxx") is None
+
+
+def test_media_decode_real_headers_via_spark(spark, sf_dir):
+    from cyrela_etl_spark.operators.multimodal import extract_media_meta, synthesize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    meta = {r["doc_id"]: r for r in extract_media_meta(synthesize_media(docs), strict=True).collect()}
+    for i, r in meta.items():
+        if i % 2 == 0:
+            assert r["media_kind"] == "bmp"
+            assert r["width"] == 1 + i % 64 and r["height"] == 1 + (i // 64) % 64
+            assert r["sample_rate"] is None
+        else:
+            assert r["media_kind"] == "wav"
+            assert r["sample_rate"] == 8000 + (i % 8) * 1000
+            assert r["n_frames"] == 1 + i % 1000
+            assert r["width"] is None
