@@ -85,3 +85,43 @@ FROM customer
 GROUP BY c_mktsegment
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_table_roundtrip — the lakehouse TABLE layer (Delta-style managed
+# tables over zone parquet; sources/zones.py promote_table): overwrite a
+# catalog table with half of supplier, append the other half, then read
+# BACK through the catalog (spark.table, not the path) and aggregate.
+# A stale file listing (missing REFRESH), a stale location (re-bound
+# tempdir), or append writing over overwrite all break the totals.
+# ---------------------------------------------------------------------------
+def storage_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="zone_tbl_")
+    store = ZoneStore(spark, root)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    store.promote_table(supp.filter(F.col("s_suppkey") % 2 == 0), "curated", "supp", "zone_supplier")
+    store.promote_table(
+        supp.filter(F.col("s_suppkey") % 2 == 1), "curated", "supp", "zone_supplier", mode="append"
+    )
+    return store.table("zone_supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(12,2)")).cast("double").alias("total_balance"),
+        F.min("s_suppkey").alias("min_key"),
+        F.max("s_suppkey").alias("max_key"),
+    )
+
+
+register(
+    "storage_table_roundtrip",
+    storage_table_roundtrip,
+    """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance,
+       min(s_suppkey) AS min_key,
+       max(s_suppkey) AS max_key
+FROM supplier
+GROUP BY s_nationkey
+""",
+)

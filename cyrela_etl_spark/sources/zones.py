@@ -117,3 +117,45 @@ class ZoneStore:
         else:
             raise ValueError(f"unsupported zone format {fmt!r}")
         return target
+
+    # -- catalog tables (lakehouse table layer) -----------------------------
+    # The reference ships delta-core_2.12-0.7.0.jar in both images as latent
+    # capability (reference Dockerfile:14, spark/Dockerfile:12) but never
+    # uses it; delta-spark is not installable in this sandbox either. The
+    # zone-table layer therefore uses Spark's session catalog over the zone
+    # parquet: named tables, append/overwrite lifecycle, catalog-driven
+    # reads (`spark.table`) — the Delta API surface minus the transaction
+    # log. On a delta-enabled cluster, swap `USING PARQUET` for
+    # `USING DELTA` and drop the REFRESH (Delta self-invalidates).
+    def promote_table(
+        self,
+        df: DataFrame,
+        to_zone: str,
+        key: str,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Write into a zone AND register/refresh the session-catalog table
+        over it. ``overwrite`` rebinds the table (drop + recreate, so a
+        re-run with a fresh root never reads a stale location); ``append``
+        adds files under the existing location and refreshes the catalog's
+        file listing."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        target = self.path(to_zone, key)
+        if mode == "overwrite":
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        self.spark.sql(f"CREATE TABLE IF NOT EXISTS {table} USING PARQUET LOCATION '{target}'")
+        # Spark caches a table's file listing; appended files are invisible
+        # until refresh (Delta's transaction log makes this automatic).
+        self.spark.sql(f"REFRESH TABLE {table}")
+        return target
+
+    def table(self, table: str) -> DataFrame:
+        """Catalog-driven read — consumers address the TABLE, not the path."""
+        return self.spark.table(table)

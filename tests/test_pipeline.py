@@ -110,3 +110,28 @@ def test_wallet_flow_end_to_end(spark, store, tmp_path):
     assert float(by_emp[40]["p_empresa"]) == 1.0  # 40 / max(40)
     assert int(by_emp[20]["p_marca"]) == 2  # Living
     assert [int(by_emp[e]["p_dias_atraso_category"]) for e in (20, 30, 40)] == [1, 2, 0]
+
+
+def test_zone_table_overwrite_append_lifecycle(spark, sf_dir, tmp_path):
+    """Catalog-table layer: overwrite rebinds (even across a NEW root),
+    append extends and is visible without re-registration."""
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.sources.zones import ZoneStore
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    s1 = ZoneStore(spark, str(tmp_path / "r1"))
+    s1.promote_table(nation.filter("n_nationkey < 10"), "curated", "nat", "t_zone_nation")
+    assert spark.table("t_zone_nation").count() == 10
+    s1.promote_table(
+        nation.filter("n_nationkey >= 10"), "curated", "nat", "t_zone_nation", mode="append"
+    )
+    assert spark.table("t_zone_nation").count() == nation.count()
+    # overwrite from a DIFFERENT root must rebind the location, not append
+    s2 = ZoneStore(spark, str(tmp_path / "r2"))
+    s2.promote_table(nation.filter("n_nationkey = 0"), "curated", "nat", "t_zone_nation")
+    assert spark.table("t_zone_nation").count() == 1
+    assert s2.table("t_zone_nation").collect()[0]["n_nationkey"] == 0
+    with pytest.raises(ValueError, match="overwrite|append"):
+        s2.promote_table(nation, "curated", "nat", "t_zone_nation", mode="errorifexists")
+    spark.sql("DROP TABLE IF EXISTS t_zone_nation")
