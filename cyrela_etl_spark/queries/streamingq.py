@@ -211,3 +211,27 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_rate_windowed — the UNBOUNDED-source proof: Spark's rate source
+# (the stock Kafka stand-in: same DataSource-V2 micro-batch interface,
+# per-partition monotone offsets, never exhausts) shaped into the events
+# contract and run through the same tumbling-window + watermark builder
+# the file-source queries use, with continuous micro-batches stopped from
+# the driver once output exists. No DuckDB oracle is possible — the input
+# is wall-clock-generated — so this is a declared rows-only check; the
+# deterministic window/watermark SEMANTICS are covered by the five
+# file-source streaming queries against batch oracles.
+# ---------------------------------------------------------------------------
+def stream_rate_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.streaming import rate_to_events, read_rate_stream, run_until_rows
+
+    events = rate_to_events(read_rate_stream(spark, rows_per_second=2000, num_partitions=4))
+    agg = tumbling_counts(events, width="2 seconds", keys=("event_type",), watermark="2 seconds")
+    return _drain(
+        spark, run_until_rows, agg, "stream_rate_windowed", min_rows=1, output_mode="update"
+    )
+
+
+register("stream_rate_windowed", stream_rate_windowed, None)

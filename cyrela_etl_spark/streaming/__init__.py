@@ -15,18 +15,28 @@ run (and the DuckDB oracle checks the batch semantics).
 
 from cyrela_etl_spark.streaming.ops import (
     dedup_within_watermark,
+    from_bus_envelope,
+    rate_to_events,
     read_file_stream,
+    read_rate_stream,
     run_available_now,
     run_available_now_to_parquet,
+    run_until_rows,
     session_agg,
     sliding_counts,
+    to_bus_envelope,
     tumbling_counts,
 )
 
 __all__ = [
     "read_file_stream",
+    "read_rate_stream",
+    "rate_to_events",
+    "to_bus_envelope",
+    "from_bus_envelope",
     "run_available_now",
     "run_available_now_to_parquet",
+    "run_until_rows",
     "tumbling_counts",
     "sliding_counts",
     "session_agg",

@@ -55,6 +55,114 @@ def read_file_stream(
     return reader.load(path)
 
 
+def read_rate_stream(
+    spark: SparkSession,
+    rows_per_second: int = 500,
+    num_partitions: int = 4,
+) -> DataFrame:
+    """UNBOUNDED message-bus-shaped source (Spark's rate source): emits
+    (timestamp, value) rows forever at a fixed rate across
+    ``num_partitions`` — the stock stand-in for a Kafka topic (same
+    DataSource-V2 micro-batch interface, per-partition monotone offsets,
+    never exhausts). Production swaps ``format('rate')`` for
+    ``format('kafka')`` + ``from_bus_envelope`` below; every window/
+    watermark builder in this module runs unchanged on either.
+    """
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+
+
+def rate_to_events(raw: DataFrame) -> DataFrame:
+    """Shape a rate stream into the events contract (event_id, user_id,
+    event_type, ts, value) — deterministic in ``value`` so tests can
+    assert per-key arithmetic while the arrival times stay genuinely
+    unbounded/wall-clock."""
+    etype = F.element_at(
+        F.array(F.lit("click"), F.lit("view"), F.lit("purchase")),
+        (F.col("value") % 3 + 1).cast("int"),
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        (F.col("value") % 100).alias("user_id"),
+        etype.alias("event_type"),
+        F.col("timestamp").alias("ts"),
+        ((F.col("value") % 1000) / F.lit(100.0)).alias("value"),
+    )
+
+
+# Kafka's fixed source schema — the bus contract the engine codes against.
+BUS_VALUE_COLS = ("key", "value", "topic", "partition", "offset", "timestamp")
+
+
+def to_bus_envelope(df: DataFrame, key_col: str, topic: str, ts_col: str) -> DataFrame:
+    """Serialize a typed relation into Kafka-source-shaped envelopes:
+    (key binary, value binary(JSON), topic, partition, offset, timestamp).
+    partition/offset are synthesized (hash / monotonic id) — a real bus
+    assigns its own; what matters is that consumers see the exact schema
+    ``spark.readStream.format('kafka')`` produces."""
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return df.select(
+        F.encode(F.col(key_col).cast("string"), "UTF-8").alias("key"),
+        F.encode(payload, "UTF-8").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(8)).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.col(ts_col).cast("timestamp").alias("timestamp"),
+    )
+
+
+def from_bus_envelope(envelopes: DataFrame, value_schema: StructType | str) -> DataFrame:
+    """Decode bus envelopes back into the typed relation: JSON-parse the
+    ``value`` bytes against an explicit schema (schema-on-read is still
+    mandatory — bad records become null rows to filter/audit, never a
+    stream crash). Works identically on the batch and streaming sides.
+    """
+    parsed = F.from_json(F.decode(F.col("value"), "UTF-8"), value_schema)
+    return envelopes.select(parsed.alias("r")).select("r.*")
+
+
+def run_until_rows(
+    sdf: DataFrame,
+    name: str,
+    min_rows: int,
+    timeout_sec: float = 60.0,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Run an UNBOUNDED stream (rate/bus source — AvailableNow cannot
+    drain it) with continuous micro-batches until the memory sink holds
+    ``min_rows``, then stop. Raises on timeout — a silent short result
+    would let a wedged stream pass tests.
+    """
+    import time
+
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    spark = sdf.sparkSession
+    try:
+        deadline = time.monotonic() + timeout_sec
+        while spark.table(name).count() < min_rows:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"stream {name!r} produced <{min_rows} rows in {timeout_sec}s"
+                )
+            if not q.isActive:
+                raise RuntimeError(f"stream {name!r} died: {q.exception()}")
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def tumbling_counts(
     df: DataFrame,
     ts_col: str = "ts",
