@@ -73,6 +73,11 @@ _PRIORITY: list[str] = [
     "storage_table_roundtrip",
     "minmax_normalize_window",
     "stream_rate_windowed",
+    "q08_market_share",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
 ]
 
 

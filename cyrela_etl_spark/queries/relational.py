@@ -1059,3 +1059,271 @@ same_pairs AS (
 SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# q08: TPC-H Q8-flavored national market share — the deep star join (8
+# relations, two roles for nation) + conditional share aggregation. The
+# supplier-nation share of ECONOMY-part revenue into ASIA customers, per
+# order year. Dims broadcast; the fact chain shuffles once per join key.
+# --------------------------------------------------------------------------
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n_cust), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region["r_regionkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n_supp), supp["s_nationkey"] == F.col("sn_key"))
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast(DEC))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(nation_vol).alias("nv"), F.sum(vol).alias("tv"))
+        .select(
+            "o_year",
+            (F.col("nv").cast("double") / F.col("tv").cast("double")).alias("mkt_share"),
+            F.col("tv").cast("double").alias("total_volume"),
+        )
+    )
+
+
+register(
+    "q08_market_share",
+    q08_market_share,
+    f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS {SQL_DEC}) * (1 - CAST(l_discount AS {SQL_DEC})) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
+         / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+       CAST(sum(vol) AS DOUBLE) AS total_volume
+FROM j
+GROUP BY o_year
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# q17: TPC-H Q17-flavored small-quantity revenue — the per-group scalar
+# threshold pattern: lineitems below 20% of their part's average quantity.
+# Expressed as one window aggregate over the part key (one shuffle) rather
+# than Q17's correlated subquery — same relation, no rescan.
+# --------------------------------------------------------------------------
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#7") & (F.col("p_type") == "PROMO")
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    # avg as exact ratio: sum/count (one IEEE division; identical in DuckDB)
+    thresh = (
+        F.lit(0.2)
+        * F.sum(F.col("l_quantity").cast("long")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    small = j.withColumn("_thresh", thresh).filter(F.col("l_quantity") < F.col("_thresh"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+    )
+
+
+register(
+    "q17_small_qty_revenue",
+    q17_small_qty_revenue,
+    f"""
+WITH j AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         0.2 * CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS DOUBLE)
+             / CAST(count(*) OVER (PARTITION BY l_partkey) AS DOUBLE) AS thresh
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#7' AND p_type = 'PROMO'
+)
+SELECT count(*) AS n_small,
+       CAST(sum(CAST(l_extendedprice AS {SQL_DEC})) AS DOUBLE) / 7.0 AS avg_yearly
+FROM j
+WHERE l_quantity < thresh
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# q18: TPC-H Q18-flavored large-volume orders — HAVING over a fact rollup
+# feeding a semi-join back into the order/customer detail, global top-k.
+# The big-quantity keys are found with ONE aggregation of lineitem; only
+# matching orders join onward (Catalyst plans the IN as left-semi).
+# --------------------------------------------------------------------------
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").alias("o_orderdate"),
+            F.col("o_totalprice").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+register(
+    "q18_large_orders",
+    q18_large_orders,
+    """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# q19: TPC-H Q19-flavored disjunctive predicate revenue — three OR-branches
+# of (brand, size-range, quantity-range). The join is a single equi-join on
+# partkey with the disjunction evaluated post-join; Catalyst pushes the
+# shared part-side filter (size >= 1) into the scan.
+# --------------------------------------------------------------------------
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(5, 30)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(10, 40)
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        j.filter(b1 | b2 | b3)
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+register(
+    "q19_disjunctive_revenue",
+    q19_disjunctive_revenue,
+    f"""
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS {SQL_DEC}) * (1 - CAST(l_discount AS {SQL_DEC}))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5  AND 30)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10 AND 40)
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# q22: TPC-H Q22-flavored idle high-balance customers — substring-derived
+# country code, a scalar-subquery balance threshold, and an ANTI join
+# against orders (customers who never ordered). cntrycode = last 2 digits
+# of c_name (the driver schema has no phone column).
+# --------------------------------------------------------------------------
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pool = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring(F.col("c_name"), -2, 2)
+    )
+    # scalar threshold: avg positive balance, as an exact sum/count ratio
+    # (broadcast 1-row aggregate, not a rescan)
+    thresh = pool.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("_avg_bal")
+    )
+    # "idle" = no order in the last 18 months of the data window (every
+    # customer in the driver data has SOME order, so TPC-H's no-order-ever
+    # form would be vacuously empty)
+    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01").select(
+        "o_custkey"
+    )
+    return (
+        pool.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, pool["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+register(
+    "q22_idle_customers",
+    q22_idle_customers,
+    f"""
+WITH pool AS (
+  SELECT c_custkey, c_acctbal, substr(c_name, length(c_name) - 1, 2) AS cntrycode
+  FROM customer
+),
+t AS (
+  SELECT CAST(sum(CAST(c_acctbal AS {SQL_DEC})) AS DOUBLE) / count(*) AS avg_bal
+  FROM pool WHERE c_acctbal > 0
+)
+SELECT cntrycode, count(*) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS {SQL_DEC})) AS DOUBLE) AS total_bal
+FROM pool, t
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode
+""",
+)
