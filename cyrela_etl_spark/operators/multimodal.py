@@ -83,6 +83,15 @@ def parse_bmp_header(b: bytes) -> dict | None:
     return {"width": abs(width), "height": abs(height)}
 
 
+def parse_png_header(b: bytes) -> dict | None:
+    """(width, height) from a PNG signature + IHDR chunk (big-endian,
+    fixed offsets 16/20 per the PNG spec), None if not a PNG."""
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack_from(">II", b, 16)
+    return {"width": width, "height": height}
+
+
 def parse_wav_header(b: bytes) -> dict | None:
     """(sample_rate, channels, n_frames, duration_ms) from a RIFF/WAVE
     file by walking its chunk list, None if not a WAV."""
@@ -173,6 +182,8 @@ def extract_media_meta(binary_df: DataFrame, strict: bool = False) -> DataFrame:
                        "sample_rate": None, "duration_ms": None}
                 if (bmp := parse_bmp_header(p)) is not None:
                     row.update(media_kind="bmp", n_frames=1, **bmp)
+                elif (png := parse_png_header(p)) is not None:
+                    row.update(media_kind="png", n_frames=1, **png)
                 elif (wav := parse_wav_header(p)) is not None:
                     row.update(
                         media_kind="wav",

@@ -245,3 +245,18 @@ def test_media_decode_real_headers_via_spark(spark, sf_dir):
             assert r["sample_rate"] == 8000 + (i % 8) * 1000
             assert r["n_frames"] == 1 + i % 1000
             assert r["width"] is None
+
+
+def test_png_header_parse():
+    import struct
+    import zlib
+
+    from cyrela_etl_spark.operators.multimodal import parse_png_header
+
+    ihdr = struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    assert parse_png_header(png) == {"width": 640, "height": 480}
+    assert parse_png_header(b"\x89PNGxxxx" + b"\x00" * 20) is None

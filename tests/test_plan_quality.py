@@ -67,3 +67,40 @@ def test_ivf_assignment_stays_python_arrow_not_literal(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
     plan = _plan(ivf_topk(emb, q, k=3, n_centroids=8))
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_q08_broadcasts_all_dims(spark, sf_dir):
+    """The 8-relation market-share star: every dimension (part, both
+    nation roles, region, supplier) must broadcast — only the
+    lineitem/orders/customer fact chain may shuffle."""
+    from cyrela_etl_spark.queries.relational import q08_market_share
+
+    plan = _plan(q08_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the orders date window reaches the scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_q19_prunes_lineitem_columns(spark, sf_dir):
+    """The disjunction mixes part and lineitem columns so it can't push
+    into either scan — but column pruning still must: the lineitem scan
+    needs exactly 4 of 11 columns."""
+    from cyrela_etl_spark.queries.relational import q19_disjunctive_revenue
+
+    plan = _plan(q19_disjunctive_revenue(spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "lineitem.parquet" in l)
+    for col in ("l_partkey", "l_quantity", "l_extendedprice", "l_discount"):
+        assert col in scan
+    for col in ("l_shipdate", "l_returnflag", "l_tax", "l_orderkey"):
+        assert col not in scan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_plans_one_lineitem_aggregation(spark, sf_dir):
+    """The big-order keys come from ONE aggregation of lineitem (partial
+    map-side + final), not a correlated per-order rescan."""
+    from cyrela_etl_spark.queries.relational import q18_large_orders
+
+    plan = _plan(q18_large_orders(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "HashAggregate" in plan
