@@ -78,6 +78,9 @@ _PRIORITY: list[str] = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    "window_analytics",
+    "agg_grouping_sets",
+    "agg_exact_median",
 ]
 
 

@@ -1327,3 +1327,107 @@ WHERE c_acctbal > avg_bal
 GROUP BY cntrycode
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# window_analytics — the analytic-function battery: ntile / percent_rank /
+# cume_dist / nth_value over one totally-ordered window (unique tie-break
+# on the key makes every function deterministic; percent_rank and
+# cume_dist are single divisions of exact ints).
+# --------------------------------------------------------------------------
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-01-01")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
+    )
+
+
+register(
+    "window_analytics",
+    window_analytics,
+    """
+SELECT o_orderkey, o_orderstatus,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume,
+       first_value(o_orderkey) OVER w AS cheapest_key,
+       nth_value(o_orderkey, 2) OVER
+         (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01'
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# agg_grouping_sets — explicit GROUPING SETS (the general form rollup/cube
+# specialize): per-status, per-priority, and grand-total aggregates in ONE
+# pass (Catalyst expands to a single Expand + hash agg, not three scans).
+# Group labels are coalesced (no natural NULLs in these columns).
+# --------------------------------------------------------------------------
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("v_orders_gs")
+    return orders.sparkSession.sql(
+        f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS {SQL_DEC})) AS DOUBLE) AS total_price
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+register(
+    "agg_grouping_sets",
+    agg_grouping_sets,
+    f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS {SQL_DEC})) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# agg_exact_median — exact percentile aggregate (Spark `percentile`, DuckDB
+# `quantile_cont`): both engines define the 0.5 quantile as the same linear
+# interpolation between the two middle order statistics — one subtraction,
+# one multiply, one add on doubles, bit-identical.
+# --------------------------------------------------------------------------
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+register(
+    "agg_exact_median",
+    agg_exact_median,
+    """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
