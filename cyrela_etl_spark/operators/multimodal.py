@@ -49,12 +49,15 @@ def make_bmp(width: int, height: int) -> bytes:
         b"BM", 54 + data_size, 0, 0, 54,
         40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0,
     )
-    px = bytearray(data_size)
-    for y in range(height):
-        for x in range(width):
-            o = y * row + x * 3
-            px[o : o + 3] = bytes(((x * 7) & 0xFF, (y * 13) & 0xFF, (x ^ y) & 0xFF))
-    return header + bytes(px)
+    import numpy as np
+
+    xs = np.arange(width, dtype=np.int64)
+    ys = np.arange(height, dtype=np.int64)[:, None]
+    px = np.zeros((height, row), dtype=np.uint8)
+    px[:, 0 : 3 * width : 3] = (xs * 7) & 0xFF
+    px[:, 1 : 3 * width : 3] = (ys * 13) & 0xFF
+    px[:, 2 : 3 * width : 3] = (xs ^ ys) & 0xFF
+    return header + px.tobytes()
 
 
 def make_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
@@ -68,10 +71,11 @@ def make_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16
         1, channels, sample_rate, sample_rate * block_align, block_align, bits,
         b"data", data_size,
     )
-    samples = b"".join(
-        struct.pack("<h", ((i * 257) % 65536) - 32768) for i in range(n_samples * channels)
-    )
-    return header + samples
+    import numpy as np
+
+    i = np.arange(n_samples * channels, dtype=np.int64)
+    samples = ((i * 257) % 65536 - 32768).astype("<i2")
+    return header + samples.tobytes()
 
 
 def parse_bmp_header(b: bytes) -> dict | None:
