@@ -31,6 +31,17 @@ def stable_hash64(col: Column) -> Column:
     return hex_prefix_long(col)
 
 
+def fast_hash60(col: Column) -> Column:
+    """Spark-native xxhash64 masked to the same non-negative 60-bit range
+    as ``hex_prefix_long`` — the PRODUCTION hash for signature folds (LSH
+    dedup over a 100 TB corpus hashes ~10¹¹ shingles; xxhash64 is several
+    times cheaper than md5 and needs no hex→int conversion). NOT
+    oracle-portable: its bit pattern is Spark-specific, so oracle-checked
+    queries keep md5 and operators expose it behind ``hash_fn='xxhash64'``.
+    """
+    return F.shiftrightunsigned(F.xxhash64(col), 4).cast("long")
+
+
 def universal_hash(x: Column, a: int, b: int, prime: int = MERSENNE_PRIME) -> Column:
     """(a*x + b) mod prime — the classic universal hash used to simulate
     independent MinHash permutations from one base hash (Broder 1997,

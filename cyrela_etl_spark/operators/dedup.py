@@ -29,7 +29,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cyrela_etl_spark.functions.hashing import MERSENNE_PRIME, hex_prefix_long
+from cyrela_etl_spark.functions.hashing import MERSENNE_PRIME, fast_hash60, hex_prefix_long
+
+
+def _base_hash(hash_fn: str):
+    """Signature base hash: 'md5' (engine-portable, the oracle contract)
+    or 'xxhash64' (Spark-native, several times cheaper — the production
+    choice at corpus scale; same 60-bit non-negative range, not
+    reproducible outside Spark)."""
+    if hash_fn == "md5":
+        return hex_prefix_long
+    if hash_fn == "xxhash64":
+        return fast_hash60
+    raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
 from cyrela_etl_spark.operators.text import tokens
 
 # Fixed (a, b) parameters for the universal-hash family simulating
@@ -125,17 +137,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document MinHash signature (array<bigint>, length num_hashes).
 
-    h_i(doc) = min over shingles of (a_i * md5int(shingle) + b_i) mod P.
-    One pass, per-row fold; no shuffle. Portable across engines.
+    h_i(doc) = min over shingles of (a_i * hash(shingle) + b_i) mod P.
+    One pass, per-row fold; no shuffle. ``hash_fn='md5'`` (default) is
+    portable across engines; ``'xxhash64'`` is the faster
+    production-scale base hash (see ``_base_hash``).
     """
-    sig = minhash_signature_expr(word_shingles(F.col(text_col), shingle_n), num_hashes)
+    sig = minhash_signature_expr(word_shingles(F.col(text_col), shingle_n), num_hashes, hash_fn)
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
-def minhash_signature_expr(shingles: Column, num_hashes: int = 16) -> Column:
+def minhash_signature_expr(shingles: Column, num_hashes: int = 16, hash_fn: str = "md5") -> Column:
     """MinHash signature (array<bigint>) as a single expression over a
     shingle-array column.
 
@@ -146,7 +161,7 @@ def minhash_signature_expr(shingles: Column, num_hashes: int = 16) -> Column:
     array K times (HOF bodies are opaque to Spark's subexpression
     elimination): measured 16× slower at sf0.1.
     """
-    hashed = F.transform(shingles, lambda s: hex_prefix_long(s) % F.lit(MERSENNE_PRIME))
+    hashed = F.transform(shingles, lambda s: _base_hash(hash_fn)(s) % F.lit(MERSENNE_PRIME))
     params = minhash_params(num_hashes)
     init = F.array(*[F.lit(MERSENNE_PRIME).cast("long")] * num_hashes)
 
@@ -239,6 +254,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
@@ -269,7 +285,7 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("signature", minhash_signature_expr(F.col("shingles"), num_hashes)).persist()
+    ).withColumn("signature", minhash_signature_expr(F.col("shingles"), num_hashes, hash_fn)).persist()
     banded = _cap_buckets(_minhash_banded(base, bands, rows), ["band", "bucket"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -298,7 +314,13 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Per-document SimHash fingerprint (Charikar 2002) over token hashes.
 
     bit_j(doc) = sign of Σ_tokens (±1 by bit j of the token's portable
@@ -311,7 +333,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         # fingerprint. (60 bits is ample: Manku et al. used 64 on 8B docs.)
         raise ValueError(f"bits must be in [1, 60] (md5-prefix width), got {bits}")
     tok = tokens(F.col(text_col))
-    hashes = F.transform(tok, lambda t: hex_prefix_long(t))
+    hashes = F.transform(tok, lambda t: _base_hash(hash_fn)(t))
 
     # Single fold: per token one md5, then `bits` sign votes on the bound
     # variable; the fingerprint is assembled in the aggregate's finish
@@ -384,6 +406,7 @@ def simhash_pairs(
     bits: int = 16,
     max_hamming: int = 2,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, LSH-banded.
 
@@ -401,7 +424,7 @@ def simhash_pairs(
     chunk_bits = bits // chunks
     # Persist fingerprints: the banded self-join references them on both
     # sides (same rationale as minhash_lsh_pairs — no recompute at scale).
-    fps = simhash(df, text_col, id_col, bits).persist()
+    fps = simhash(df, text_col, id_col, bits, hash_fn).persist()
     banded = _cap_buckets(_simhash_banded(fps, chunks, chunk_bits), ["chunk", "value"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -260,3 +260,20 @@ def test_png_header_parse():
     )
     assert parse_png_header(png) == {"width": 640, "height": 480}
     assert parse_png_header(b"\x89PNGxxxx" + b"\x00" * 20) is None
+
+
+def test_lsh_xxhash_fast_path_finds_planted_neardup(spark):
+    """hash_fn='xxhash64' (production base hash — not oracle-portable)
+    must find the same planted near-dup structure as the md5 path, and
+    reject unknown hash names."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra token"), (3, "совершенно other content entirely " * 5)],
+        ["doc_id", "text"],
+    )
+    pairs = D.minhash_lsh_pairs(df, num_hashes=16, bands=4, threshold=0.5, hash_fn="xxhash64").collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    sh = D.simhash_pairs(df.withColumn("text", F.col("text")), hash_fn="xxhash64").collect()
+    assert all(p["hamming"] <= 2 for p in sh)
+    with pytest.raises(ValueError, match="md5|xxhash64"):
+        D.minhash_signatures(df, hash_fn="fnv")
