@@ -49,3 +49,36 @@ def write_jdbc(
     if num_partitions is not None:
         writer = df.repartition(num_partitions)
     writer.write.jdbc(url=url, table=table, mode=mode, properties=props)
+
+
+def read_jdbc_partitioned(
+    spark,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int = 8,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """PARALLEL warehouse read — the read-side twin of ``write_jdbc`` and
+    the shape a warehouse→lake backfill needs at scale: ``num_partitions``
+    executors each open a connection scoped to a stride of
+    ``partition_column`` (Spark generates the WHERE ranges), instead of
+    one connection dragging the whole table through the driver.
+
+    ``partition_column`` must be an indexed numeric/date column with
+    roughly uniform distribution between the bounds — a skewed column
+    concentrates rows in one stride and serializes the read again (same
+    hot-key discipline as any shuffle). Bounds don't FILTER (rows outside
+    land in the edge partitions); they only split.
+    """
+    return spark.read.jdbc(
+        url,
+        table,
+        column=partition_column,
+        lowerBound=lower_bound,
+        upperBound=upper_bound,
+        numPartitions=num_partitions,
+        properties=properties or {},
+    )
