@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "window_analytics",
     "agg_grouping_sets",
     "agg_exact_median",
+    "fuzzy_match_names_indel",
 ]
 
 

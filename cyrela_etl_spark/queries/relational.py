@@ -1431,3 +1431,123 @@ FROM orders
 GROUP BY o_orderstatus
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# fuzzy_match_names_indel — FULL edit-distance-1 matching (substitutions
+# AND insertions/deletions) via DELETION-neighborhood blocking (the
+# SymSpell formulation): each distinct name emits itself plus its L
+# single-char-deletion variants; two names within edit distance 1 share
+# at least one variant string (substitution → same deletion at the
+# differing position; ins/del → the shorter name IS a deletion variant of
+# the longer). Same hot-group discipline as fuzzy_match_names: the
+# variant join runs on distinct names, record expansion happens after
+# verification. Candidates CAN share several variants (e.g. 'ab'/'ba'
+# via both 'a' and 'b'), hence the distinct before the levenshtein
+# verify.
+# --------------------------------------------------------------------------
+def fuzzy_name_pair_candidates_indel(names: DataFrame, name_col: str = "c_name") -> DataFrame:
+    del_variants = F.transform(
+        F.sequence(F.lit(1), F.length("c_name")),
+        lambda p: F.concat(
+            F.col("c_name").substr(F.lit(1), p - 1),
+            F.col("c_name").substr(p + 1, F.length("c_name")),
+        ),
+    )
+    variants = (
+        names.filter(F.length(name_col) >= 1)
+        .select(F.col(name_col).alias("c_name"))
+        .select(
+            "c_name",
+            F.explode(
+                F.array_distinct(F.concat(F.array(F.col("c_name")), del_variants))
+            ).alias("variant"),
+        )
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.c_name") < F.col("b.c_name")),
+        )
+        .select(F.col("a.c_name").alias("name_a"), F.col("b.c_name").alias("name_b"))
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b").cast("long")
+    return cand.select("name_a", "name_b", dist.alias("edit_distance")).filter(
+        F.col("edit_distance") <= 1
+    )
+
+
+def fuzzy_match_names_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .filter(F.length("c_name") >= 1)
+    )
+    verified = fuzzy_name_pair_candidates_indel(cust.select("c_name").distinct())
+    ia = cust.select(F.col("c_name").alias("name_a"), F.col("c_custkey").alias("ka"))
+    ib = cust.select(F.col("c_name").alias("name_b"), F.col("c_custkey").alias("kb"))
+    cross_pairs = (
+        verified.join(ia, "name_a")
+        .join(ib, "name_b")
+        .select(
+            F.least("ka", "kb").alias("id_a"),
+            F.greatest("ka", "kb").alias("id_b"),
+            "edit_distance",
+        )
+    )
+    x = cust.select(F.col("c_name"), F.col("c_custkey").alias("ka"))
+    y = cust.select(F.col("c_name"), F.col("c_custkey").alias("kb"))
+    same_pairs = (
+        x.join(y, "c_name")
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            F.col("ka").alias("id_a"),
+            F.col("kb").alias("id_b"),
+            F.lit(0).cast("long").alias("edit_distance"),
+        )
+    )
+    return cross_pairs.unionByName(same_pairs)
+
+
+register(
+    "fuzzy_match_names_indel",
+    fuzzy_match_names_indel,
+    """
+WITH cust AS (
+  SELECT c_custkey, c_name FROM customer WHERE length(c_name) >= 1
+),
+names AS (SELECT DISTINCT c_name FROM cust),
+v AS (
+  SELECT c_name, c_name AS variant FROM names
+  UNION
+  SELECT c_name,
+         substr(c_name, 1, CAST(pos AS INT) - 1) ||
+         substr(c_name, CAST(pos AS INT) + 1, length(c_name)) AS variant
+  FROM names, UNNEST(generate_series(1, length(c_name))) AS t(pos)
+),
+np AS (
+  SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.c_name < b.c_name
+),
+verified AS (
+  SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
+  FROM np WHERE levenshtein(name_a, name_b) <= 1
+),
+cross_pairs AS (
+  SELECT least(ia.c_custkey, ib.c_custkey) AS id_a,
+         greatest(ia.c_custkey, ib.c_custkey) AS id_b,
+         verified.edit_distance
+  FROM verified
+  JOIN cust ia ON ia.c_name = verified.name_a
+  JOIN cust ib ON ib.c_name = verified.name_b
+),
+same_pairs AS (
+  SELECT x.c_custkey AS id_a, y.c_custkey AS id_b, CAST(0 AS BIGINT) AS edit_distance
+  FROM cust x JOIN cust y ON x.c_name = y.c_name AND x.c_custkey < y.c_custkey
+)
+SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs
+""",
+)

@@ -269,3 +269,22 @@ def test_connected_components_raises_when_unconverged(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iters=1)
+
+
+def test_fuzzy_indel_candidates_catch_insertions_and_scale_by_distinct(spark):
+    """Deletion-neighborhood blocking: catches ins/del pairs the
+    substitution mask can't, still zero candidates for mass-duplicated
+    single names."""
+    from cyrela_etl_spark.queries.relational import fuzzy_name_pair_candidates_indel
+
+    dup = spark.createDataFrame([("Customer#0001",)] * 500, "c_name string").distinct()
+    assert fuzzy_name_pair_candidates_indel(dup).count() == 0
+
+    trio = spark.createDataFrame(
+        [("Customer#001",), ("Customer#01",), ("Customer#002",)], "c_name string"
+    ).distinct()
+    got = {(r["name_a"], r["name_b"]): r["edit_distance"]
+           for r in fuzzy_name_pair_candidates_indel(trio).collect()}
+    # deletion pair (001 -> 01) AND substitution pair (001 -> 002) both found
+    assert got[("Customer#001", "Customer#01")] == 1
+    assert got[("Customer#001", "Customer#002")] == 1
