@@ -82,6 +82,8 @@ _PRIORITY: list[str] = [
     "agg_grouping_sets",
     "agg_exact_median",
     "fuzzy_match_names_indel",
+    "temporal_sessionize",
+    "agg_filtered",
 ]
 
 

@@ -384,3 +384,39 @@ FROM orders
 GROUP BY o_orderstatus
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# agg_filtered — the FILTER-clause aggregate battery (per-predicate partial
+# aggregation in ONE pass — the idiomatic replacement for N self-joins or
+# N scans with different WHEREs).
+# ---------------------------------------------------------------------------
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    open_ = F.col("o_orderstatus") == "O"
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(urgent, 1)).alias("n_urgent"),
+        F.sum(F.when(urgent, F.col("o_totalprice").cast("decimal(12,2)")))
+        .cast("double")
+        .alias("urgent_price"),
+        F.max(F.when(open_ & urgent, F.col("o_orderdate"))).alias("last_open_urgent"),
+    )
+
+
+register(
+    "agg_filtered",
+    agg_filtered,
+    """
+SELECT o_orderstatus,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+            FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_price,
+       max(o_orderdate) FILTER (WHERE o_orderstatus = 'O'
+                                AND o_orderpriority = '1-URGENT') AS last_open_urgent
+FROM orders
+GROUP BY o_orderstatus
+""",
+)

@@ -158,3 +158,55 @@ SELECT s.event_type, s.bucket, CAST(coalesce(b.n, 0) AS BIGINT) AS n_events
 FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_sessionize — BATCH sessionization by inactivity gap (the batch
+# twin of the streaming session_window, so backfill and live streams agree
+# on session boundaries): a session break is a >30-minute gap since the
+# user's previous event; session index = running count of breaks. Two
+# window passes over one shuffle on user_id; ties broken by event_id.
+# ---------------------------------------------------------------------------
+def temporal_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_break = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = ev.withColumn("session_idx", F.sum(is_break).over(w))
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+register(
+    "temporal_sessionize",
+    temporal_sessionize,
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM s
+GROUP BY user_id, session_idx
+""",
+)
