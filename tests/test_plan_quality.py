@@ -104,3 +104,13 @@ def test_q18_plans_one_lineitem_aggregation(spark, sf_dir):
     plan = _plan(q18_large_orders(spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1
     assert "HashAggregate" in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both window passes and the session aggregation share the user_id
+    partitioning — one exchange, one sort, total."""
+    from cyrela_etl_spark.queries.temporalq import temporal_sessionize
+
+    plan = _plan(temporal_sessionize(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1

@@ -124,3 +124,26 @@ def test_minhash_signature_structure_and_exact_dup_equality(spark, docs):
         assert len(sig) == 8
         assert all(0 <= v < MERSENNE_PRIME for v in sig)
     assert sigs[0] == sigs[len(docs)]
+
+
+def test_cents_half_away_matches_duckdb_round_bulk():
+    """The engine's cent conversion must agree with SQL round() on 10k
+    seeded random doubles including exact .5 products and negatives —
+    the pandas half-even default diverges on hundreds of these."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from cyrela_etl_spark.operators.grouped import _cents_half_away
+
+    rng = np.random.default_rng(42)
+    vals = np.concatenate([
+        rng.uniform(-100, 100, 9000).round(3),       # typical money values
+        (rng.integers(-2000, 2000, 1000) + 0.5) / 100.0,  # exact .5 cents
+    ])
+    s = pd.Series(vals)
+    engine = _cents_half_away(s).to_numpy()
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    oracle = con.execute("SELECT CAST(round(v * 100) AS BIGINT) FROM t").df().iloc[:, 0].to_numpy()
+    assert (engine == oracle).all()
