@@ -169,3 +169,48 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("content_md5"),
         stable_hash64(norm).alias("fingerprint64"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    "Winnowing: local algorithms for document fingerprinting" — the MOSS
+    algorithm): hash every k-gram, slide a window of ``window`` consecutive
+    k-gram hashes, keep the minimum of each window, emit the distinct kept
+    hashes. Guarantees any shared run of ≥ window+k-1 tokens between two
+    documents shares a fingerprint, at ~2/(window+1) selection density.
+
+    Pure per-row expression work (transform/slice/array_min over one
+    md5-hash pass) — zero shuffles to fingerprint a corpus; output is the
+    exploded long form (doc_id, fingerprint) for relational overlap joins.
+    This is plain min-per-window (both engines break ties identically by
+    VALUE, so no positional tie-break is needed for portability).
+    """
+    # Each stage is materialized as a COLUMN before the next references it:
+    # HOF lambda bodies are opaque to Spark's subexpression elimination, so
+    # an inline `hashes` expression referenced inside the per-window slice
+    # would re-run the whole tokenize+md5 chain per window — measured ~50×
+    # slower (same pitfall documented on the MinHash fold).
+    tok_df = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+    grams_df = tok_df.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)),
+        ).alias("grams"),
+    )
+    hash_df = grams_df.select(
+        "doc_id", F.transform("grams", lambda g: stable_hash64(g)).alias("hs")
+    )
+    kept = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("hs") - F.lit(window - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, window)),
+        )
+    )
+    return hash_df.select("doc_id", F.explode(kept).alias("fingerprint"))

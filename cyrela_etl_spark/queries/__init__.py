@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "fuzzy_match_names_indel",
     "temporal_sessionize",
     "agg_filtered",
+    "text_winnow_fingerprints",
 ]
 
 

@@ -791,3 +791,54 @@ FROM ranked r JOIN df d ON r.term = d.term
 WHERE r.rnk <= {_TOP_TERMS}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# text_winnow_fingerprints — MOSS winnowing (Schleimer et al. 2003): distinct
+# min-per-window k-gram hashes per document (operators/text.py). The oracle
+# is the same pipeline in DuckDB list functions over the identical md5-hash
+# space — both engines take plain BY-VALUE window minima, so selection is
+# engine-independent.
+# ---------------------------------------------------------------------------
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+register(
+    "text_winnow_fingerprints",
+    text_winnow_fingerprints,
+    """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(toks) - 2, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ) AS gs
+  FROM tok
+),
+hashes AS (
+  SELECT doc_id,
+         list_transform(gs,
+           g -> CAST(CONCAT('0x', SUBSTR(MD5(g), 1, 15)) AS BIGINT)) AS hs
+  FROM grams
+),
+kept AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(hs) - 3, 1)),
+           i -> list_min(list_slice(hs, i, i + 3))
+         )) AS fps
+  FROM hashes
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
+FROM kept
+""",
+)
