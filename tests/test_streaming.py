@@ -109,3 +109,36 @@ def test_bus_envelope_roundtrip_matches_batch(spark, sf_dir, tmp_path):
     got = run_available_now(agg, "t_bus_rt", output_mode="complete")
     expect = tumbling_counts(events, width="1 hour", keys=("event_type",))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_stream_foreachbatch_jdbc_sink(spark, sf_dir, tmp_path):
+    """Streaming → foreachBatch → distributed JDBC append (Derby): the
+    production warehouse-sink shape (file/kafka sinks aside, every DW
+    load ends in exactly this pattern — per-microbatch exactly-once via
+    the checkpointed batch id). Drained counts must equal the source."""
+    from cyrela_etl_spark.sources.jdbc import write_jdbc
+    from cyrela_etl_spark.sources.parquet import events_long_ts_schema, normalize_event_ts
+    from cyrela_etl_spark.streaming import read_file_stream
+
+    url = f"jdbc:derby:{tmp_path}/whs;create=true"
+    schema = events_long_ts_schema(spark, sf_dir)
+    stream = normalize_event_ts(
+        read_file_stream(spark, sf_dir, schema, path_glob="events.parquet")
+    ).select("event_id", "user_id")
+
+    def sink(batch_df, batch_id):
+        write_jdbc(
+            batch_df, url, "wh_events", batchsize=500, num_partitions=2,
+            create_table_ddl="CREATE TABLE wh_events (event_id BIGINT, user_id BIGINT)"
+            if batch_id == 0 else None,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert spark.read.jdbc(url, "wh_events").count() == n_src
