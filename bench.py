@@ -60,6 +60,9 @@ HEADLINE = [
     "text_term_stats",
     "multimodal_media_meta",
     "stream_tumbling",
+    "q08_market_share",
+    "temporal_sessionize",
+    "text_winnow_fingerprints",
 ]
 
 
