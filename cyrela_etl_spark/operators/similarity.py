@@ -401,3 +401,49 @@ def embedding_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def l2_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact Euclidean (L2) top-k — the metric twin of ``cosine_topk``,
+    same broadcast + two-phase-rank plan. Distance is computed by the
+    three-dot-product expansion sqrt(aa − 2ab + bb) so both engines fold
+    floats in the identical order as their dot products (a zip-subtract-
+    square fold would sum in a different order and drift past the
+    rounding guard); clamped at 0 before sqrt (identical vectors can
+    expand to −1e−16)."""
+    d = data.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    q = queries.select(F.col("query_id"), to_double_array(vec_col).alias("qv"))
+    dist = F.sqrt(
+        F.greatest(
+            dot(F.col("qv"), F.col("qv"))
+            - F.lit(2.0) * dot(F.col("qv"), F.col("v"))
+            + dot(F.col("v"), F.col("v")),
+            F.lit(0.0),
+        )
+    )
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    scored = d.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", dist.alias("l2_dist")
+    )
+    order = [F.col("l2_dist").asc(), F.col("vec_id").asc()]
+    local_w = Window.partitionBy("query_id", "__pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(local_w))
+        .filter(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
+    final_w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "l2_dist")
+    )

@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "temporal_sessionize",
     "agg_filtered",
     "text_winnow_fingerprints",
+    "vector_l2_topk",
 ]
 
 

@@ -215,3 +215,37 @@ FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({_SQL_COS.format(a='a.v', b='b.v')}, 6) >= {_NEARDUP_T}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# vector_l2_topk — exact Euclidean top-k (metric twin of cosine; same
+# broadcast + two-phase rank plan; sqrt(aa-2ab+bb) expansion keeps the
+# float fold order identical to the oracle's list_dot_product).
+# ---------------------------------------------------------------------------
+def vector_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.similarity import l2_topk
+
+    out = l2_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=_K)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "l2_dist")
+
+
+ORACLE_L2 = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+         round(sqrt(greatest(
+           list_dot_product(q.qv, q.qv)
+           - 2.0 * list_dot_product(q.qv, d.v)
+           + list_dot_product(d.v, d.v), 0.0)), 6) AS l2_dist
+  FROM d JOIN q ON d.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, l2_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY l2_dist ASC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, l2_dist FROM ranked WHERE rank <= {_K}
+"""
+register("vector_l2_topk", vector_l2_topk, ORACLE_L2)
