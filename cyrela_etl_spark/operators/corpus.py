@@ -141,3 +141,42 @@ def pack_token_budget(
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("bin_id"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    keep_pct: int = 20,
+) -> DataFrame:
+    """Deterministic EXACT-fraction stratified sampling: within each
+    stratum, rank documents by content-free id hash and keep the first
+    ``ceil(n_stratum * keep_pct/100)`` — every stratum contributes its
+    exact proportion (a Bernoulli `sample()` only hits the rate in
+    expectation, and is not reproducible across engines). One shuffle on
+    the stratum key; selection is stable for a FIXED corpus snapshot
+    (rank-based selection shifts as a stratum grows — for growth-stable
+    per-document assignment use ``dataset_split``'s hash buckets).
+
+    The training-data use: downsampling over-represented
+    languages/sources to a mixture profile while keeping runs exactly
+    reproducible.
+    """
+    from pyspark.sql import Window
+
+    from cyrela_etl_spark.functions.hashing import stable_hash64
+
+    h = stable_hash64(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col)
+    wo = w.orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.row_number().over(wo).alias("h_rank"),
+        F.count(F.lit(1)).over(w).alias("n_stratum"),
+    )
+    keep_n = F.ceil(F.col("n_stratum") * keep_pct / 100)
+    return (
+        ranked.filter(F.col("h_rank") <= keep_n)
+        .select(id_col, stratum_col, F.col("h_rank").cast("long").alias("h_rank"))
+    )

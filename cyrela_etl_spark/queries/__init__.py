@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "agg_filtered",
     "text_winnow_fingerprints",
     "vector_l2_topk",
+    "corpus_stratified_sample",
 ]
 
 

@@ -842,3 +842,36 @@ SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
 FROM kept
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_stratified_sample — deterministic exact-fraction stratified
+# sampling by per-stratum hash rank (operators/corpus.py): every lang
+# contributes exactly ceil(20%) of its documents, selection reproducible
+# in any engine from the md5 hash order.
+# ---------------------------------------------------------------------------
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, stratum_col="lang", keep_pct=20)
+
+
+register(
+    "corpus_stratified_sample",
+    corpus_stratified_sample,
+    f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {sql_hex64("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS h_rank,
+         count(*) OVER (PARTITION BY lang) AS n_stratum
+  FROM documents
+)
+SELECT doc_id, lang, CAST(h_rank AS BIGINT) AS h_rank
+FROM ranked
+WHERE h_rank <= ceil(n_stratum * 20 / 100)
+""",
+)
