@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "text_winnow_fingerprints",
     "vector_l2_topk",
     "corpus_stratified_sample",
+    "storage_snapshot_diff",
 ]
 
 

@@ -125,3 +125,41 @@ FROM supplier
 GROUP BY s_nationkey
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_snapshot_diff — CDC snapshot diff (sources/zones.py
+# snapshot_diff): a new snapshot is derived from orders by deterministic
+# rules (drop %97 keys, bump %89 prices, insert %101 clones under new
+# keys); the full-outer fingerprint diff must classify every key exactly
+# as the rules predict — which is what the oracle computes directly.
+# ---------------------------------------------------------------------------
+def storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.zones import snapshot_diff
+
+    old = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    kept = old.filter(F.col("o_orderkey") % 97 != 0)
+    bumped = kept.withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % 89 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    inserted = old.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    new = bumped.unionByName(inserted.select(*bumped.columns))
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+register(
+    "storage_snapshot_diff",
+    storage_snapshot_diff,
+    """
+SELECT 'deleted' AS change, o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+UNION ALL
+SELECT 'updated', o_orderkey FROM orders
+WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+UNION ALL
+SELECT 'inserted', o_orderkey + 10000000 FROM orders WHERE o_orderkey % 101 = 0
+""",
+)

@@ -159,3 +159,100 @@ class ZoneStore:
     def table(self, table: str) -> DataFrame:
         """Catalog-driven read — consumers address the TABLE, not the path."""
         return self.spark.table(table)
+
+
+def compact_zone(
+    store: ZoneStore,
+    zone: str,
+    key: str,
+    target_file_mb: int = 128,
+) -> tuple[str, int, int]:
+    """Small-file compaction (the OPTIMIZE half of a table format): rewrite
+    a zone parquet dataset into ~``target_file_mb`` files. Streaming sinks
+    and per-batch appends leave thousands of tiny files; at 100 TB the
+    scan's task-per-file overhead and the NameNode/S3 LIST cost dominate
+    long before bytes do. Returns (path, files_before, files_after).
+
+    Sizing uses the on-disk byte sum (cheap driver-side listing), not row
+    counts — compressed bytes are what file targets mean. The rewrite is
+    a full read→repartition→overwrite of a STAGING path then swap, so a
+    concurrent reader never sees a half-written dataset.
+    """
+    path = store.path(zone, key)
+    fs, jvm = store._fs()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    files = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            files.append((f.getPath().toString(), f.getLen()))
+    n_before = len(files)
+    total_bytes = sum(sz for _, sz in files)
+    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = store.spark.read.parquet(path)
+    staging = path + "__compact_staging"
+    df.repartition(n_target).write.mode("overwrite").parquet(staging)
+    fs.delete(p, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), p)
+    return path, n_before, n_target
+
+
+def upsert_table(
+    store: ZoneStore,
+    zone: str,
+    key: str,
+    table: str,
+    updates: DataFrame,
+    merge_key: str,
+) -> None:
+    """Keyed MERGE (upsert) into a catalog zone table without a
+    transaction log: rows in ``updates`` replace same-key rows in the
+    table, new keys append — i.e. ``updates ∪ (current ⟕anti updates)``,
+    written as a NEW snapshot and the catalog rebound (readers of the
+    old snapshot finish against the old files; the swap is the rebind).
+    One shuffle (the anti join on the merge key). This is the
+    plain-parquet spelling of Delta's MERGE WHEN MATCHED UPDATE / NOT
+    MATCHED INSERT for whole-row updates.
+    """
+    current = store.spark.table(table)
+    keep = current.join(updates.select(merge_key), merge_key, "left_anti")
+    merged = updates.select(*current.columns).unionByName(keep)
+    # new snapshot path per version: plain parquet can't overwrite in
+    # place while reading itself
+    import uuid
+
+    new_key = f"{key}__v{uuid.uuid4().hex[:8]}"
+    store.promote_table(merged, zone, new_key, table, mode="overwrite")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data snapshot diff: (change, key...) rows classifying every
+    key as inserted / deleted / updated between two snapshots — the CDC
+    primitive for incremental downstream loads when the source has no
+    changelog. One full outer join on the key; 'updated' compares a
+    whole-row fingerprint (md5 of concat_ws over non-key columns, null
+    marker ␀) so schema-wide changes are caught without listing columns.
+    """
+    from pyspark.sql import functions as F
+
+    val_cols = [c for c in old.columns if c not in key_cols]
+
+    def fp(df: DataFrame) -> Column:
+        return F.md5(
+            F.concat_ws("\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in val_cols])
+        )
+
+    o = old.select(*key_cols, fp(old).alias("_fp_old"))
+    n = new.select(*key_cols, fp(new).alias("_fp_new"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_fp_old").isNull(), F.lit("inserted"))
+        .when(F.col("_fp_new").isNull(), F.lit("deleted"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("updated"))
+    )
+    return j.select(change.alias("change"), *key_cols).filter(F.col("change").isNotNull())

@@ -135,3 +135,58 @@ def test_zone_table_overwrite_append_lifecycle(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="overwrite|append"):
         s2.promote_table(nation, "curated", "nat", "t_zone_nation", mode="errorifexists")
     spark.sql("DROP TABLE IF EXISTS t_zone_nation")
+
+
+def test_compact_zone_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.sources.zones import ZoneStore, compact_zone
+
+    store = ZoneStore(spark, str(tmp_path))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # simulate a streaming sink's small-file mess: 40 tiny files
+    store.promote(orders.repartition(40), "curated", "orders")
+    before_sum = orders.agg(F.sum("o_orderkey")).collect()[0][0]
+    path, n_before, n_after = compact_zone(store, "curated", "orders", target_file_mb=128)
+    assert n_before == 40 and n_after < 40
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert back.agg(F.sum("o_orderkey")).collect()[0][0] == before_sum
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == n_after
+
+
+def test_upsert_table_replaces_and_inserts(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.sources.zones import ZoneStore, upsert_table
+
+    store = ZoneStore(spark, str(tmp_path))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    store.promote_table(nation, "curated", "nat", "t_upsert_nation")
+    updates = spark.createDataFrame(
+        [(0, "RENAMED_0"), (999, "BRAND_NEW")], "n_nationkey long, n_name string"
+    )
+    upsert_table(store, "curated", "nat", "t_upsert_nation", updates, merge_key="n_nationkey")
+    got = {r["n_nationkey"]: r["n_name"] for r in spark.table("t_upsert_nation").collect()}
+    assert got[0] == "RENAMED_0"          # matched key replaced
+    assert got[999] == "BRAND_NEW"        # new key inserted
+    assert len(got) == nation.count() + 1  # everything else kept
+    spark.sql("DROP TABLE IF EXISTS t_upsert_nation")
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from cyrela_etl_spark.sources.zones import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k long, name string, val double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, val double",
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 deleted, 2 updated, 3 unchanged (null-safe fingerprint), 4 inserted
+    assert got == {1: "deleted", 2: "updated", 4: "inserted"}
