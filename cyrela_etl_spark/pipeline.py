@@ -94,3 +94,19 @@ class Pipeline:
             ctx[st.name] = value
             results.append(StageResult(st.name, attempt, time.perf_counter() - t0, value))
         return results
+
+
+def observed(df, name: str, *metrics):
+    """Attach zero-cost pipeline metrics to a DataFrame: returns
+    (df_with_observation, Observation). The metrics (any aggregate
+    expressions — row counts, null counts, value bounds) are computed ON
+    THE SAME PASS as whatever action materializes the DataFrame — no
+    second scan, unlike a separate ``df.count()`` / quality query. Read
+    ``obs.get`` AFTER the action. This is the data-quality hook a
+    production stage wires between transform and sink (e.g. assert
+    null-rate below threshold before promoting a zone).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -82,3 +82,40 @@ def read_wallet_csv(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink with header (reference spark/jobs/pr-wallet-data-tf.py:127-131)."""
     df.write.mode(mode).options(header="true" if header else "false").csv(path)
+
+
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV scan that CAPTURES malformed rows instead of silently nulling
+    or dropping them: PERMISSIVE mode with an explicit corrupt-record
+    column appended to the declared schema. A 100 TB ingest always
+    contains malformed lines; the three stock behaviors are silent-null
+    (default PERMISSIVE), silent-drop (DROPMALFORMED — forbidden here:
+    row counts must reconcile), and fail-the-job (FAILFAST). This wrapper
+    makes the damage VISIBLE and relational: downstream splits on
+    ``corrupt_col IS NULL`` and routes bad rows to an audit sink.
+
+    Note Spark's lazy-parse caveat: a query that selects ONLY the corrupt
+    column is disallowed (Spark requires a non-internal column in the
+    projection) — always select data columns alongside, or cache first.
+    """
+    audited = T.StructType(schema.fields + [T.StructField(corrupt_col, T.StringType(), True)])
+    return (
+        spark.read.options(header="true" if header else "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(audited)
+        .csv(path)
+    )
+
+
+def split_audited(df: DataFrame, corrupt_col: str = "_corrupt_record") -> tuple[DataFrame, DataFrame]:
+    """(good_rows_without_audit_col, bad_rows_raw_text) from an audited scan."""
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(F.col(corrupt_col).alias("raw_line"))
+    return good, bad

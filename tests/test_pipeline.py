@@ -190,3 +190,47 @@ def test_snapshot_diff_classifies_changes(spark):
     got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
     # 1 deleted, 2 updated, 3 unchanged (null-safe fingerprint), 4 inserted
     assert got == {1: "deleted", 2: "updated", 4: "inserted"}
+
+
+def test_csv_audited_captures_malformed_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from cyrela_etl_spark.sources.csv import read_csv_audited, split_audited
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "k,v\n"
+        "1,10.5\n"
+        "2,not_a_number\n"   # malformed double
+        "3,30.25\n"
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    df = read_csv_audited(spark, str(p), schema).cache()
+    good, bad = split_audited(df)
+    assert {(r["k"], r["v"]) for r in good.collect()} == {(1, 10.5), (3, 30.25)}
+    bad_rows = [r["raw_line"] for r in bad.collect()]
+    assert bad_rows == ["2,not_a_number"]  # raw text preserved for audit
+    assert df.count() == 3                 # nothing silently dropped
+
+
+def test_observed_metrics_single_pass(spark, sf_dir, tmp_path):
+    """observe() metrics ride the sink's pass — row/null counts come back
+    without a second scan, and gate the zone promotion."""
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.pipeline import observed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df, obs = observed(
+        orders, "dq",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("int")).alias("n_null_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "out"))  # the ONE action
+    m = obs.get
+    assert m["n_rows"] == orders.count()
+    assert m["n_null_price"] == 0
+    assert m["max_price"] > 0
