@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "vector_l2_topk",
     "corpus_stratified_sample",
     "storage_snapshot_diff",
+    "q09_nation_profit",
 ]
 
 

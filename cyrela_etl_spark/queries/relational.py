@@ -1551,3 +1551,59 @@ same_pairs AS (
 SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# q09: TPC-H Q9-flavored product-type profit by supplier nation and year.
+# The driver schema has no partsupp (no ps_supplycost), so cost is proxied
+# as 60% of p_retailprice per unit — the documented adaptation; the shape
+# (unfiltered 6-relation fact join, profit = rev − cost decimal fold,
+# GROUP BY nation × year) is Q9's. Part name filter keeps the LIKE leg.
+# --------------------------------------------------------------------------
+def q09_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    cost = (
+        (_dec("p_retailprice") * F.lit(0.6).cast("decimal(3,2)")).cast(DEC)
+        * F.col("l_quantity").cast("decimal(4,0)")
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(rev - cost).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    "q09_nation_profit",
+    q09_nation_profit,
+    f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS {SQL_DEC}) * (1 - CAST(l_discount AS {SQL_DEC}))
+                - CAST(CAST(p_retailprice AS {SQL_DEC}) * CAST(0.6 AS DECIMAL(3,2)) AS {SQL_DEC})
+                  * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+""",
+)
