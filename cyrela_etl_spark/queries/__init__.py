@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "corpus_stratified_sample",
     "storage_snapshot_diff",
     "q09_nation_profit",
+    "stream_static_enrich",
 ]
 
 

@@ -235,3 +235,44 @@ def stream_rate_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("stream_rate_windowed", stream_rate_windowed, None)
+
+
+# ---------------------------------------------------------------------------
+# stream_static_enrich — the STREAM-STATIC JOIN mode: an unbounded event
+# stream broadcast-joined per micro-batch against a static dimension (the
+# classic enrichment topology: events × user-profile dim). The static side
+# is planned once and broadcast into every micro-batch — no state store is
+# involved (unlike stream-stream joins), so the join adds zero streaming
+# state. Drained result must equal the batch join, which is the oracle.
+# The dim is derived deterministically (cohort = user_id % 10) since the
+# driver schema ships no separate user table.
+# ---------------------------------------------------------------------------
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    dim = (
+        read_events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 10).alias("cohort"))
+    )
+    stream = _event_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("cohort", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+    return _drain(spark, run_available_now, agg, "stream_static_enrich", output_mode="complete")
+
+
+register(
+    "stream_static_enrich",
+    stream_static_enrich,
+    """
+SELECT user_id % 10 AS cohort, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
