@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cyrela_etl_spark.functions.hashing import MERSENNE_PRIME, fast_hash60, hex_prefix_long
+from cyrela_etl_spark.operators.text import tokens
 
 
 def _base_hash(hash_fn: str):
@@ -42,7 +43,6 @@ def _base_hash(hash_fn: str):
     if hash_fn == "xxhash64":
         return fast_hash60
     raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
-from cyrela_etl_spark.operators.text import tokens
 
 # Fixed (a, b) parameters for the universal-hash family simulating
 # independent MinHash permutations. Deterministic by construction (seeded
@@ -237,11 +237,14 @@ def minhash_lsh_oversize_audit(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(band, bucket, bucket_size) for buckets a capped
-    ``minhash_lsh_pairs`` run with the same parameters would drop."""
+    ``minhash_lsh_pairs`` run with the same parameters would drop.
+    ``hash_fn`` must match the capped run's — the two hashes produce
+    different bucket spaces."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
     return _oversize_audit(_minhash_banded(sigs, bands, rows), ["band", "bucket"], max_bucket_size)
 
 
@@ -391,11 +394,13 @@ def simhash_oversize_audit(
     bits: int = 16,
     max_hamming: int = 2,
     max_bucket_size: int = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(chunk, value, bucket_size) for buckets a capped ``simhash_pairs``
-    run with the same parameters would drop."""
+    run with the same parameters would drop. ``hash_fn`` must match the
+    capped run's — the two hashes produce different bucket spaces."""
     chunks = max_hamming + 1
-    fps = simhash(df, text_col, id_col, bits)
+    fps = simhash(df, text_col, id_col, bits, hash_fn)
     return _oversize_audit(_simhash_banded(fps, chunks, bits // chunks), ["chunk", "value"], max_bucket_size)
 
 
@@ -481,7 +486,11 @@ def connected_components(
     ).localCheckpoint(eager=True)
     prev_sum = None
     converged = False
-    for _ in range(max_iters):
+    # max_iters bounds label-UPDATING rounds; one extra round is allowed
+    # because convergence is only observable as an equal-sum round AFTER
+    # the last update (labels that stabilize exactly on round max_iters
+    # would otherwise raise spuriously).
+    for _ in range(max_iters + 1):
         nbr = (
             edges.join(
                 labels.select(F.col("id").alias("dst"), F.col("comp").alias("dst_comp")),

@@ -115,7 +115,16 @@ def read_csv_audited(
 
 
 def split_audited(df: DataFrame, corrupt_col: str = "_corrupt_record") -> tuple[DataFrame, DataFrame]:
-    """(good_rows_without_audit_col, bad_rows_raw_text) from an audited scan."""
+    """(good_rows_without_audit_col, bad_rows_raw_text) from an audited scan.
+
+    The input is cached here: Spark disallows a query whose only
+    referenced CSV column is the internal corrupt-record column, so the
+    bad-rows leg would otherwise throw AnalysisException on an uncached
+    scan — and both legs re-scanning the raw CSV would double-parse
+    anyway. Callers can ``unpersist()`` the returned legs' source when
+    done (audit splits are bounded ingest steps, not hot-path relations).
+    """
+    df = df.cache()
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(F.col(corrupt_col).alias("raw_line"))
     return good, bad

@@ -137,28 +137,57 @@ class ZoneStore:
         partition_by: list[str] | None = None,
     ) -> str:
         """Write into a zone AND register/refresh the session-catalog table
-        over it. ``overwrite`` rebinds the table (drop + recreate, so a
-        re-run with a fresh root never reads a stale location); ``append``
-        adds files under the existing location and refreshes the catalog's
-        file listing."""
+        over it. ``overwrite`` rebinds the table (write first, THEN drop +
+        recreate — a failed write leaves the previous registration intact
+        and readers unbroken); ``append`` adds files under the table's
+        existing location and refreshes the catalog's file listing.
+        Appending through a store whose path differs from the table's
+        registered location is refused — the files would land outside the
+        table and silently vanish from every catalog read."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         target = self.path(to_zone, key)
-        if mode == "overwrite":
-            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if mode == "append":
+            registered = self._table_location(table)
+            if registered is not None and registered != _norm_loc(target):
+                raise ValueError(
+                    f"append target {target!r} does not match table {table!r}'s "
+                    f"registered location {registered!r}; appended files would be "
+                    "invisible to catalog readers (use the store/key the table "
+                    "was created with, or overwrite to rebind)"
+                )
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
+        if mode == "overwrite":
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
         self.spark.sql(f"CREATE TABLE IF NOT EXISTS {table} USING PARQUET LOCATION '{target}'")
         # Spark caches a table's file listing; appended files are invisible
         # until refresh (Delta's transaction log makes this automatic).
         self.spark.sql(f"REFRESH TABLE {table}")
         return target
 
+    def _table_location(self, table: str) -> str | None:
+        """Registered storage location of a catalog table, normalized;
+        None if the table doesn't exist."""
+        if not self.spark.catalog.tableExists(table):
+            return None
+        rows = self.spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        for r in rows:
+            if r["col_name"] == "Location":
+                return _norm_loc(r["data_type"])
+        return None
+
     def table(self, table: str) -> DataFrame:
         """Catalog-driven read — consumers address the TABLE, not the path."""
         return self.spark.table(table)
+
+
+def _norm_loc(path: str) -> str:
+    """Normalize a storage location for equality (strip scheme prefix for
+    local files and any trailing slash)."""
+    return path.removeprefix("file:").rstrip("/")
 
 
 def compact_zone(
@@ -174,9 +203,14 @@ def compact_zone(
     long before bytes do. Returns (path, files_before, files_after).
 
     Sizing uses the on-disk byte sum (cheap driver-side listing), not row
-    counts — compressed bytes are what file targets mean. The rewrite is
-    a full read→repartition→overwrite of a STAGING path then swap, so a
-    concurrent reader never sees a half-written dataset.
+    counts — compressed bytes are what file targets mean. The rewrite
+    goes to a STAGING path first so readers never see a half-WRITTEN
+    dataset; the delete+rename swap itself is NOT atomic (a reader
+    listing between the two calls can miss the dataset, and on object
+    stores rename is a copy) — run compaction in the maintenance window,
+    or use a transactional table format where true atomic swap matters.
+    The rename result is checked: on failure the data is intact at the
+    staging path and an error names it.
     """
     path = store.path(zone, key)
     fs, jvm = store._fs()
@@ -194,7 +228,11 @@ def compact_zone(
     staging = path + "__compact_staging"
     df.repartition(n_target).write.mode("overwrite").parquet(staging)
     fs.delete(p, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), p)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), p):
+        raise IOError(
+            f"compaction swap failed: rename({staging!r} -> {path!r}) returned "
+            f"false; compacted data is intact at the staging path"
+        )
     return path, n_before, n_target
 
 
@@ -205,7 +243,8 @@ def upsert_table(
     table: str,
     updates: DataFrame,
     merge_key: str,
-) -> None:
+    keep_old_snapshot: bool = True,
+) -> str | None:
     """Keyed MERGE (upsert) into a catalog zone table without a
     transaction log: rows in ``updates`` replace same-key rows in the
     table, new keys append — i.e. ``updates ∪ (current ⟕anti updates)``,
@@ -214,8 +253,16 @@ def upsert_table(
     One shuffle (the anti join on the merge key). This is the
     plain-parquet spelling of Delta's MERGE WHEN MATCHED UPDATE / NOT
     MATCHED INSERT for whole-row updates.
+
+    Each call writes a full new snapshot — Delta's VACUUM has no
+    automatic counterpart here. Returns the SUPERSEDED snapshot path so
+    callers can delete it once readers drain (keep it for time-travel /
+    rollback otherwise); ``keep_old_snapshot=False`` deletes it
+    immediately after the rebind (only safe when nothing reads the old
+    snapshot concurrently).
     """
     current = store.spark.table(table)
+    old_path = store._table_location(table)
     keep = current.join(updates.select(merge_key), merge_key, "left_anti")
     merged = updates.select(*current.columns).unionByName(keep)
     # new snapshot path per version: plain parquet can't overwrite in
@@ -224,6 +271,11 @@ def upsert_table(
 
     new_key = f"{key}__v{uuid.uuid4().hex[:8]}"
     store.promote_table(merged, zone, new_key, table, mode="overwrite")
+    if not keep_old_snapshot and old_path is not None:
+        fs, jvm = store._fs()
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old_path), True)
+        return None
+    return old_path
 
 
 def snapshot_diff(

@@ -207,7 +207,9 @@ def test_csv_audited_captures_malformed_rows(spark, tmp_path):
     schema = T.StructType(
         [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
     )
-    df = read_csv_audited(spark, str(p), schema).cache()
+    # no manual cache: split_audited must handle Spark's corrupt-column-
+    # only-projection restriction itself
+    df = read_csv_audited(spark, str(p), schema)
     good, bad = split_audited(df)
     assert {(r["k"], r["v"]) for r in good.collect()} == {(1, 10.5), (3, 30.25)}
     bad_rows = [r["raw_line"] for r in bad.collect()]
@@ -234,3 +236,20 @@ def test_observed_metrics_single_pass(spark, sf_dir, tmp_path):
     assert m["n_rows"] == orders.count()
     assert m["n_null_price"] == 0
     assert m["max_price"] > 0
+
+
+def test_promote_table_append_refuses_foreign_location(spark, sf_dir, tmp_path):
+    """Appending through a store whose path differs from the table's
+    registered location must raise — the files would be invisible to
+    catalog readers."""
+    from cyrela_etl_spark.sources.zones import ZoneStore
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    s1 = ZoneStore(spark, str(tmp_path / "rootA"))
+    s1.promote_table(nation, "curated", "nat", "t_append_guard")
+    s2 = ZoneStore(spark, str(tmp_path / "rootB"))
+    with pytest.raises(ValueError, match="registered location"):
+        s2.promote_table(nation, "curated", "nat", "t_append_guard", mode="append")
+    # the table still reads fine from its original location
+    assert spark.table("t_append_guard").count() == nation.count()
+    spark.sql("DROP TABLE IF EXISTS t_append_guard")
