@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "storage_snapshot_diff",
     "q09_nation_profit",
     "stream_static_enrich",
+    "func_hof",
 ]
 
 

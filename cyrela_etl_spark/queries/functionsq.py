@@ -420,3 +420,50 @@ FROM orders
 GROUP BY o_orderstatus
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# func_hof — the higher-order-function battery over array columns
+# (transform/filter/exists/forall/aggregate/slice on per-order quantity
+# arrays): the §2.8 surface that keeps per-row collection logic JVM-side
+# instead of exploding + re-aggregating or dropping to Python. All
+# outputs are exact ints, so the value hash is engine-stable.
+# ---------------------------------------------------------------------------
+def func_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_orderkey") % 20 == 0)
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys")
+    )
+    a = F.col("qtys")
+    return arrs.select(
+        "l_orderkey",
+        F.size(a).cast("long").alias("n_items"),
+        F.aggregate(
+            F.transform(a, lambda x: x * 2), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("doubled_sum"),
+        F.size(F.filter(a, lambda x: x > 25)).cast("long").alias("n_big"),
+        F.exists(a, lambda x: x == 48).alias("has_48"),
+        F.forall(a, lambda x: x > 0).alias("all_positive"),
+        F.concat_ws(",", F.transform(F.slice(a, 1, 3), lambda x: x.cast("string"))).alias("smallest3"),
+    )
+
+
+register(
+    "func_hof",
+    func_hof,
+    """
+WITH arrs AS (
+  SELECT l_orderkey, list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT)) AS qtys
+  FROM lineitem WHERE l_orderkey % 20 = 0
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qtys) AS BIGINT) AS n_items,
+       CAST(list_sum(list_transform(qtys, x -> x * 2)) AS BIGINT) AS doubled_sum,
+       CAST(len(list_filter(qtys, x -> x > 25)) AS BIGINT) AS n_big,
+       list_contains(qtys, 48) AS has_48,
+       len(list_filter(qtys, x -> x <= 0)) = 0 AS all_positive,
+       array_to_string(qtys[1:3], ',') AS smallest3
+FROM arrs
+""",
+)
