@@ -456,6 +456,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over an
     undirected pair-edge relation → (id, component), component = min id in
@@ -474,7 +475,29 @@ def connected_components(
     al. 2014, "Connected Components in MapReduce and Beyond" — small-star/
     large-star; min-propagation is the simple variant that suffices at
     dup-cluster diameters).
+
+    ``shuffle_partitions`` sizes the per-round exchanges to the LABEL
+    table's cardinality instead of the session default: an iterative loop
+    pays task-scheduling overhead per partition per round, so 32 near-
+    empty partitions × N rounds is mostly latency (measured 4.9 → 3.5 s
+    at sf0.1 with 8). Size to edges/labels, not the session's fact-table
+    width; None inherits. Set-and-restore is safe because every round is
+    eagerly materialized inside the loop.
     """
+    spark = pairs.sparkSession
+    _conf_key = "spark.sql.shuffle.partitions"
+    _old_parts = spark.conf.get(_conf_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(_conf_key, str(shuffle_partitions))
+    try:
+        return _connected_components_loop(pairs, id_a, id_b, max_iters)
+    finally:
+        spark.conf.set(_conf_key, _old_parts)
+
+
+def _connected_components_loop(
+    pairs: DataFrame, id_a: str, id_b: str, max_iters: int
+) -> DataFrame:
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )

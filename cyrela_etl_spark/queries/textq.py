@@ -397,7 +397,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = _pairs("k_exact").unionByName(_pairs("k_prefix"))
-    return D.connected_components(edges)
+    # label table is tiny at any SF (only vertices that appear in an edge)
+    # — size the iterative loop's exchanges to it, not the session default
+    return D.connected_components(edges, shuffle_partitions=8)
 
 
 _COMPONENTS_EDGES_SQL = f"""
