@@ -70,6 +70,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # Diagnostic subset: comma-separated query names to run INSTEAD of the
+    # full headline list (order preserved as given). Lets a session-state
+    # regression be bisected by reordering/trimming without editing the
+    # file; the driver never sets it, so the recorded bench is unaffected.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [n.strip() for n in only.split(",") if n.strip()] if only else HEADLINE
+
     from cyrela_etl_spark.queries import load_all
     from cyrela_etl_spark.session import get_spark
 
@@ -91,7 +98,7 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn, _oracle = registry[name]
         samples: list[float] = []
         for r in range(runs):

@@ -63,7 +63,12 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     (tok, i, n))) — allocates a slice PER GRAM and measured 4× slower at
     sf0.1 (4.2 s → 1.0 s for the corpus shingle pass). Documents shorter
     than n tokens yield their whole token join as a single shingle (so no
-    document is unrepresentable).
+    document is unrepresentable). ZERO-token documents (empty or
+    whitespace-only text) yield the EMPTY shingle array — the contract
+    the DuckDB oracle twin (queries/textq.py sql_shingles) mirrors; such
+    documents carry the all-sentinel MinHash signature and are excluded
+    from pair generation (see minhash_lsh_pairs / ngram_jaccard_pairs:
+    their 0/0 Jaccard is undefined — a DIVIDE_BY_ZERO error under ANSI).
     """
     tok = tokens(col)
     sz = F.size(tok)
@@ -105,6 +110,11 @@ def ngram_jaccard_pairs(
     them the plan is a full n² nested-loop self-join — refused unless the
     caller opts in with ``allow_full_scan=True`` (use minhash_lsh_pairs
     for unblocked corpora instead).
+
+    Zero-token documents (empty shingle set) are excluded before pairing:
+    their Jaccard against each other is 0/0 — undefined (NULL with ANSI
+    off, DIVIDE_BY_ZERO error with ANSI on). Empty-content duplicates
+    belong to exact_dedup, which groups them in one content-hash bucket.
     """
     if not block_cols and not allow_full_scan:
         raise ValueError(
@@ -116,7 +126,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],
         word_shingles(F.col(text_col), n).alias("shingles"),
-    )
+    ).filter(F.size("shingles") > 0)
     a = sh.alias("a")
     b = sh.alias("b")
     cond = F.col("a.id") < F.col("b.id")
@@ -149,6 +159,12 @@ def minhash_signatures(
     One pass, per-row fold; no shuffle. ``hash_fn='md5'`` (default) is
     portable across engines; ``'xxhash64'`` is the faster
     production-scale base hash (see ``_base_hash``).
+
+    Zero-shingle (empty/whitespace-only) documents keep their row with
+    the all-sentinel signature [P, P, ..] — every real signature entry is
+    < P, so the sentinel is recognizable. Pair generation filters them
+    out (see minhash_lsh_pairs); this function emits one row per input
+    document so it can serve as a total per-doc feature.
     """
     sig = minhash_signature_expr(word_shingles(F.col(text_col), shingle_n), num_hashes, hash_fn)
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
@@ -248,7 +264,12 @@ def minhash_lsh_oversize_audit(
     ``hash_fn`` must match the capped run's — the two hashes produce
     different bucket spaces."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
+    # Drop zero-shingle sentinel signatures (signature[0] == P iff the doc
+    # had no shingles — real entries are always < P) so the audit sees the
+    # same bucket space as the capped pairs run, which filters them.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn).filter(
+        F.element_at("signature", 1) < F.lit(MERSENNE_PRIME)
+    )
     return _oversize_audit(_minhash_banded(sigs, bands, rows), ["band", "bucket"], max_bucket_size)
 
 
@@ -289,10 +310,17 @@ def minhash_lsh_pairs(
     # signatures to a temp table; MEMORY_AND_DISK persist approximates
     # that here (LRU-evicted under pressure; callers batching many corpora
     # can unpersist when done).
+    # Zero-shingle (empty/whitespace-only) documents are excluded: every
+    # one carries the identical all-sentinel signature, so they'd all
+    # collide into ONE bucket (a synthetic hot bucket) and their pairwise
+    # Jaccard is 0/0 — NULL with ANSI off, DIVIDE_BY_ZERO error with ANSI
+    # on. Empty-content dups are exact_dedup's job (one hash bucket).
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("signature", minhash_signature_expr(F.col("shingles"), num_hashes, hash_fn)).persist()
+    ).filter(F.size("shingles") > 0).withColumn(
+        "signature", minhash_signature_expr(F.col("shingles"), num_hashes, hash_fn)
+    ).persist()
     banded = _cap_buckets(_minhash_banded(base, bands, rows), ["band", "bucket"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -485,8 +513,17 @@ def connected_components(
     pays task-scheduling overhead per partition per round, so 32 near-
     empty partitions × N rounds is mostly latency (measured 4.9 → 3.5 s
     at sf0.1 with 8). Size to edges/labels, not the session's fact-table
-    width; None inherits. Set-and-restore is safe because every round is
-    eagerly materialized inside the loop.
+    width; None inherits.
+
+    CONCURRENCY CAVEAT: the knob is implemented by set-and-restore of the
+    session-global ``spark.sql.shuffle.partitions`` (every round is
+    eagerly materialized inside the loop, so the restore is reached
+    before this function returns). Any OTHER query planned on the same
+    SparkSession while the loop runs — a streaming micro-batch, another
+    driver thread — silently inherits the reduced count. Pass ``None``
+    (inherit) from multi-threaded drivers or sessions with active
+    streams; single-threaded batch drivers (this repo's harness, a
+    typical ETL job) are unaffected.
     """
     spark = pairs.sparkSession
     _conf_key = "spark.sql.shuffle.partitions"

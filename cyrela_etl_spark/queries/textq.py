@@ -251,7 +251,10 @@ WITH corpus AS ({CORPUS_SQL}),
 sh AS (SELECT doc_id AS id,
               md5(array_to_string({sql_tokens('text')}[1:4], ' ')) AS prefix_blk,
               {sql_shingles(sql_tokens('text'), 3)} AS shingles
-       FROM corpus)
+       FROM corpus
+       -- zero-shingle (empty/whitespace-only) docs are excluded from
+       -- pairing on both engines: their Jaccard is 0/0 (undefined)
+       WHERE len({sql_tokens('text')}) > 0)
 SELECT a.id AS id_a, b.id AS id_b,
        len(list_intersect(a.shingles, b.shingles)) / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
 FROM sh a JOIN sh b ON a.prefix_blk = b.prefix_blk AND a.id < b.id
@@ -289,7 +292,8 @@ def _minhash_oracle() -> str:
     banded = " UNION ALL ".join(band_selects)
     return f"""
 WITH corpus AS ({CORPUS_SQL}),
-sh AS (SELECT doc_id AS id, {sql_shingles(sql_tokens('text'), _SHINGLE_N)} AS shingles FROM corpus),
+sh AS (SELECT doc_id AS id, {sql_shingles(sql_tokens('text'), _SHINGLE_N)} AS shingles FROM corpus
+       WHERE len({sql_tokens('text')}) > 0),
 hashed AS (SELECT id, shingles, {hashed} AS hs FROM sh),
 sig AS (SELECT id, {', '.join(sig_exprs)} FROM hashed),
 banded AS ({banded}),
@@ -451,8 +455,11 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sig_oracle() -> str:
     hashed = f"list_transform(shingles, s -> ({sql_hex64('s')} % {P}))"
+    # coalesce to the sentinel P for zero-shingle docs: DuckDB's
+    # list_min([]) is NULL where the Spark fold keeps its init value
+    # (operators/dedup.py minhash_signature_expr).
     sig_exprs = [
-        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {P}))"
+        f"coalesce(list_min(list_transform(hs, x -> (x * {a} + {b}) % {P})), {P})"
         for (a, b) in D.minhash_params(_NUM_HASHES)
     ]
     parts = ", ".join(f"CAST({e} AS VARCHAR)" for e in sig_exprs)

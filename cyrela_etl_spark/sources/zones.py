@@ -203,18 +203,21 @@ def compact_zone(
     long before bytes do. Returns (path, files_before, files_after).
 
     Sizing uses the on-disk byte sum (cheap driver-side listing), not row
-    counts — compressed bytes are what file targets mean. The rewrite
-    goes to a STAGING path first so readers never see a half-WRITTEN
-    dataset; the delete+rename swap itself is NOT atomic (a reader
-    listing between the two calls can miss the dataset, and on object
-    stores rename is a copy) — run compaction in the maintenance window,
-    or use a transactional table format where true atomic swap matters.
-    The rename result is checked: on failure the data is intact at the
-    staging path and an error names it.
+    counts — compressed bytes are what file targets mean. The swap is a
+    three-step rename dance: the LIVE dataset is first renamed ASIDE
+    (``path__compact_old``), the staging rewrite renamed into place, and
+    only then the old copy deleted. A failure at any step leaves a full
+    recoverable copy (old at the aside path, or new at the staging path —
+    the raised error names which); the no-data window is one rename pair,
+    not a delete-then-rename. Still NOT atomic (a reader listing between
+    the two renames can miss the dataset, and on object stores rename is
+    a copy) — run compaction in the maintenance window, or use a
+    transactional table format where true atomic swap matters.
     """
     path = store.path(zone, key)
     fs, jvm = store._fs()
-    p = jvm.org.apache.hadoop.fs.Path(path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = hpath(path)
     files = []
     it = fs.listFiles(p, True)
     while it.hasNext():
@@ -227,12 +230,19 @@ def compact_zone(
     df = store.spark.read.parquet(path)
     staging = path + "__compact_staging"
     df.repartition(n_target).write.mode("overwrite").parquet(staging)
-    fs.delete(p, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), p):
+    old = path + "__compact_old"
+    fs.delete(hpath(old), True)  # leftover from a crashed prior run
+    if not fs.rename(p, hpath(old)):
+        raise IOError(
+            f"compaction swap failed: rename({path!r} -> {old!r}) returned "
+            f"false; live data untouched, compacted copy at {staging!r}"
+        )
+    if not fs.rename(hpath(staging), p):
         raise IOError(
             f"compaction swap failed: rename({staging!r} -> {path!r}) returned "
-            f"false; compacted data is intact at the staging path"
+            f"false; previous data intact at {old!r}, compacted copy at {staging!r}"
         )
+    fs.delete(hpath(old), True)
     return path, n_before, n_target
 
 

@@ -136,7 +136,22 @@ def run_until_rows(
     drain it) with continuous micro-batches until the memory sink holds
     ``min_rows``, then stop. Raises on timeout — a silent short result
     would let a wedged stream pass tests.
+
+    The driver-side poll (``spark.table(name).count()`` four times a
+    second) is a TEST harness pattern only: it plans a job per poll and
+    holds the result on the driver. Production stream monitoring should
+    hang a ``StreamingQueryListener`` on ``spark.streams`` (progress
+    events push ``numInputRows``/``batchDuration`` per micro-batch, no
+    polling jobs) or read ``q.lastProgress`` — see
+    ``tests/test_streaming.py`` for the listener-based variant.
+
+    Cleanup: the memory-sink temp view and the checkpoint directory are
+    both scoped to this call — the result is materialized into a LOCAL
+    (non-streaming) DataFrame, the view dropped and the checkpoint
+    removed, so repeated invocations (bench loops, long test sessions)
+    accumulate no session or disk state.
     """
+    import shutil
     import time
 
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
@@ -158,9 +173,15 @@ def run_until_rows(
             if not q.isActive:
                 raise RuntimeError(f"stream {name!r} died: {q.exception()}")
             time.sleep(0.25)
+        sink = spark.table(name)
+        # Detach the result from the sink view before dropping it.
+        out = spark.createDataFrame(sink.collect(), sink.schema)
     finally:
         q.stop()
-    return spark.table(name)
+        spark.catalog.dropTempView(name)
+        spark.streams.resetTerminated()
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return out
 
 
 def tumbling_counts(
@@ -258,7 +279,17 @@ def run_available_now(
 
     Used by tests and the declared-query harness; production sinks swap
     ``format('memory')`` for parquet/kafka with the same trigger.
+
+    The sink temp view survives the call (the returned DataFrame reads
+    it) but is REPLACED by the next drain under the same name, so session
+    growth is bounded by the number of distinct query names. The
+    checkpoint directory — useless once an AvailableNow drain finishes
+    (every call starts a fresh one) — is removed, and the terminated
+    query is cleared from the StreamingQueryManager's registry.
     """
+    import shutil
+
+    made_checkpoint = checkpoint_dir is None
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
         sdf.writeStream.format("memory")
@@ -268,7 +299,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        sdf.sparkSession.streams.resetTerminated()
+        if made_checkpoint:
+            shutil.rmtree(checkpoint, ignore_errors=True)
     return sdf.sparkSession.table(name)
 
 
@@ -289,6 +325,9 @@ def run_available_now_to_parquet(
     Row-wise operators (dedup, stateful per-event emission, maps) emit
     everything and round-trip exactly.
     """
+    import shutil
+
+    made_checkpoint = checkpoint_dir is None
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_pq_")
     q = (
         sdf.writeStream.format("parquet")
@@ -298,5 +337,10 @@ def run_available_now_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        sdf.sparkSession.streams.resetTerminated()
+        if made_checkpoint:
+            shutil.rmtree(checkpoint, ignore_errors=True)
     return sdf.sparkSession.read.parquet(path)

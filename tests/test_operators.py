@@ -74,6 +74,40 @@ def test_minhash_lsh_finds_planted_neardup(spark):
     assert pairs[0]["jaccard"] > 0.7
 
 
+def test_empty_and_whitespace_docs_excluded_from_pairing(spark):
+    """Zero-token documents (empty/whitespace-only text) yield the empty
+    shingle set and MUST be excluded from pairwise dedup: their Jaccard is
+    0/0 — NULL with ANSI off (pairs silently dropped), DIVIDE_BY_ZERO
+    error with ANSI ON (the driver's default session). The planted real
+    near-dup must still be found, and no emitted pair may touch an
+    empty doc — under BOTH ANSI settings."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base),
+        (2, base + " extra token"),
+        (3, ""),
+        (4, "   \t\n  "),
+        (5, "solitary"),
+    ]
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            df = spark.createDataFrame(rows, ["doc_id", "text"])
+            lsh = D.minhash_lsh_pairs(df, num_hashes=16, bands=4, threshold=0.5).collect()
+            assert [(p["id_a"], p["id_b"]) for p in lsh] == [(1, 2)], f"ansi={ansi}"
+            ng = D.ngram_jaccard_pairs(df, n=3, threshold=0.5, allow_full_scan=True).collect()
+            assert [(p["id_a"], p["id_b"]) for p in ng] == [(1, 2)], f"ansi={ansi}"
+            # signatures remain TOTAL: one row per doc, sentinel for empty
+            sigs = {r["id"]: r["signature"] for r in D.minhash_signatures(df).collect()}
+            assert set(sigs) == {1, 2, 3, 4, 5}
+            from cyrela_etl_spark.functions.hashing import MERSENNE_PRIME
+
+            assert sigs[3] == [MERSENNE_PRIME] * 16
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
 def test_simhash_pairs_hamming_bound(spark):
     # An exact token-multiset copy has Hamming 0 — guaranteed to share
     # every chunk, so the banding must surface it (near-copies are only
