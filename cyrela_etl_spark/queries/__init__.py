@@ -32,65 +32,89 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and has a finite per-round entry/time budget (round 2 scored exactly
-# the first 50 of 57). Entries the driver has never scored — or whose
-# definition changed this round — go first so a truncated pass still covers
-# them; queries already green in an earlier round's CORRECTNESS file are the
-# safest to fall off the tail.
+# order and scores AT MOST ~50 entries per round. Slot allocation for
+# round 5 (96 registered queries, all oracle-backed):
+#   block A (10): queries whose round-4 code changes were never
+#     driver-scored (VERDICT r4 "stale greens") — re-score first;
+#   block B (20): queries green in r4 whose implementing files changed
+#     in round 5 (dedup.py empty-shingle filter, textq.py term-stats
+#     rewrite + oracle tweaks, streaming/ops.py checkpoint/view cleanup,
+#     zones.py compaction swap) — their r4 rows describe old code;
+#   block C: everything unscored in r4, oldest-risk first (relational
+#     battery, then wallet) — the tail past slot 50 keeps valid r3 rows
+#     over files untouched in rounds 4 AND 5 (functionsq.py, corpus.py,
+#     temporalq.py), which is the safest thing to leave unscored.
 _PRIORITY: list[str] = [
-    # unscored in round 3 (driver budget cut at 50; all green in round 2) —
-    # the core dedup, streaming, storage, and temporal paths
+    # -- block A: round-4 stale greens (VERDICT r4 item 1) ------------------
+    "dedup_components",
+    "multimodal_byte_histogram",
+    "multimodal_frame_sample",
+    "vector_cosine_topk",
+    "vector_rhp_lsh_topk",
+    "vector_ivf_topk",
+    "vector_neardup_pairs",
+    "text_term_stats",
+    "curation_pipeline",
+    "dedup_ngram_jaccard",
+    # -- block B: implementing file changed in round 5 ----------------------
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "join_salted",
-    "join_bucketed",
-    "storage_csv_roundtrip",
-    "storage_zone_promote",
+    "text_quality",
+    "text_language_id",
+    "text_fingerprint",
+    "text_token_counts",
+    "text_winnow_fingerprints",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
     "stream_dedup",
     "stream_stateful_running",
-    "temporal_asof_join",
-    "temporal_range_join",
-    "temporal_time_bucket",
-    "text_quality",
-    "text_language_id",
-    "text_fingerprint",
-    "text_token_counts",
-    "sql_q6",
-    "sql_scalar_subquery",
-    "sql_correlated_subquery",
-    "q07_volume_shipping",
-    "q10_returned_revenue",
-    "q13_order_distribution",
-    # definition changed or added in round 4 (fresh rows needed)
-    "fuzzy_match_names",
-    "grouped_map_normalize",
-    "multimodal_media_meta",
-    "storage_table_roundtrip",
-    "minmax_normalize_window",
-    "stream_rate_windowed",
-    "q08_market_share",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "window_analytics",
-    "agg_grouping_sets",
-    "agg_exact_median",
-    "fuzzy_match_names_indel",
-    "temporal_sessionize",
-    "agg_filtered",
-    "text_winnow_fingerprints",
-    "vector_l2_topk",
-    "corpus_stratified_sample",
-    "storage_snapshot_diff",
-    "q09_nation_profit",
     "stream_static_enrich",
-    "func_hof",
+    "stream_parquet_sink",
+    "storage_zone_promote",
+    "storage_table_roundtrip",
+    "storage_snapshot_diff",
+    # -- block C: r4-unscored (valid r3 rows, code unchanged since) ---------
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q05_region_revenue",
+    "join_semi",
+    "join_anti",
+    "join_outer",
+    "join_broadcast_dim",
+    "window_rank",
+    "window_lag_running",
+    "window_frames",
+    "set_ops",
+    "set_intersect",
+    "group_rollup",
+    "filter_project",
+    "topk_global",
+    "distinct_agg",
+    "sql_q04_exists",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "wallet_features",
+    # ---- slot ~50 boundary: entries below keep r3 rows over files
+    # ---- untouched since (temporalq.py, corpus.py, functionsq.py)
+    "temporal_gap_fill",
+    "corpus_chunking",
+    "corpus_dataset_split",
+    "corpus_pii_redact",
+    "corpus_token_pack",
+    "agg_cube",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_pivot",
+    "agg_unpivot",
+    "func_json_extract",
+    "func_string",
+    "func_math",
+    "func_datetime",
+    "func_arrays",
 ]
 
 

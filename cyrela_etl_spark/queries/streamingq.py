@@ -220,9 +220,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 # contract and run through the same tumbling-window + watermark builder
 # the file-source queries use, with continuous micro-batches stopped from
 # the driver once output exists. No DuckDB oracle is possible — the input
-# is wall-clock-generated — so this is a declared rows-only check; the
-# deterministic window/watermark SEMANTICS are covered by the five
-# file-source streaming queries against batch oracles.
+# is wall-clock-generated — so it is DELIBERATELY NOT REGISTERED in the
+# declared-query registry: the driver scores a bounded number of entries
+# per round, and an oracle-less row would burn a slot on a permanent
+# `no_oracle` record. Coverage lives in tests/test_streaming.py
+# (test_rate_source_windowed_produces_output and the timeout test); the
+# deterministic window/watermark SEMANTICS are covered by the file-source
+# streaming queries above against batch oracles.
 # ---------------------------------------------------------------------------
 def stream_rate_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.streaming import rate_to_events, read_rate_stream, run_until_rows
@@ -232,9 +236,6 @@ def stream_rate_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
         spark, run_until_rows, agg, "stream_rate_windowed", min_rows=1, output_mode="update"
     )
-
-
-register("stream_rate_windowed", stream_rate_windowed, None)
 
 
 # ---------------------------------------------------------------------------

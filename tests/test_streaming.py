@@ -77,6 +77,54 @@ def test_run_until_rows_times_out_cleanly(spark):
         run_until_rows(never, "t_rate_stall", min_rows=1, timeout_sec=4)
 
 
+def test_streaming_query_listener_observes_progress(spark, sf_dir):
+    """Production stream monitoring: a StreamingQueryListener receives
+    pushed progress events (numInputRows per micro-batch) — no driver
+    polling jobs, unlike run_until_rows' count() loop which exists only
+    for the bounded test harness. The listener must see the query start,
+    at least one progress event whose input-row total equals the drained
+    source, and the termination."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": [], "rows": [], "terminated": []}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"].append(e.name)
+
+        def onQueryProgress(self, e):
+            events["rows"].append(e.progress.numInputRows)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"].append(str(e.id))
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        out = run_available_now(
+            tumbling_counts(_stream(spark, sf_dir), width="1 hour"),
+            "t_listener_drain", output_mode="complete",
+        )
+        n_out = out.count()
+        # listener events are delivered on a background thread — wait for
+        # the termination event rather than sleeping a fixed amount
+        deadline = time.monotonic() + 15
+        while not events["terminated"] and time.monotonic() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert "t_listener_drain" in events["started"]
+    assert events["terminated"], "no termination event within 15s"
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(events["rows"]) == n_src
+    assert n_out > 0
+
+
 def test_bus_envelope_roundtrip_matches_batch(spark, sf_dir, tmp_path):
     """Kafka-shaped envelope codec: typed events → (key,value,topic,
     partition,offset,timestamp) envelopes → file-source STREAM →
