@@ -51,6 +51,101 @@ def write_jdbc(
     writer.write.jdbc(url=url, table=table, mode=mode, properties=props)
 
 
+# ---------------------------------------------------------------------------
+# Serving-table DDL generation (reference dags/s3-etl-wallet-csv.py:207-235).
+#
+# The reference hand-writes one Postgres CREATE TABLE for the wallet serving
+# table: a SERIAL surrogate key, VARCHAR for every descriptive/code column,
+# NUMERIC for money, DATE for the three true date columns (dt_reneg stays
+# VARCHAR — its raw values include '-'). Here the same statement is GENERATED
+# from the declared wallet schema through a dialect table, so the engine can
+# emit the identical DDL for Postgres and a runnable equivalent for any
+# JDBC warehouse the tests can reach (embedded Derby).
+# ---------------------------------------------------------------------------
+
+# Logical serving types → per-dialect SQL renderings. "identity" is the
+# auto-increment surrogate-key column including its PRIMARY KEY clause.
+SQL_DIALECTS: dict[str, dict[str, str]] = {
+    "postgres": {
+        "create": "CREATE TABLE IF NOT EXISTS",
+        "identity": "SERIAL PRIMARY KEY",
+        "text": "VARCHAR",
+        "numeric": "NUMERIC",
+        "date": "DATE",
+        # explicit NULL marker, matching the reference DDL's spelling
+        "null": " NULL",
+    },
+    # Derby has no SERIAL, no IF NOT EXISTS (an existing table raises
+    # SQLState X0Y32 — callers treat that as "already provisioned"), no
+    # explicit NULL column constraint (nullable is the default and the
+    # keyword is a syntax error), and requires VARCHAR lengths; NUMERIC
+    # defaults to (5,0) so money gets an explicit precision/scale.
+    "derby": {
+        "create": "CREATE TABLE",
+        "identity": "INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY",
+        "text": "VARCHAR(512)",
+        "numeric": "NUMERIC(20,2)",
+        "date": "DATE",
+        "null": "",
+    },
+}
+
+
+def serving_ddl(
+    table: str,
+    column_types: dict[str, str],
+    dialect: str = "postgres",
+    id_column: str | None = "id",
+) -> str:
+    """CREATE TABLE IF NOT EXISTS for a serving table from logical column
+    types ('text' | 'numeric' | 'date'), rendered for ``dialect``.
+
+    Data columns are NULLable (the reference's serving contract — the lake
+    is the system of record; the warehouse copy tolerates gaps). The
+    identifiers are emitted unquoted on purpose: Spark's JDBC writer
+    resolves DataFrame column names against the live table schema
+    case-insensitively, so unquoted DDL composes with ``write_jdbc`` on
+    case-folding engines (Derby uppercases unquoted identifiers).
+    """
+    if dialect not in SQL_DIALECTS:
+        raise ValueError(f"unknown dialect {dialect!r}; have {sorted(SQL_DIALECTS)}")
+    d = SQL_DIALECTS[dialect]
+    unknown = {t for t in column_types.values() if t not in ("text", "numeric", "date")}
+    if unknown:
+        raise ValueError(f"unknown logical types {sorted(unknown)}; have text|numeric|date")
+    lines = []
+    if id_column:
+        lines.append(f"{id_column} {d['identity']}")
+    lines.extend(f"{c} {d[t]}{d['null']}" for c, t in column_types.items())
+    cols = ",\n  ".join(lines)
+    return f"{d['create']} {table} (\n  {cols}\n)"
+
+
+def wallet_serving_types() -> dict[str, str]:
+    """Logical serving type per wallet column, derived from the declared
+    schema rather than hand-listed: the DoubleType money columns map to
+    'numeric', the curated date columns (minus dt_reneg, which the raw
+    feed pollutes with '-') to 'date', everything else — including the
+    integer-coded dimensions, which the reference serves as text — to
+    'text'. Reproduces reference dags/s3-etl-wallet-csv.py:207-235
+    column for column."""
+    from pyspark.sql import types as T
+
+    from cyrela_etl_spark.schemas import WALLET_DATE_COLUMNS, wallet_schema
+
+    money = {f.name for f in wallet_schema().fields if isinstance(f.dataType, T.DoubleType)}
+    dates = set(WALLET_DATE_COLUMNS) - {"dt_reneg"}
+    return {
+        f.name: "numeric" if f.name in money else "date" if f.name in dates else "text"
+        for f in wallet_schema().fields
+    }
+
+
+def wallet_serving_ddl(dialect: str = "postgres", table: str = "wallet") -> str:
+    """The reference's wallet serving DDL, generated for ``dialect``."""
+    return serving_ddl(table, wallet_serving_types(), dialect)
+
+
 def read_jdbc_partitioned(
     spark,
     url: str,
