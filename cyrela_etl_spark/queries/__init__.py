@@ -56,6 +56,9 @@ _PRIORITY: list[str] = [
     "text_term_stats",
     "curation_pipeline",
     "dedup_ngram_jaccard",
+    # -- new in round 5 (never scored) --------------------------------------
+    "q15_top_supplier",
+    "q21_waiting_supplier",
     # -- block B: implementing file changed in round 5 ----------------------
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -129,6 +132,7 @@ def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
         streamingq,
         temporalq,
         textq,
+        tpchx,
         vectorq,
         walletq,
     )

@@ -114,3 +114,30 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     plan = _plan(temporal_sessionize(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_q21_single_lineitem_scan_no_correlated_rescans(spark, sf_dir):
+    """Textbook Q21 scans the fact three times (join + EXISTS + NOT
+    EXISTS). The aggregation re-plan must read lineitem ONCE and resolve
+    both existence predicates from the same per-order pass; the supplier
+    dim attaches as a broadcast."""
+    from cyrela_etl_spark.queries.tpchx import q21_waiting_supplier
+
+    plan = _plan(q21_waiting_supplier(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing big-joins-big at test SF
+
+
+def test_q15_pushes_quarter_filter_and_broadcasts_max(spark, sf_dir):
+    """The revenue-view quarter reaches the scan as a pushed filter, and
+    the global max attaches as a broadcast 1-row relation — never a
+    global sort or single-partition window."""
+    from cyrela_etl_spark.queries.tpchx import q15_top_supplier
+
+    plan = _plan(q15_top_supplier(spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "lineitem.parquet" in l)
+    assert "ReadSchema" in scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert plan.count("BroadcastHashJoin") == 2  # 1-row max + supplier dim
+    assert "GlobalSort" not in plan and "rangepartitioning" not in plan
