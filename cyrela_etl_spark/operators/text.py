@@ -214,3 +214,63 @@ def winnow_fingerprints(
         )
     )
     return hash_df.select("doc_id", F.explode(kept).alias("fingerprint"))
+
+
+def word_grams(col: Column | str, n: int = 2) -> Column:
+    """NON-distinct word n-grams (array<string>) — the multiset variant of
+    dedup.word_shingles, for frequency statistics where duplicate grams
+    ARE the signal. Documents with fewer than n tokens yield the empty
+    array (no whole-join fallback: a partial gram would pollute counts).
+    Same shifted-``zip_with`` construction (O(n·len), no per-gram slice
+    allocation, no HOF re-evaluation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    sz = F.size(tok)
+    grams = tok
+    for i in range(1, n):
+        grams = F.zip_with(grams, F.slice(tok, i + 1, sz), lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(grams, 1, F.greatest(sz - F.lit(n - 1), F.lit(0)))
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Within-document repetition signals over word n-grams — the
+    pretraining quality-filter family popularized by the Gopher data
+    pipeline (Rae et al. 2021, "Scaling Language Models", Table A1:
+    duplicate/top n-gram fractions): machine-generated and boilerplate
+    text repeats itself far more than natural prose.
+
+    Per document: total n-gram occurrences, the top n-gram's occurrence
+    count, ``top_gram_frac`` (top count / total) and ``dup_gram_frac``
+    (occurrences belonging to any gram seen ≥2× / total). Counts are
+    exact ints; each fraction is one IEEE-754 division (bit-stable across
+    engines). Documents with fewer than n tokens have ZERO grams and are
+    ABSENT from the output (the explode emits no rows — identically on
+    both engines via unnest), so every emitted denominator is ≥ 1 and
+    the 0/0 edge (NULL with ANSI off, DIVIDE_BY_ZERO under ANSI — same
+    as the dedup Jaccard) cannot arise; join back to the corpus on
+    doc_id if a total relation is needed.
+
+    Plan: explode → (doc, gram) hash-count → per-doc re-agg. Two
+    shuffles, both with map-side partial aggregation; the (doc, gram)
+    key is high-cardinality but unskewed (doc_id spreads any hot gram),
+    so the shape is safe at corpus scale.
+    """
+    grams = df.select(F.col(id_col).alias("doc_id"), F.explode(word_grams(F.col(text_col), n)).alias("gram"))
+    gc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    return (
+        gc.groupBy("doc_id")
+        .agg(
+            total.cast("long").alias("n_grams"),
+            F.max("c").cast("long").alias("top_gram_n"),
+            (F.max("c") / total).alias("top_gram_frac"),
+            (F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))) / total).alias(
+                "dup_gram_frac"
+            ),
+        )
+    )

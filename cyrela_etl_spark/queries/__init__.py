@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     # -- new in round 5 (never scored) --------------------------------------
     "q15_top_supplier",
     "q21_waiting_supplier",
+    "text_repetition",
     # -- block B: implementing file changed in round 5 ----------------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -892,3 +892,36 @@ FROM ranked
 WHERE h_rank <= ceil(n_stratum * 20 / 100)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# text_repetition — Gopher-style within-document repetition signals over
+# word bigrams (operators/text.py repetition_features): total/top bigram
+# counts plus top- and duplicate-gram fractions. Exact ints + single
+# divisions; sub-2-token docs are absent on both engines (explode/unnest
+# emit no rows for an empty gram list).
+# ---------------------------------------------------------------------------
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_SQL_BIGRAMS = (
+    "list_transform(generate_series(1, greatest(len(t) - 1, 0)), "
+    "i -> array_to_string(t[i:i+1], ' '))"
+)
+register(
+    "text_repetition",
+    text_repetition,
+    f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS gram FROM toks),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(max(c) AS BIGINT) AS top_gram_n,
+       CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS top_gram_frac,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) / CAST(sum(c) AS BIGINT) AS dup_gram_frac
+FROM gc
+GROUP BY doc_id
+""",
+)

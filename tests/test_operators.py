@@ -108,6 +108,30 @@ def test_empty_and_whitespace_docs_excluded_from_pairing(spark):
         spark.conf.set("spark.sql.ansi.enabled", old)
 
 
+def test_repetition_features_gopher_signals(spark):
+    """Bigram repetition fractions: a fully-repetitive doc scores
+    dup_gram_frac 1.0, natural-ish prose scores low, and sub-2-token
+    docs are absent (zero grams — no 0/0 row)."""
+    from cyrela_etl_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),       # one bigram repeated 4x
+            (2, "the quick brown fox jumps home"), # all bigrams unique
+            (3, "one"),                            # zero bigrams -> absent
+            (4, ""),                               # zero tokens  -> absent
+            (5, "a b a b c"),                      # 'a b' x2 of 4 grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert set(out) == {1, 2, 5}
+    assert out[1]["n_grams"] == 4 and out[1]["dup_gram_frac"] == 1.0
+    assert out[2]["dup_gram_frac"] == 0.0 and out[2]["top_gram_n"] == 1
+    assert out[5]["n_grams"] == 4 and out[5]["top_gram_n"] == 2
+    assert out[5]["top_gram_frac"] == 0.5 and out[5]["dup_gram_frac"] == 0.5
+
+
 def test_simhash_pairs_hamming_bound(spark):
     # An exact token-multiset copy has Hamming 0 — guaranteed to share
     # every chunk, so the banding must surface it (near-copies are only
