@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "q15_top_supplier",
     "q21_waiting_supplier",
     "text_repetition",
+    "stream_interval_join",
     # -- block B: implementing file changed in round 5 ----------------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -22,6 +22,7 @@ from cyrela_etl_spark.streaming import (
     run_available_now_to_parquet,
     session_agg,
     sliding_counts,
+    stream_stream_interval_join,
     tumbling_counts,
 )
 
@@ -236,6 +237,58 @@ def stream_rate_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
         spark, run_until_rows, agg, "stream_rate_windowed", min_rows=1, output_mode="update"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_interval_join — the STREAM-STREAM JOIN mode: click→purchase
+# attribution. Two independent unbounded streams over the same events
+# feed (clicks, purchases) joined on user with an event-time interval
+# (purchase within 1 h at-or-after the click). Both sides buffer state;
+# the watermark + interval bound are what keep that state finite — the
+# only stream-stream formulation that survives unbounded input. Drained
+# result must equal the batch join with the identical predicate (the
+# oracle). Complements stream_static_enrich (broadcast, stateless).
+# ---------------------------------------------------------------------------
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="1 hour", watermark="2 hours",
+    ).select("user_id", "click_id", "purchase_id", "purchase_value")
+    return _drain(spark, run_available_now, joined, "stream_interval_join", output_mode="append")
+
+
+register(
+    "stream_interval_join",
+    stream_interval_join,
+    """
+SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id,
+       r.value AS purchase_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+""",
+)
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from cyrela_etl_spark.streaming.ops import (
     run_until_rows,
     session_agg,
     sliding_counts,
+    stream_stream_interval_join,
     to_bus_envelope,
     tumbling_counts,
 )
@@ -40,5 +41,6 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_agg",
+    "stream_stream_interval_join",
     "dedup_within_watermark",
 ]

@@ -253,6 +253,40 @@ def session_agg(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER equi-join with an event-time interval bound:
+    right rows match left rows with the same ``key`` and
+    ``left_ts + lower <= right_ts <= left_ts + upper`` (e.g. purchases
+    within an hour of the click that led to them).
+
+    Unlike the stream-static join (no state), BOTH sides buffer rows in
+    the state store; the watermark + time-range condition are what make
+    that state BOUNDED — each side can discard rows once the other
+    side's watermark passes the interval, which is the only formulation
+    that survives unbounded streams (without the time bound Spark
+    rejects the plan outright for append mode). The drained result must
+    equal the batch join with the identical predicate — that equality is
+    this operator's oracle contract.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: Sequence[str],

@@ -77,6 +77,25 @@ def test_run_until_rows_times_out_cleanly(spark):
         run_until_rows(never, "t_rate_stall", min_rows=1, timeout_sec=4)
 
 
+def test_stream_stream_outer_join_requires_bounded_state(spark, sf_dir):
+    """Spark ACCEPTS an inner stream-stream join without watermarks (the
+    state simply never evicts — a silent unbounded-memory trap at scale),
+    but REJECTS the outer form, which would otherwise never know when to
+    emit null-padded rows. This pins the contract our
+    stream_stream_interval_join wrapper (watermark + interval bound on
+    both sides) exists to satisfy; result-equality of the bounded form
+    vs the batch join is covered by the stream_interval_join oracle."""
+    from pyspark.sql import functions as F
+
+    s1 = _stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"))
+    s2 = _stream(spark, sf_dir).filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"))
+    unbounded = s1.join(s2, s1["user_id"] == s2["r_user"], "left_outer")
+    with pytest.raises(Exception, match="[Ww]atermark"):
+        run_available_now(unbounded, "t_ss_unbounded", output_mode="append")
+
+
 def test_streaming_query_listener_observes_progress(spark, sf_dir):
     """Production stream monitoring: a StreamingQueryListener receives
     pushed progress events (numInputRows per micro-batch) — no driver
