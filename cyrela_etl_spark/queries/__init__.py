@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "q21_waiting_supplier",
     "text_repetition",
     "stream_interval_join",
+    "storage_incremental_agg",
     # -- block B: implementing file changed in round 5 ----------------------
     "dedup_exact",
     "dedup_minhash_lsh",

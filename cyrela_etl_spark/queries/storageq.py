@@ -128,6 +128,54 @@ GROUP BY s_nationkey
 
 
 # ---------------------------------------------------------------------------
+# storage_incremental_agg — incremental view maintenance (operators/
+# incremental.py): the orders fact arrives as three date-partitioned
+# batches; each contributes a keyed partial-aggregate state and the
+# serving numbers come from MERGING the states, never rescanning
+# history. The oracle is the full recompute over all of orders — if the
+# algebraic merge is correct they are exactly equal (the decimal sum
+# makes equality exact, not approximate). At 100 TB this is the
+# difference between an O(|delta|) nightly load and an O(|history|) one.
+# ---------------------------------------------------------------------------
+def storage_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.incremental import (
+        finalize_agg_state,
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    batches = [
+        orders.filter(F.col("o_orderdate") < "1994-01-01"),
+        orders.filter(
+            (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+        ),
+        orders.filter(F.col("o_orderdate") >= "1996-01-01"),
+    ]
+    keys = ["o_orderpriority"]
+    states = [partial_agg_state(b, keys, "o_totalprice") for b in batches]
+    return finalize_agg_state(merge_agg_states(states, keys), keys)
+
+
+register(
+    "storage_incremental_agg",
+    storage_incremental_agg,
+    """
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+       min(o_totalprice) AS min_value,
+       max(o_totalprice) AS max_value
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # storage_snapshot_diff — CDC snapshot diff (sources/zones.py
 # snapshot_diff): a new snapshot is derived from orders by deterministic
 # rules (drop %97 keys, bump %89 prices, insert %101 clones under new

@@ -335,3 +335,39 @@ def test_lsh_xxhash_fast_path_finds_planted_neardup(spark):
     assert all(p["hamming"] <= 2 for p in sh)
     with pytest.raises(ValueError, match="md5|xxhash64"):
         D.minhash_signatures(df, hash_fn="fnv")
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark, sf_dir):
+    """The algebraic-merge contract: folding per-batch partial states —
+    in any batch split and any merge order — must equal the single-pass
+    aggregate over the union. Decimal sums make this exact equality."""
+    from cyrela_etl_spark.operators.incremental import (
+        finalize_agg_state,
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    keys = ["o_orderpriority"]
+    # 4-way split on a key unrelated to the group key
+    batches = [orders.filter(F.col("o_orderkey") % 4 == i) for i in range(4)]
+    states = [partial_agg_state(b, keys, "o_totalprice") for b in batches]
+    # two different merge trees: left fold vs pairwise
+    flat = finalize_agg_state(merge_agg_states(states, keys), keys)
+    pair = finalize_agg_state(
+        merge_agg_states(
+            [merge_agg_states(states[:2], keys), merge_agg_states(states[2:], keys)], keys
+        ),
+        keys,
+    )
+    full = finalize_agg_state([partial_agg_state(orders, keys, "o_totalprice")][0], keys)
+    rows_flat = {r["o_orderpriority"]: r.asDict() for r in flat.collect()}
+    rows_pair = {r["o_orderpriority"]: r.asDict() for r in pair.collect()}
+    rows_full = {r["o_orderpriority"]: r.asDict() for r in full.collect()}
+    assert rows_flat == rows_full
+    assert rows_pair == rows_full
+    assert merge_agg_states(states, keys).columns == ["o_orderpriority", "agg_cnt", "agg_sum", "agg_min", "agg_max"]
+    with pytest.raises(ValueError, match="at least one"):
+        merge_agg_states([], keys)
