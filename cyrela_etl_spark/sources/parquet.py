@@ -10,6 +10,11 @@ and reading the 2 columns × 3 partitions a query actually needs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class SchemaDriftError(RuntimeError):
+    """A testdata table's physical schema is not one the engine supports."""
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -17,44 +22,60 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, normalizing its nanosecond timestamps.
+    """Read the events table, normalizing ``ts`` to a session-tz timestamp.
 
-    The driver's events parquet stores ``ts`` as INT64 TIMESTAMP(NANOS),
-    which Spark's parquet reader rejects outright. Reading with
-    ``spark.sql.legacy.parquet.nanosAsLong`` surfaces the raw nanos as a
-    long; ``ts div 1000`` (integer division — a double division would lose
-    precision above 2^53 ns) truncates to whole microseconds, exactly how
-    DuckDB's TIMESTAMP reads the same file. The driver data is whole-micro
-    anyway, so the conversion is lossless.
+    A real lake contains parquet written by multiple writers, so the reader
+    adapts to the physical encoding of ``ts`` instead of assuming one:
+
+    - INT64 TIMESTAMP(NANOS): Spark's reader rejects this outright unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, which surfaces raw
+      nanos as a long; ``ts div 1000`` (integer division — a double division
+      would lose precision above 2^53 ns) truncates to whole microseconds,
+      exactly how DuckDB's TIMESTAMP reads the same file.
+    - TIMESTAMP(MICROS) without tz (Spark: TIMESTAMP_NTZ): cast to the
+      session timestamp type. The session tz is pinned to UTC
+      (session.py), so the cast is wall-clock identity and matches how
+      DuckDB reads the same file as naive TIMESTAMP.
+    - TIMESTAMP(MICROS/MILLIS) with tz (Spark: TIMESTAMP): pass through.
+
+    Setting nanosAsLong is harmless for non-nanos files (it only affects
+    NANOS-encoded fields), so it stays on for the read and the branch is
+    decided by the dtype Spark actually loaded.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from pyspark.sql import functions as F
-
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    return normalize_event_ts(df)
 
 
 def events_long_ts_schema(spark: SparkSession, sf_dir: str):
-    """The nanosAsLong schema of the events parquet (ts: long) — what a
-    streaming file source over the events zone must declare."""
+    """The as-loaded schema of the events parquet — what a streaming file
+    source over the events zone must declare. ``ts`` arrives as long for
+    legacy INT64-nanos files (read under nanosAsLong) and as a timestamp
+    type for TIMESTAMP(MICROS) files; ``normalize_event_ts`` handles both.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """nanos-long ``ts`` → microsecond timestamp (streaming-safe projection)."""
+    """Physical ``ts`` (nanos-long or timestamp) → session-tz microsecond
+    timestamp. Streaming-safe projection; branches on the loaded dtype."""
     from pyspark.sql import functions as F
 
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts_col = F.timestamp_micros(F.expr("ts div 1000"))
+    elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        ts_col = F.col("ts").cast("timestamp")
+    else:
+        raise SchemaDriftError(
+            "events.ts: unsupported physical type "
+            f"{ts_type.simpleString()}; expected bigint (INT64 nanos under "
+            "nanosAsLong), timestamp, or timestamp_ntz"
+        )
     return df.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        ts_col.alias("ts"),
         "user_id",
         "event_type",
         "value",
@@ -79,17 +100,49 @@ def write_parquet(
     writer.parquet(path)
 
 
+def check_table_schema(name: str, schema: T.StructType) -> None:
+    """Tripwire: fail loudly (naming the column) if a testdata table's loaded
+    schema is not one the engine supports — see schemas.TESTDATA_EXPECTED.
+    Unknown tables pass (the map covers driver tables, not user data)."""
+    from cyrela_etl_spark.schemas import TESTDATA_EXPECTED
+
+    expected = TESTDATA_EXPECTED.get(name)
+    if expected is None:
+        return
+    loaded = {f.name: f.dataType.simpleString() for f in schema.fields}
+    missing = set(expected) - set(loaded)
+    if missing:
+        raise SchemaDriftError(
+            f"table '{name}': missing expected column(s) {sorted(missing)}; "
+            f"loaded columns: {sorted(loaded)}"
+        )
+    for col, allowed in expected.items():
+        if loaded[col] not in allowed:
+            raise SchemaDriftError(
+                f"table '{name}', column '{col}': loaded type "
+                f"'{loaded[col]}' is not supported (expected one of "
+                f"{sorted(allowed)}). The driver testdata schema has "
+                "drifted; teach the reader the new encoding."
+            )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
     """Load the driver testdata tables (TESTDATA.md) and register temp views.
 
     Returns {name: DataFrame}; each is also available to ``spark.sql`` as a
-    temp view of the same name.
+    temp view of the same name. Each loaded schema is checked against the
+    supported-encodings map (schema-drift tripwire); ``events`` is loaded
+    through its dtype-adaptive reader so ``ts`` is always a timestamp.
     """
     from cyrela_etl_spark.schemas import TESTDATA_TABLES
 
     out: dict[str, DataFrame] = {}
     for name in tables or TESTDATA_TABLES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = read_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        check_table_schema(name, df.schema)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
