@@ -60,6 +60,7 @@ HEADLINE = [
     "text_term_stats",
     "multimodal_media_meta",
     "stream_tumbling",
+    "stream_interval_join",
     "q08_market_share",
     "temporal_sessionize",
     "text_winnow_fingerprints",
@@ -98,8 +99,19 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    # Diagnostics embedded in the artifact (VERDICT r5 item 3: the r4
+    # "stream_tumbling 21.7 s in-bench vs 1.7 s standalone" session-
+    # degradation question was unanswerable because only medians were
+    # recorded). Per-query raw samples + session uptime at query start +
+    # host loadavg make any future in-bench anomaly diagnosable from the
+    # BENCH_r{N}.json alone.
+    samples_by_query: dict[str, list[float]] = {}
+    uptime_at_start: dict[str, float] = {}
+    bench_t0 = time.perf_counter()
+    load_start = os.getloadavg()
     for name in headline:
         fn, _oracle = registry[name]
+        uptime_at_start[name] = round(time.perf_counter() - bench_t0, 1)
         samples: list[float] = []
         for r in range(runs):
             t0 = time.perf_counter()
@@ -120,6 +132,7 @@ def main() -> None:
             # otherwise accumulate stale cached relations across runs.
             spark.catalog.clearCache()
         timings[name] = round(statistics.median(samples), 3)
+        samples_by_query[name] = [round(s, 3) for s in samples]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -128,6 +141,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "diagnostics": {
+            "runs_per_query": runs,
+            "samples": samples_by_query,
+            "session_uptime_at_query_start_sec": uptime_at_start,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        },
     }))
 
 

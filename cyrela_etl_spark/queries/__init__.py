@@ -33,46 +33,23 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 # Scoring-priority order: the driver walks the returned dict in insertion
 # order and scores AT MOST ~50 entries per round. Slot allocation for
-# round 5 (96 registered queries, all oracle-backed):
-#   block A (10): queries whose round-4 code changes were never
-#     driver-scored (VERDICT r4 "stale greens") — re-score first;
-#   block B (20): queries green in r4 whose implementing files changed
-#     in round 5 (dedup.py empty-shingle filter, textq.py term-stats
-#     rewrite + oracle tweaks, streaming/ops.py checkpoint/view cleanup,
-#     zones.py compaction swap) — their r4 rows describe old code;
-#   block C: everything unscored in r4, oldest-risk first (relational
-#     battery, then wallet) — the tail past slot 50 keeps valid r3 rows
-#     over files untouched in rounds 4 AND 5 (functionsq.py, corpus.py,
-#     temporalq.py), which is the safest thing to leave unscored.
+# round 6 (101 registered queries, all oracle-backed — keep this count in
+# sync with len(REGISTRY); VERDICT r5 ADVICE flagged a stale count here):
+#   block A (16): every events-reader. The driver regenerated events.parquet
+#     with a new ts encoding after round 5's last commit, so ALL prior green
+#     rows for these queries describe the old physical schema — stale by
+#     definition. 8 errored in r5 (whole stream_* family, incl. the
+#     never-green stream_interval_join) and 8 more fail-localled
+#     (temporal_* ×5, func_json_extract, grouped_map_normalize,
+#     minmax_normalize_window). The round-6 reader is dtype-adaptive
+#     (sources/parquet.py); these must produce fresh rows first.
+#   block B: the tail whose last driver row is r3 (corpus_*, agg_*,
+#     func_*, fuzzy_*, sql_*, plus singles) — oldest-risk first so the
+#     whole registry has a fresh row within r6-r7.
+#   tail (unlisted): everything green in r5 over files unchanged in round 6
+#     — the safest thing to leave unscored this round.
 _PRIORITY: list[str] = [
-    # -- block A: round-4 stale greens (VERDICT r4 item 1) ------------------
-    "dedup_components",
-    "multimodal_byte_histogram",
-    "multimodal_frame_sample",
-    "vector_cosine_topk",
-    "vector_rhp_lsh_topk",
-    "vector_ivf_topk",
-    "vector_neardup_pairs",
-    "text_term_stats",
-    "curation_pipeline",
-    "dedup_ngram_jaccard",
-    # -- new in round 5 (never scored) --------------------------------------
-    "q15_top_supplier",
-    "q21_waiting_supplier",
-    "text_repetition",
-    "stream_interval_join",
-    "storage_incremental_agg",
-    # -- block B: implementing file changed in round 5 ----------------------
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "text_quality",
-    "text_language_id",
-    "text_fingerprint",
-    "text_token_counts",
-    "text_winnow_fingerprints",
+    # -- block A: events-readers (all rows stale after the ts-encoding drift)
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
@@ -80,47 +57,60 @@ _PRIORITY: list[str] = [
     "stream_stateful_running",
     "stream_static_enrich",
     "stream_parquet_sink",
-    "storage_zone_promote",
-    "storage_table_roundtrip",
-    "storage_snapshot_diff",
-    # -- block C: r4-unscored (valid r3 rows, code unchanged since) ---------
-    "q01_pricing_summary",
-    "q03_top_orders",
-    "q05_region_revenue",
-    "join_semi",
-    "join_anti",
-    "join_outer",
-    "join_broadcast_dim",
-    "window_rank",
-    "window_lag_running",
-    "window_frames",
-    "set_ops",
-    "set_intersect",
-    "group_rollup",
-    "filter_project",
-    "topk_global",
-    "distinct_agg",
-    "sql_q04_exists",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "wallet_features",
-    # ---- slot ~50 boundary: entries below keep r3 rows over files
-    # ---- untouched since (temporalq.py, corpus.py, functionsq.py)
+    "stream_interval_join",
+    "temporal_asof_join",
+    "temporal_range_join",
+    "temporal_time_bucket",
     "temporal_gap_fill",
+    "temporal_sessionize",
+    "func_json_extract",
+    "grouped_map_normalize",
+    "minmax_normalize_window",
+    # -- block B: last scored r3 — oldest first -----------------------------
     "corpus_chunking",
     "corpus_dataset_split",
     "corpus_pii_redact",
+    "corpus_stratified_sample",
     "corpus_token_pack",
     "agg_cube",
+    "agg_grouping_sets",
+    "agg_filtered",
+    "agg_exact_median",
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_pivot",
     "agg_unpivot",
-    "func_json_extract",
     "func_string",
     "func_math",
     "func_datetime",
     "func_arrays",
+    "func_hof",
+    "fuzzy_match_names",
+    "fuzzy_match_names_indel",
+    "sql_q6",
+    "sql_scalar_subquery",
+    "sql_correlated_subquery",
+    "sql_q04_exists",
+    "multimodal_media_meta",
+    "join_salted",
+    "join_bucketed",
+    "window_analytics",
+    "vector_l2_topk",
+    "distinct_agg",
+    "storage_csv_roundtrip",
+    "wallet_features",
+    # -- block C: r4-scored TPC-H battery (still fresher than block B) ------
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_nation_profit",
+    "q10_returned_revenue",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
 ]
 
 
