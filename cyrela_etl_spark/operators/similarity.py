@@ -447,3 +447,91 @@ def l2_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "l2_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) — the memory-bandwidth path.
+# ---------------------------------------------------------------------------
+def _abs_max(v):
+    return F.array_max(F.transform(v, lambda x: F.abs(x)))
+
+
+def quantize_int8(v, scale):
+    """Symmetric per-vector int8 quantization: q[i] = round(127·v[i]/scale),
+    scale = max|v[i]|. Pure comparisons + one round per element — exact and
+    portable (round-half-away-from-zero in both Spark and DuckDB)."""
+    return F.transform(v, lambda x: F.round(F.lit(127) * x / scale).cast("long"))
+
+
+def _int_dot(a, b):
+    """Exact integer dot product of two long arrays (zip_with + fold —
+    integer adds, no float accumulation, bit-identical everywhere)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_int8_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k over scalar-quantized (int8) vectors.
+
+    The production rationale at 100 TB: an int8 corpus is 4× smaller than
+    float32 (16× vs double), so the scan is 4× less IO and the dot products
+    are integer SIMD — this is the standard first compression rung before
+    PQ. Accuracy loss is bounded (|Δcos| ≲ 1/127 per axis); the returned
+    score is the cosine OF THE QUANTIZED vectors, deterministically.
+
+    Determinism contract: quantization is round(127·x/max|x|) per element
+    (identical double ops both engines), dot/norms are EXACT integer
+    folds, and the only floats are two correctly-rounded sqrts + one
+    division, rounded to ``round_digits`` before ranking. Ties break on
+    vec_id. Same broadcast + two-phase rank plan as ``cosine_topk`` —
+    no shuffle except the final k·partitions window.
+
+    Zero vectors (scale = 0) would divide by zero; the synthetic
+    embeddings have none, and real pipelines drop them upstream.
+    """
+    d0 = data.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    q0 = queries.select("query_id", to_double_array(vec_col).alias("v"))
+
+    def _quant(df, qname):
+        withv = df.select("*", _abs_max(F.col("v")).alias("s"))
+        return withv.select(
+            *[c for c in df.columns if c != "v"],
+            quantize_int8(F.col("v"), F.col("s")).alias(qname),
+        )
+
+    d = _quant(d0, "qd")
+    d = d.select("vec_id", "qd", _int_dot(F.col("qd"), F.col("qd")).alias("nd"))
+    q = _quant(q0, "qq")
+    q = q.select("query_id", "qq", _int_dot(F.col("qq"), F.col("qq")).alias("nq"))
+
+    cos = F.round(
+        _int_dot(F.col("qq"), F.col("qd")) / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nd"))),
+        round_digits,
+    )
+    scored = d.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", cos.alias("cosine")
+    )
+    local_w = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(local_w))
+        .filter(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(_rank_window()))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

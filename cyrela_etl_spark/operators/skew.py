@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -122,3 +122,39 @@ def salted_agg(
         for name, (_, combiner) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*final)
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a join/aggregation key — the diagnostic you
+    run BEFORE choosing between a plain shuffle join, a broadcast, and a
+    salted join at 100 TB: per top-N key, its row count, rank, corpus
+    share in exact ppm, and ``skew_x`` = count / mean-count-per-key (a
+    skew_x of 50 on the top key says a plain shuffle sends 50× the average
+    partition load to one reducer — salt it).
+
+    Plan: one hash agg (map-side combine) → TakeOrderedAndProject for the
+    top-N (each partition keeps N, the driver merges — NO single-reducer
+    global sort) → rank window over the N-row result; the 1-row totals
+    aggregate joins in via broadcast. Deterministic: ties break on key asc.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("long").alias("rank"),
+        F.expr("(cnt * 1000000) div total").alias("share_ppm"),
+        (F.col("cnt") * F.col("n_keys") / F.col("total")).alias("skew_x"),
+    )

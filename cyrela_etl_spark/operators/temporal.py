@@ -149,3 +149,55 @@ def gap_fill(
     return spine.join(counts, [key, "bucket"], "left").select(
         key, "bucket", F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias(count_col)
     )
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    width: str = "1 hour",
+) -> DataFrame:
+    """OHLC bar downsampling: per key per time bucket, the opening value
+    (earliest event; ties broken on ``tiebreak_col``), high, low, closing
+    value (latest event), event count, and exact-decimal turnover — the
+    hypertable/"candlestick" rollup every time-series store ships
+    (TimescaleDB time_bucket + first/last, kdb xbar).
+
+    Open/close use row_number over a fully-deterministic order
+    (ts, tiebreak) — never first()/last() whose result is
+    partition-order-dependent. high/low/count are pure comparisons;
+    turnover sums DECIMAL(12,2) (associative-exact) and casts to double
+    once at the end, per the engine's money contract.
+
+    Plan: ONE exchange — the row_number window hash-partitions on
+    (keys, bucket) and the subsequent groupBy on the same keys reuses
+    that partitioning (no second shuffle; asserted in tests). State is
+    O(bars), never O(events).
+    """
+    bucket = F.date_trunc("hour" if width == "1 hour" else width, F.col(ts_col))
+    base = df.select(
+        *key_cols,
+        bucket.alias("bucket_start"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(value_col).alias("__v"),
+    )
+    keys = [*key_cols, "bucket_start"]
+    w_asc = Window.partitionBy(*keys).orderBy(F.col("__ts").asc(), F.col("__tb").asc())
+    w_desc = Window.partitionBy(*keys).orderBy(F.col("__ts").desc(), F.col("__tb").desc())
+    marked = base.select(
+        *keys,
+        "__v",
+        F.row_number().over(w_asc).alias("__rn_a"),
+        F.row_number().over(w_desc).alias("__rn_d"),
+    )
+    return marked.groupBy(*keys).agg(
+        F.max(F.when(F.col("__rn_a") == 1, F.col("__v"))).alias("open"),
+        F.max("__v").alias("high"),
+        F.min("__v").alias("low"),
+        F.max(F.when(F.col("__rn_d") == 1, F.col("__v"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("__v").cast("decimal(12,2)")).cast("double").alias("turnover"),
+    )

@@ -274,3 +274,121 @@ def repetition_features(
             ),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score per document —
+    the classic LM-based pretraining filter (CCNet / Wenzek et al. 2020
+    score documents with a KenLM; here the LM is a bigram model trained on
+    the corpus itself, and the score is kept in exact-integer space so it
+    is bit-reproducible against any engine).
+
+    Model: add-one-smoothed bigram probability with the prefix-occurrence
+    normalizer, P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V). Instead of
+    summing log-probs (transcendental, last-ulp-divergent across engines),
+    each occurrence contributes floor(1e6 · P) — an exact BIGINT — and the
+    document score is avg probability in ppm: one IEEE division of two
+    exact ints at the very end. Monotone in corpus likelihood, no floats
+    anywhere in the fold.
+
+    Per document: ``n_bigrams``, ``sum_ppm``, ``avg_prob_ppm``. Documents
+    with < 2 tokens have no bigrams and are absent (explode emits no rows).
+
+    Plan (two passes over the token stream, all shuffles keyed well):
+    1. occurrences (doc_id, bigram) — one explode projection;
+    2. model = bigram counts ⋈ prefix counts (hash aggs with map-side
+       combine; the prefix join is keyed on the bigram's first word);
+    3. score = occurrences ⋈ model on bigram (shuffle hash join; the
+       model is corpus-vocabulary-sized — broadcast it only for small
+       corpora), + a 1-row vocab aggregate cross-joined (broadcast);
+    4. per-doc sum/count hash agg.
+    A hot bigram ("of the") skews the score join's build side uniformly,
+    not a single reducer — the probe stream stays doc-partitioned.
+    """
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_grams(F.col(text_col), 2)).alias("bg"),
+    )
+    c2 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        occ.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    model = c2.join(c1, F.split(c2["bg"], " ").getItem(0) == c1["w1"]).select("bg", "c2", "c1")
+    scored = (
+        occ.join(model, "bg")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr("(1000000 * (c2 + 1)) div (c1 + vocab)").alias("ppm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("ppm").cast("long").alias("sum_ppm"),
+        (F.sum("ppm") / F.count(F.lit(1))).alias("avg_prob_ppm"),
+    )
+
+
+# Fixed, versioned weights for the linear quality classifier — a stand-in
+# for a trained fastText/logreg quality model's exported coefficients
+# (model-based filtering à la GPT-3/CCNet; at inference time the model IS
+# just a weight vector applied in one projection).
+QUALITY_CLF_WEIGHTS: dict[str, float] = {
+    "bias": -0.6,
+    "length_sig": 0.9,
+    "stopword_sig": 0.7,
+    "punct_sig": 0.5,
+}
+QUALITY_CLF_THRESHOLD = 0.0
+
+
+def quality_classifier(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear quality-classifier inference: margin = w·features + b over
+    the three bounded quality signals, keep = margin > threshold.
+
+    One JVM-side projection per document — no shuffle, no Python, no
+    model server: exactly how a 100 TB keep/drop pass should run. The
+    margin fold is a fixed left-to-right chain of literal-weight
+    multiply-adds over signals built from exact ints, so any IEEE-754
+    engine reproduces it bit-for-bit.
+
+    Returns (doc_id, length_sig, stopword_sig, punct_sig, margin, keep).
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chr = F.length(t)
+    length_sig = F.least(n_tok, F.lit(100)) / F.lit(100)
+    stop_sig = F.least(stopword_count(t) / n_tok * 4, F.lit(1.0))
+    punct_sig = F.lit(1.0) - F.least(punct_count(t) / n_chr * 10, F.lit(1.0))
+    w = QUALITY_CLF_WEIGHTS
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        length_sig.alias("length_sig"),
+        stop_sig.alias("stopword_sig"),
+        punct_sig.alias("punct_sig"),
+    )
+    margin = (
+        F.lit(w["bias"])
+        + F.lit(w["length_sig"]) * F.col("length_sig")
+        + F.lit(w["stopword_sig"]) * F.col("stopword_sig")
+        + F.lit(w["punct_sig"]) * F.col("punct_sig")
+    )
+    return base.select(
+        "doc_id",
+        "length_sig",
+        "stopword_sig",
+        "punct_sig",
+        margin.alias("margin"),
+        (margin > F.lit(QUALITY_CLF_THRESHOLD)).alias("keep"),
+    )

@@ -1607,3 +1607,42 @@ JOIN nation   ON s_nationkey = n_nationkey
 GROUP BY n_name, year(o_orderdate)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# scale_skew_profile — heavy-hitter diagnostic over the orders→customer
+# join key (operators/skew.py key_skew_profile): the pre-flight check that
+# decides plain-shuffle vs broadcast vs salted join. TakeOrdered top-N (no
+# single-reducer sort), exact-ppm shares, deterministic key-asc ties.
+# ---------------------------------------------------------------------------
+def scale_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.skew import key_skew_profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return key_skew_profile(orders, "o_custkey", top_n=20)
+
+
+register(
+    "scale_skew_profile",
+    scale_skew_profile,
+    """
+WITH c AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys
+  FROM c
+),
+ranked AS (
+  SELECT key, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT) AS rank
+  FROM c
+)
+SELECT r.key, r.cnt, r.rank,
+       (r.cnt * 1000000) // t.total AS share_ppm,
+       (r.cnt * t.n_keys) / t.total AS skew_x
+FROM ranked r CROSS JOIN t
+WHERE r.rank <= 20
+""",
+)

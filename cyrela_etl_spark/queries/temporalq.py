@@ -210,3 +210,50 @@ FROM s
 GROUP BY user_id, session_idx
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_ohlc — per-event-type hourly OHLC bars (operators/temporal.py
+# ohlc_downsample). Open/close via deterministic row_number (ts, event_id),
+# turnover through DECIMAL(12,2); the oracle mirrors the same windows.
+# ---------------------------------------------------------------------------
+def temporal_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.temporal import ohlc_downsample
+
+    return ohlc_downsample(
+        _events(spark, sf_dir), key_cols=["event_type"], width="1 hour"
+    ).select(
+        "event_type",
+        "bucket_start",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("n_events").cast("long").alias("n_events"),
+        "turnover",
+    )
+
+
+register(
+    "temporal_ohlc",
+    temporal_ohlc,
+    """
+WITH marked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket_start,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS turnover
+FROM marked
+GROUP BY event_type, bucket_start
+""",
+)

@@ -925,3 +925,153 @@ FROM gc
 GROUP BY doc_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_contamination — train/eval benchmark decontamination (broadcast
+# eval shingle probe; operators/contamination.py). Eval split = base docs
+# with doc_id % 7 == 0; train = the planted corpus minus the eval docs
+# themselves, so the planted near-copies (+200000, one appended token) and
+# exact copies (+100000) of eval docs surface as contaminated — the
+# GPT-3-style overlap scenario, non-vacuous by construction.
+# ---------------------------------------------------------------------------
+_CONTAM_N = 5
+
+
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.contamination import contamination_report
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    eval_df = base.filter(F.col("doc_id") % 7 == 0)
+    train = corpus(spark, sf_dir).filter(
+        ~((F.col("doc_id") < 100000) & (F.col("doc_id") % 7 == 0))
+    )
+    return contamination_report(train, eval_df, n=_CONTAM_N)
+
+
+def _contamination_oracle() -> str:
+    sh = sql_shingles(sql_tokens("text"), _CONTAM_N)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+train AS (
+  SELECT doc_id, text FROM corpus
+  WHERE NOT (doc_id < 100000 AND doc_id % 7 = 0)
+),
+eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+t_sh AS (
+  SELECT doc_id AS train_id, CAST(len({sh}) AS BIGINT) AS n_shingles,
+         unnest({sh}) AS shingle
+  FROM train
+),
+e_sh AS (
+  SELECT DISTINCT eval_id, shingle FROM (
+    SELECT doc_id AS eval_id, unnest({sh}) AS shingle FROM eval_docs
+  )
+),
+hits AS (
+  SELECT t.train_id, t.n_shingles, t.shingle, e.eval_id
+  FROM t_sh t JOIN e_sh e USING (shingle)
+  WHERE t.shingle <> ''
+)
+SELECT train_id, n_shingles,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_overlap_shingles,
+       CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs,
+       CAST(count(DISTINCT shingle) AS BIGINT) / n_shingles AS contamination_ratio
+FROM hits
+GROUP BY train_id, n_shingles
+"""
+
+
+register("dedup_contamination", dedup_contamination, _contamination_oracle())
+
+
+# ---------------------------------------------------------------------------
+# text_lm_score — corpus-trained bigram-LM quality score in exact integer
+# space (operators/text.py bigram_lm_scores): each bigram occurrence
+# contributes floor(1e6 · add-one-smoothed P(w2|w1)); the per-doc average
+# is one int/int division. No transcendental functions anywhere, so the
+# DuckDB twin is bit-identical (the CCNet-style filter without the ulp
+# risk of summed log-probs).
+# ---------------------------------------------------------------------------
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_lm_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+register(
+    "text_lm_score",
+    text_lm_score,
+    f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+occ AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> array_to_string(t[i:i+1], ' '))) AS bg
+  FROM toks
+),
+c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY bg),
+c1t AS (
+  SELECT string_split(bg, ' ')[1] AS w1, CAST(count(*) AS BIGINT) AS c1
+  FROM occ GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+  FROM (SELECT unnest(t) AS tok FROM toks)
+),
+model AS (
+  SELECT c2.bg, c2.c2, c1t.c1
+  FROM c2 JOIN c1t ON string_split(c2.bg, ' ')[1] = c1t.w1
+),
+scored AS (
+  SELECT o.doc_id, (1000000 * (m.c2 + 1)) // (m.c1 + v.vocab) AS ppm
+  FROM occ o JOIN model m USING (bg) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+       CAST(sum(ppm) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_prob_ppm
+FROM scored
+GROUP BY doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_filter — linear-model keep/drop inference
+# (operators/text.py quality_classifier): fixed exported weights applied in
+# one projection; margin fold is a literal left-to-right multiply-add chain
+# the oracle replicates operation-for-operation.
+# ---------------------------------------------------------------------------
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_classifier(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _quality_clf_oracle() -> str:
+    w = X.QUALITY_CLF_WEIGHTS
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len({sql_tokens('text')}) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '{X.PUNCT_CLASS}', '', 'g')) AS n_punct,
+         len(list_filter({sql_tokens('text')}, t -> t IN ({_SW}))) AS n_stop
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         least(n_tokens, 100) / 100 AS length_sig,
+         least((n_stop / n_tokens) * 4, 1.0) AS stopword_sig,
+         1.0 - least((n_punct / n_chars) * 10, 1.0) AS punct_sig
+  FROM base
+)
+SELECT doc_id, length_sig, stopword_sig, punct_sig,
+       {w['bias']} + {w['length_sig']} * length_sig
+                   + {w['stopword_sig']} * stopword_sig
+                   + {w['punct_sig']} * punct_sig AS margin,
+       ({w['bias']} + {w['length_sig']} * length_sig
+                    + {w['stopword_sig']} * stopword_sig
+                    + {w['punct_sig']} * punct_sig) > {X.QUALITY_CLF_THRESHOLD} AS keep
+FROM sig
+"""
+
+
+register("quality_classifier_filter", quality_classifier_filter, _quality_clf_oracle())

@@ -249,3 +249,51 @@ ranked AS (
 SELECT query_id, rank, vec_id, l2_dist FROM ranked WHERE rank <= {_K}
 """
 register("vector_l2_topk", vector_l2_topk, ORACLE_L2)
+
+
+# ---------------------------------------------------------------------------
+# vector_sq_int8_topk — cosine top-k over symmetric int8 scalar-quantized
+# vectors (operators/similarity.py sq_int8_topk): 4× less scan IO than
+# float32, exact integer dot products, two correctly-rounded sqrts + one
+# division as the only float ops. The oracle quantizes identically and
+# folds the dot product in exact BIGINT space.
+# ---------------------------------------------------------------------------
+def vector_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.similarity import sq_int8_topk
+
+    out = sq_int8_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=_K)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
+
+
+def _sq_oracle() -> str:
+    quant = (
+        "list_transform(v, x -> CAST(round(127 * x / "
+        "list_max(list_transform(v, y -> abs(y)))) AS BIGINT))"
+    )
+    idot = (
+        "CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+quant AS (SELECT vec_id, {quant} AS qv FROM base),
+normed AS (SELECT vec_id, qv,
+                  {idot.format(dim=_DIM, a='qv', b='qv')} AS nrm
+           FROM quant),
+q AS (SELECT vec_id AS query_id, qv AS qq, nrm AS nq FROM normed WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+         round({idot.format(dim=_DIM, a='q.qq', b='d.qv')}
+               / (sqrt(q.nq) * sqrt(d.nrm)), 6) AS cosine
+  FROM normed d JOIN q ON d.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {_K}
+"""
+
+
+register("vector_sq_int8_topk", vector_sq_int8_topk, _sq_oracle())
