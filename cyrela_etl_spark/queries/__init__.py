@@ -33,8 +33,9 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 # Scoring-priority order: the driver walks the returned dict in insertion
 # order and scores AT MOST ~50 entries per round. Slot allocation for
-# round 6 (101 registered queries, all oracle-backed — keep this count in
+# round 6 (109 registered queries, all oracle-backed — keep this count in
 # sync with len(REGISTRY); VERDICT r5 ADVICE flagged a stale count here):
+#   block 0 (8): operators new in round 6, never scored — first;
 #   block A (16): every events-reader. The driver regenerated events.parquet
 #     with a new ts encoding after round 5's last commit, so ALL prior green
 #     rows for these queries describe the old physical schema — stale by
@@ -49,6 +50,15 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 #   tail (unlisted): everything green in r5 over files unchanged in round 6
 #     — the safest thing to leave unscored this round.
 _PRIORITY: list[str] = [
+    # -- new in round 6 (never scored) --------------------------------------
+    "dedup_contamination",
+    "text_lm_score",
+    "quality_classifier_filter",
+    "vector_sq_int8_topk",
+    "temporal_ohlc",
+    "scale_skew_profile",
+    "stream_upsert_sink",
+    "storage_zorder_cluster",
     # -- block A: events-readers (all rows stale after the ts-encoding drift)
     "stream_tumbling",
     "stream_sliding",

@@ -211,3 +211,55 @@ UNION ALL
 SELECT 'inserted', o_orderkey + 10000000 FROM orders WHERE o_orderkey % 101 = 0
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_zorder_cluster — Morton-curve clustering stats over orders
+# (operators/zorder.py): keys = custkey mod 2^16 and orderdate day-number
+# mod 2^16, bit-interleaved; per z-bucket row counts + the min/max
+# rectangle of both keys (what zone-map pruning sees after an OPTIMIZE
+# ZORDER rewrite). Pure integer bit arithmetic — the oracle interleaves
+# identically.
+# ---------------------------------------------------------------------------
+_Z_EPOCH = "1992-01-01"
+_Z_BITS = 16
+_Z_SHIFT = 16
+
+
+def storage_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.zorder import zorder_cluster_stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.pmod(F.col("o_custkey"), F.lit(65536)).cast("long").alias("k1"),
+        F.pmod(
+            F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit(_Z_EPOCH))),
+            F.lit(65536),
+        )
+        .cast("long")
+        .alias("k2"),
+    )
+    return zorder_cluster_stats(orders, "k1", "k2", bits=_Z_BITS, bucket_shift=_Z_SHIFT)
+
+
+def _zorder_oracle() -> str:
+    from cyrela_etl_spark.operators.zorder import zvalue_sql
+
+    z = zvalue_sql("k1", "k2", _Z_BITS)
+    return f"""
+WITH keys AS (
+  SELECT CAST(o_custkey % 65536 AS BIGINT) AS k1,
+         CAST(date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS k2
+  FROM orders
+),
+zed AS (SELECT k1, k2, {z} AS zvalue FROM keys)
+SELECT CAST(zvalue >> {_Z_SHIFT} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(zvalue) AS min_z, max(zvalue) AS max_z,
+       min(k1) AS min_k1, max(k1) AS max_k1,
+       min(k2) AS min_k2, max(k2) AS max_k2
+FROM zed
+GROUP BY 1
+"""
+
+
+register("storage_zorder_cluster", storage_zorder_cluster, _zorder_oracle())

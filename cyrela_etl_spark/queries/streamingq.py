@@ -330,3 +330,67 @@ FROM events
 GROUP BY 1, 2
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_upsert_sink — streaming MERGE via foreachBatch: maintain a
+# latest-event-per-user state table across micro-batches (the Delta
+# foreachBatch-MERGE recipe over the parquet-snapshot catalog). The events
+# file is pre-split into 8 parquet parts streamed 2 files per trigger, so
+# the upsert genuinely merges ~4 incremental batches; the order-maximum
+# merge makes the final state independent of the file→batch chop, equal to
+# the batch latest-row-per-user window — the oracle.
+# ---------------------------------------------------------------------------
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cyrela_etl_spark.sources.parquet import read_events
+    from cyrela_etl_spark.streaming.ops import run_foreach_batch_upsert
+
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="upsert_sink_")
+    try:
+        src = f"{work}/in"
+        read_events(spark, sf_dir).repartition(4).write.parquet(src)
+        stream = read_file_stream(
+            spark, src, spark.read.parquet(src).schema, max_files_per_trigger=2
+        )
+        final = _drain(
+            spark,
+            run_foreach_batch_upsert,
+            stream,
+            state_dir=f"{work}/state",
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+        out = final.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        # Detach from the on-disk state snapshot so the workdir can go;
+        # the state table is O(distinct users) — harness-small by contract
+        # (the scale path returns the parquet-backed frame directly).
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "stream_upsert_sink",
+    stream_upsert_sink,
+    """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_event_type, value AS last_value
+FROM ranked WHERE rn = 1
+""",
+)

@@ -22,7 +22,7 @@ from __future__ import annotations
 import tempfile
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -378,3 +378,74 @@ def run_available_now_to_parquet(
         if made_checkpoint:
             shutil.rmtree(checkpoint, ignore_errors=True)
     return sdf.sparkSession.read.parquet(path)
+
+
+def run_foreach_batch_upsert(
+    sdf: DataFrame,
+    state_dir: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain a stream through a ``foreachBatch`` MERGE that maintains a
+    latest-row-per-key state table — the standard streaming-upsert sink
+    (Delta's ``foreachBatch`` + MERGE recipe, minus the transaction log:
+    each epoch writes a new parquet snapshot version, mirroring
+    sources/zones.py upsert_table).
+
+    Per micro-batch: reduce the batch to its latest row per key (max
+    ``order_cols``, fully deterministic), union with the current state
+    snapshot, keep the per-key max again, write snapshot ``v_{epoch}``.
+    Because the merge keeps the ORDER-maximum (not the arrival-latest),
+    the final state is independent of how the source chops files into
+    micro-batches — replay/out-of-order delivery converges to the same
+    table, which is what makes the batch window-query oracle exact.
+
+    State is O(keys); each micro-batch shuffles O(batch + keys), never
+    history. Returns the final state as a batch DataFrame.
+    """
+    import os
+    import shutil
+
+    spark = sdf.sparkSession
+    order_desc = [F.col(c).desc() for c in order_cols]
+
+    def _latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(*order_desc)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        versions = sorted(
+            d for d in os.listdir(state_dir) if d.startswith("v_")
+        ) if os.path.isdir(state_dir) else []
+        fresh = _latest(batch)
+        if versions:
+            cur = spark.read.parquet(os.path.join(state_dir, versions[-1]))
+            fresh = _latest(cur.unionByName(fresh))
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v_{epoch_id:08d}")
+        )
+
+    made_checkpoint = checkpoint_dir is None
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_upsert_")
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.streams.resetTerminated()
+        if made_checkpoint:
+            shutil.rmtree(checkpoint, ignore_errors=True)
+    versions = sorted(d for d in os.listdir(state_dir) if d.startswith("v_"))
+    if not versions:
+        raise RuntimeError("foreachBatch upsert produced no state snapshot")
+    return spark.read.parquet(os.path.join(state_dir, versions[-1]))

@@ -1,0 +1,281 @@
+"""Round-6 operators: contamination, bigram LM, quality classifier,
+int8-quantized ANN, OHLC, skew profile, foreachBatch upsert, z-order.
+
+Each operator already has an oracle-checked registry entry; these tests
+pin behavioral contracts the oracle can't see (plan shapes, broadcast
+strategy, merge idempotence, quantization bounds) plus small semantic
+fixtures with hand-computed expectations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+def test_contamination_flags_planted_copy(spark):
+    from cyrela_etl_spark.operators.contamination import contamination_report
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains eval 5-gram
+            (2, "one two three four five six seven"),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    rows = {r.train_id: r for r in contamination_report(train, eval_df, n=5).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    # "alpha beta gamma delta epsilon zeta" has 2 distinct 5-gram shingles,
+    # one of which is the eval doc's single shingle.
+    assert r.n_shingles == 2
+    assert r.n_overlap_shingles == 1
+    assert r.n_eval_docs == 1
+    assert r.contamination_ratio == 0.5
+
+
+def test_contamination_uses_broadcast_probe(spark):
+    from cyrela_etl_spark.queries import load_all
+
+    fn, _ = load_all()["dedup_contamination"]
+    assert "BroadcastHashJoin" in _plan(fn(spark, SF))
+
+
+# ---------------------------------------------------------------------------
+# bigram LM score
+# ---------------------------------------------------------------------------
+def test_bigram_lm_score_exact_integer_space(spark):
+    from cyrela_etl_spark.operators.text import bigram_lm_scores
+
+    # Corpus: "a b a b" + "a b". Bigram counts: (a b)=3, (b a)=1.
+    # Prefix counts: a·=3, b·=1. Vocab=2.
+    docs = spark.createDataFrame([(1, "a b a b"), (2, "a b")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    ppm_ab = (1_000_000 * (3 + 1)) // (3 + 2)  # 800000
+    ppm_ba = (1_000_000 * (1 + 1)) // (1 + 2)  # 666666
+    assert out[1].n_bigrams == 3
+    assert out[1].sum_ppm == 2 * ppm_ab + ppm_ba
+    assert out[2].sum_ppm == ppm_ab
+    assert out[2].avg_prob_ppm == float(ppm_ab)
+
+
+def test_bigram_lm_short_docs_absent(spark):
+    from cyrela_etl_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame([(1, "single"), (2, "")], ["doc_id", "text"])
+    assert bigram_lm_scores(docs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# quality classifier
+# ---------------------------------------------------------------------------
+def test_quality_classifier_margin_and_keep(spark):
+    from cyrela_etl_spark.operators.text import (
+        QUALITY_CLF_WEIGHTS,
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+    r = quality_classifier(docs).collect()[0]
+    w = QUALITY_CLF_WEIGHTS
+    expect = (
+        w["bias"]
+        + w["length_sig"] * r.length_sig
+        + w["stopword_sig"] * r.stopword_sig
+        + w["punct_sig"] * r.punct_sig
+    )
+    assert r.margin == expect
+    assert r.keep == (r.margin > 0.0)
+
+
+def test_quality_classifier_single_stage_plan(spark):
+    from cyrela_etl_spark.operators.text import quality_classifier
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # Keep/drop inference must stay a shuffle-free projection.
+    assert "Exchange" not in _plan(quality_classifier(docs))
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+def test_quantize_int8_bounds_and_sign(spark):
+    from cyrela_etl_spark.operators.similarity import _abs_max, quantize_int8
+
+    df = spark.createDataFrame([(1, [1.0, -0.5, 0.25, 0.0])], ["id", "v"])
+    vcol = F.col("v").cast("array<double>")
+    q = df.select(quantize_int8(vcol, _abs_max(vcol)).alias("q")).collect()[0].q
+    assert q == [127, -64, 32, 0]  # round(127*-0.5) = -64 (half away from zero)
+
+
+def test_sq_int8_topk_close_to_exact(spark):
+    from cyrela_etl_spark.operators.similarity import cosine_topk, sq_int8_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=5).collect()
+    quant = sq_int8_topk(emb, q, k=5).collect()
+    ex = {(r.query_id, r.rank): r for r in exact}
+    qu = {(r.query_id, r.rank): r for r in quant}
+    assert set(ex) == set(qu)
+    # Quantized cosine within ~2/127 of exact for matching (query, rank).
+    for key, r in qu.items():
+        assert abs(r.cosine - ex[key].cosine) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# OHLC
+# ---------------------------------------------------------------------------
+def test_ohlc_deterministic_open_close(spark):
+    from cyrela_etl_spark.operators.temporal import ohlc_downsample
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:05:00", "t", 5.0),
+            (2, "2024-01-01 10:01:00", "t", 1.0),
+            (3, "2024-01-01 10:59:00", "t", 9.0),
+            (4, "2024-01-01 10:01:00", "t", 2.0),  # same ts as id 2: id wins
+        ],
+        ["event_id", "ts_s", "event_type", "value"],
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    r = ohlc_downsample(df, key_cols=["event_type"]).collect()[0]
+    assert r.open == 1.0  # earliest ts, lowest event_id
+    assert r.close == 9.0
+    assert r.high == 9.0 and r.low == 1.0
+    assert r.n_events == 4
+    assert r.turnover == 17.0
+
+
+def test_ohlc_single_exchange(spark):
+    from cyrela_etl_spark.operators.temporal import ohlc_downsample
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    plan = _plan(ohlc_downsample(read_events(spark, SF), key_cols=["event_type"]))
+    # Window exchange on (event_type, bucket) is reused by the groupBy —
+    # exactly one shuffle in the whole plan.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# skew profile
+# ---------------------------------------------------------------------------
+def test_skew_profile_values(spark):
+    from cyrela_etl_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, ["k"]
+    )
+    rows = key_skew_profile(df, "k", top_n=2).collect()
+    assert [r.key for r in rows] == ["a", "b"]
+    a = rows[0]
+    assert a.cnt == 6 and a.rank == 1
+    assert a.share_ppm == 600_000
+    assert a.skew_x == 6 * 3 / 10  # cnt * n_keys / total
+
+
+def test_skew_profile_no_global_sort(spark):
+    from cyrela_etl_spark.operators.skew import key_skew_profile
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(key_skew_profile(orders, "o_custkey", top_n=20))
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch upsert
+# ---------------------------------------------------------------------------
+def test_foreach_batch_upsert_converges_to_batch_latest(spark, tmp_path):
+    from cyrela_etl_spark.sources.parquet import read_events
+    from cyrela_etl_spark.streaming.ops import read_file_stream, run_foreach_batch_upsert
+
+    src = str(tmp_path / "in")
+    read_events(spark, SF).repartition(4).write.parquet(src)
+    stream = read_file_stream(spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1)
+    final = run_foreach_batch_upsert(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    batch = (
+        read_events(spark, SF)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got = {(r.user_id, r.event_id) for r in final.collect()}
+    want = {(r.user_id, r.event_id) for r in batch.collect()}
+    assert got == want
+    # Multiple snapshots prove the merge ran incrementally (4 input files,
+    # 1 per trigger).
+    import os
+
+    assert len([d for d in os.listdir(tmp_path / "state") if d.startswith("v_")]) >= 2
+
+
+# ---------------------------------------------------------------------------
+# z-order
+# ---------------------------------------------------------------------------
+def test_zvalue_interleave_known_bits(spark):
+    from cyrela_etl_spark.operators.zorder import zvalue_expr
+
+    df = spark.createDataFrame([(3, 1)], ["k1", "k2"])
+    z = df.select(
+        zvalue_expr(F.col("k1").cast("long"), F.col("k2").cast("long"), 4).alias("z")
+    ).collect()[0].z
+    # k1=0b11 -> bits 0,2; k2=0b01 -> bit 1: z = 1 + 2 + 4 = 7
+    assert z == 7
+
+
+def test_zorder_locality_beats_unsorted(spark, tmp_path):
+    """After write_zordered on equal-width keys, each output file covers a
+    narrow rectangle in BOTH dimensions (the zone-map pruning win that
+    motivates the op). Keys must share a bit width — the documented
+    precondition (mismatched ranges let the wider key's high bits dominate
+    the curve, which is why production rewrites range-normalize first)."""
+    from cyrela_etl_spark.operators.zorder import write_zordered
+
+    # 64×64 grid, one row per cell, written shuffled.
+    grid = spark.range(4096).select(
+        (F.col("id") / 64).cast("long").alias("k1"),
+        F.pmod(F.col("id"), F.lit(64)).cast("long").alias("k2"),
+    ).repartition(16)
+    path = str(tmp_path / "zordered")
+    write_zordered(grid, path, "k1", "k2", bits=6, n_files=8)
+    per_file = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("k1") - F.min("k1")).alias("span1"),
+            (F.max("k2") - F.min("k2")).alias("span2"),
+        )
+        .collect()
+    )
+    assert len(per_file) == 8
+    # A z-range of ~512 cells covers about two 16×16 Morton quads. Two
+    # caveats are inherent: the range partitioner samples boundaries (files
+    # straddle quad edges), and a file crossing the curve's top-level seam
+    # spans one dim fully while staying narrow in the other. So assert the
+    # honest invariants: every file is narrow in at least one dim, and the
+    # average span across files/dims is well under the unsorted 63.
+    assert all(min(r.span1, r.span2) <= 32 for r in per_file)
+    mean_span = sum(r.span1 + r.span2 for r in per_file) / (2 * len(per_file))
+    assert mean_span < 40
