@@ -64,6 +64,12 @@ HEADLINE = [
     "q08_market_share",
     "temporal_sessionize",
     "text_winnow_fingerprints",
+    # round-6 operator representatives
+    "dedup_contamination",
+    "text_lm_score",
+    "text_bm25_topk",
+    "vector_sq_int8_topk",
+    "storage_zorder_cluster",
 ]
 
 

@@ -392,3 +392,74 @@ def quality_classifier(
         margin.alias("margin"),
         (margin > F.lit(QUALITY_CLF_THRESHOLD)).alias("keep"),
     )
+
+
+def bm25_lite_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k document retrieval for a bag of query terms with a BM25-shaped
+    score kept entirely in exact integer arithmetic.
+
+    Classic BM25 (k1=1.2, b=0.75) is sum_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)). Two deterministic substitutions make it
+    oracle-exact: the idf log is dropped (the RATIONAL Robertson argument
+    (N−df+0.5)/(df+0.5) is used directly — a monotone transform per term,
+    so single-term rankings are identical and multi-term rankings weight
+    rare terms more sharply), and every per-term contribution is floored
+    to ppm BIGINTs:
+
+        contrib_ppm = (1e6 · (2N−2df+1) · 22·tf·L) //
+                      ((2df+1) · (10·tf·L + 3·L + 9·dl·N))
+
+    where L = total corpus tokens, avgdl = L/N, and the 22/10/3/9 factors
+    are k1=6/5, b=3/4 cleared of denominators. Scores are exact BIGINT
+    sums — bit-identical in any engine. (Magnitude check: the numerator is
+    ≤ 1e6·2N·22·tf·L; keep N·tf·L under ~4e11 — any driver-scale corpus —
+    or move the oracle arithmetic to HUGEINT/decimal.)
+
+    Plan: tokenize → explode filtered TO THE QUERY TERMS (the filter sits
+    under the first shuffle, so corpus-size work is one projection) →
+    per-(doc,term) tf hash agg → broadcast join the |terms|-row df table +
+    the 1-row (N, L) totals → per-doc sum → TakeOrdered top-k. No shuffle
+    carries more than the matching postings.
+    """
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    toks = toks.select("doc_id", F.col("t"), F.size("t").cast("long").alias("dl"))
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    occ = toks.select(
+        "doc_id", "dl", F.explode("t").alias("term")
+    ).filter(F.array_contains(term_arr, F.col("term")))
+    tf = occ.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = occ.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000 * (2*n_docs - 2*df + 1) * 22 * tf * total_len) div "
+                "((2*df + 1) * (10*tf*total_len + 3*total_len + 9*dl*n_docs))"
+            ).alias("contrib_ppm"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("contrib_ppm").cast("long").alias("score_ppm"),
+    )
+    top = per_doc.orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc()).limit(k)
+    from pyspark.sql import Window
+
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc()))
+        .cast("long"),
+    ).select("doc_id", "rank", "n_terms", "score_ppm")

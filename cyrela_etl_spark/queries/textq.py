@@ -1075,3 +1075,99 @@ FROM sig
 
 
 register("quality_classifier_filter", quality_classifier_filter, _quality_clf_oracle())
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_topk — BM25-shaped term retrieval in exact integer space
+# (operators/text.py bm25_lite_topk): rational log-free idf, ppm-floored
+# contributions, BIGINT sums; the oracle reproduces every integer op.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["data", "table", "join", "stream"]
+_BM25_K = 20
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bm25_lite_topk(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), _BM25_TERMS, k=_BM25_K
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+sized AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM toks),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+  FROM sized
+),
+occ AS (
+  SELECT doc_id, dl, unnest(t) AS term FROM sized
+),
+matched AS (SELECT * FROM occ WHERE term IN ({terms})),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM matched GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM matched GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         (1000000 * (2*t.n_docs - 2*d.df + 1) * 22 * tf.tf * t.total_len) //
+         ((2*d.df + 1) * (10*tf.tf*t.total_len + 3*t.total_len + 9*tf.dl*t.n_docs))
+           AS contrib_ppm
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN totals t
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(contrib_ppm) AS BIGINT) AS score_ppm
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_terms, score_ppm,
+         CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM per_doc
+)
+SELECT doc_id, rank, n_terms, score_ppm FROM ranked WHERE rank <= {_BM25_K}
+"""
+
+
+register("text_bm25_topk", text_bm25_topk, _bm25_oracle())
+
+
+# ---------------------------------------------------------------------------
+# corpus_weighted_sample — deterministic weighted sampling without
+# replacement (operators/corpus.py weighted_priority_sample): priority =
+# md5-hash(id) // weight, smallest-n kept. Weight = n_chars (longer docs
+# proportionally likelier). Pure integer arithmetic end to end.
+# ---------------------------------------------------------------------------
+_WSAMPLE_N = 50
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.corpus import weighted_priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_priority_sample(docs, "n_chars", n=_WSAMPLE_N)
+
+
+register(
+    "corpus_weighted_sample",
+    corpus_weighted_sample,
+    f"""
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         {sql_hex64("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+pri AS (SELECT doc_id, n_chars, h // n_chars AS priority FROM base),
+ranked AS (
+  SELECT doc_id, n_chars, priority,
+         CAST(row_number() OVER (ORDER BY priority ASC, doc_id ASC) AS BIGINT) AS rank
+  FROM pri
+)
+SELECT doc_id, n_chars, priority, rank FROM ranked WHERE rank <= {_WSAMPLE_N}
+""",
+)

@@ -279,3 +279,64 @@ def test_zorder_locality_beats_unsorted(spark, tmp_path):
     assert all(min(r.span1, r.span2) <= 32 for r in per_file)
     mean_span = sum(r.span1 + r.span2 for r in per_file) / (2 * len(per_file))
     assert mean_span < 40
+
+
+# ---------------------------------------------------------------------------
+# BM25-lite retrieval
+# ---------------------------------------------------------------------------
+def test_bm25_lite_integer_score(spark):
+    from cyrela_etl_spark.operators.text import bm25_lite_topk
+
+    # Corpus: doc1 has "data" twice (dl=3), doc2 once (dl=2), doc3 none.
+    docs = spark.createDataFrame(
+        [(1, "data data x"), (2, "data y"), (3, "z z z")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in bm25_lite_topk(docs, ["data"], k=10).collect()}
+    assert set(rows) == {1, 2}
+    N, L = 3, 8
+    df_ = 2
+
+    def contrib(tf, dl):
+        return (1_000_000 * (2 * N - 2 * df_ + 1) * 22 * tf * L) // (
+            (2 * df_ + 1) * (10 * tf * L + 3 * L + 9 * dl * N)
+        )
+
+    assert rows[1].score_ppm == contrib(2, 3)
+    assert rows[2].score_ppm == contrib(1, 2)
+    assert rows[1].rank == 1  # higher tf wins
+    assert rows[1].n_terms == 1
+
+
+def test_bm25_filter_before_shuffle(spark):
+    from cyrela_etl_spark.operators.text import bm25_lite_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_lite_topk(docs, ["data", "table"], k=5))
+    # Non-matching postings must never reach an exchange: the term filter
+    # sits below the first shuffle, and the top-k is TakeOrdered.
+    assert "TakeOrderedAndProject" in plan
+    assert "array_contains" in plan.lower() or "ARRAY_CONTAINS" in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling
+# ---------------------------------------------------------------------------
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from cyrela_etl_spark.operators.corpus import weighted_priority_sample
+
+    docs = spark.createDataFrame(
+        [(i, 1 if i % 2 else 1000) for i in range(200)], ["doc_id", "w"]
+    )
+    a = weighted_priority_sample(docs, "w", n=40).collect()
+    b = weighted_priority_sample(docs, "w", n=40).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # reproducible
+    # weight-1000 docs (even ids) should dominate a weight-1 population
+    heavy = sum(1 for r in a if r.doc_id % 2 == 0)
+    assert heavy >= 35
+
+
+def test_weighted_sample_no_global_sort(spark):
+    from cyrela_etl_spark.operators.corpus import weighted_priority_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert "TakeOrderedAndProject" in _plan(weighted_priority_sample(docs, "n_chars", n=50))
