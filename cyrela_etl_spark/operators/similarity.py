@@ -535,3 +535,147 @@ def sq_int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance (ADC) — the deep-compression
+# rung: IVF-PQ is how billion-vector indexes (FAISS) fit in RAM.
+# ---------------------------------------------------------------------------
+def pq_codebooks(
+    data: DataFrame,
+    m: int,
+    ksub: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: the full-dim md5-seeded sample
+    (``seed_centroids``) sliced into ``m`` subspaces of dim/m — one
+    (subspace j, centroid cid, subvector) row per codeword, m·ksub rows
+    total. Tiny by contract (m·ksub·dsub doubles), shipped broadcast.
+    A SQL oracle replays the seeding exactly (ORDER BY md5(id) LIMIT k).
+    """
+    dsub = dim // m
+    seeds = seed_centroids(data, ksub, id_col=id_col, vec_col=vec_col)
+    rows = [
+        (j, cid, v[j * dsub : (j + 1) * dsub])
+        for j in range(m)
+        for cid, v in seeds
+    ]
+    return data.sparkSession.createDataFrame(rows, "j long, cid long, cv array<double>")
+
+
+def _sub_explode(df: DataFrame, m: int, dsub: int, id_name: str) -> DataFrame:
+    """(id, j, sub): each vector split into its m subvectors, one row per
+    subspace — a pure projection (posexplode of an array of slices)."""
+    slices = F.array(*[F.slice(F.col("v"), j * dsub + 1, dsub) for j in range(m)])
+    return df.select(
+        F.col(id_name), F.posexplode(slices).alias("j", "sub")
+    )
+
+
+def _d2_ppm(a, b):
+    """Squared L2 distance in exact ppm integers: |a|² − 2a·b + |b|² via
+    the shared sequential dot fold, scaled to 1e6 and rounded ONCE —
+    everything after (argmin, ADC sums) is integer arithmetic, immune to
+    float-summation order."""
+    raw = (dot(a, a) - F.lit(2.0) * dot(a, b)) + dot(b, b)
+    return F.round(raw * F.lit(1_000_000)).cast("long")
+
+
+def pq_encode(
+    data: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, j, code): each subvector mapped to its nearest codeword.
+
+    The argmin is a STRUCT-MIN AGGREGATE over (d2_ppm, cid) — lexicographic
+    min ≡ 'order by distance, cid' rank-1, but it runs as a hash agg with
+    map-side partial combining (the shuffle carries one partial min per
+    (row, subspace), never the ksub candidate rows a window formulation
+    would sort). Codebooks join broadcast; ties break cid asc by the
+    struct's second field.
+    """
+    subs = _sub_explode(
+        data.select(F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")),
+        m,
+        dsub,
+        "id",
+    )
+    cand = subs.join(F.broadcast(codebooks), "j").select(
+        "id", "j", F.struct(_d2_ppm(F.col("sub"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")).alias("dc")
+    )
+    return (
+        cand.groupBy("id", "j")
+        .agg(F.min("dc").alias("best"))
+        .select("id", "j", F.col("best.cid").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jégou, Douze, Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): the corpus is
+    stored as m small codes per vector (here 8 codes ≈ 8 bytes vs 256
+    bytes of float32 — 32× compression); each query builds an m×ksub
+    distance table against the codebooks and a candidate's distance is the
+    INTEGER sum of m table lookups. The returned ``adc_ppm`` is the exact
+    squared-L2-to-codeword distance in ppm.
+
+    Scale shape: encode = projection + broadcast join + struct-min hash
+    agg (shuffle carries m partial minima per vector); search = codes ⋈
+    broadcast distance-table (m·ksub·|queries| rows) + per-(query, vec)
+    integer sum + the same two-phase top-k rank as ``cosine_topk``. No
+    full-precision vector is touched at query time — that is the PQ
+    contract that lets 100 TB of vectors serve from the codes alone.
+    """
+    dsub = dim // m
+    books = pq_codebooks(data, m, ksub, dim, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(data, books, m, dsub, id_col=id_col, vec_col=vec_col)
+    qsubs = _sub_explode(
+        queries.select(F.col("query_id"), to_double_array(vec_col).alias("v")),
+        m,
+        dsub,
+        "query_id",
+    )
+    dtable = qsubs.join(F.broadcast(books), "j").select(
+        "query_id", "j", "cid", _d2_ppm(F.col("sub"), F.col("cv")).alias("d2_ppm")
+    )
+    scored = (
+        codes.join(
+            F.broadcast(dtable),
+            (codes["j"] == dtable["j"]) & (codes["code"] == dtable["cid"]),
+        )
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("vec_id"))
+        .agg(F.sum("d2_ppm").cast("long").alias("adc_ppm"))
+    )
+    local_w = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("adc_ppm").asc(), F.col("vec_id").asc()
+    )
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(local_w))
+        .filter(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_ppm").asc(), F.col("vec_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_ppm")
+    )

@@ -297,3 +297,79 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {_K}
 
 
 register("vector_sq_int8_topk", vector_sq_int8_topk, _sq_oracle())
+
+
+# ---------------------------------------------------------------------------
+# vector_pq_adc_topk — product-quantization ADC search (operators/
+# similarity.py pq_adc_topk): md5-seeded codebooks (8 subspaces × 16
+# codewords over dim 64), struct-min encoding, and integer-ppm distance
+# sums — the 32×-compression rung below int8. The oracle replays seeding,
+# encoding argmin, and the ADC table lookups with the same integer math.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_KSUB = 8, 16
+_PQ_DSUB = _DIM // _PQ_M
+
+
+def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.similarity import pq_adc_topk
+
+    out = pq_adc_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=_K,
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
+        dim=_DIM,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "adc_ppm"
+    )
+
+
+def _pq_oracle() -> str:
+    d2 = (
+        "CAST(round((list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})) * 1000000) AS BIGINT)"
+    )
+    lo = f"j*{_PQ_DSUB}+1"
+    hi = f"j*{_PQ_DSUB}+{_PQ_DSUB}"
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM base
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_KSUB}),
+js AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j),
+books AS (SELECT js.j, cent.cid, cent.cv[{lo}:{hi}] AS cw FROM cent CROSS JOIN js),
+dsubs AS (SELECT base.vec_id, js.j, base.v[{lo}:{hi}] AS sub FROM base CROSS JOIN js),
+cand AS (
+  SELECT d.vec_id, d.j, b.cid, {d2.format(a='d.sub', b='b.cw')} AS d2
+  FROM dsubs d JOIN books b ON d.j = b.j
+),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+qsubs AS (SELECT vec_id AS query_id, j, sub FROM dsubs WHERE vec_id < {_N_QUERIES}),
+dtable AS (
+  SELECT q.query_id, q.j, b.cid, {d2.format(a='q.sub', b='b.cw')} AS d2_ppm
+  FROM qsubs q JOIN books b ON q.j = b.j
+),
+scored AS (
+  SELECT t.query_id, c.vec_id, CAST(sum(t.d2_ppm) AS BIGINT) AS adc_ppm
+  FROM codes c JOIN dtable t ON c.j = t.j AND c.code = t.cid
+  WHERE c.vec_id <> t.query_id
+  GROUP BY t.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_ppm,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_ppm ASC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, adc_ppm FROM ranked WHERE rank <= {_K}
+"""
+
+
+register("vector_pq_adc_topk", vector_pq_adc_topk, _pq_oracle())
