@@ -171,29 +171,41 @@ def rhp_lsh_topk(
     bucket. Recall is tunable via n_planes (fewer planes → bigger buckets
     → higher recall, more compute).
 
-    ``dim`` defaults to the embedding length sampled from the data (one
-    1-row job); if given explicitly it is validated — a silent mismatch
-    would null out every plane dot product (zip_with pads with nulls) and
-    collapse all rows into bucket 0, i.e. a full scan with no error.
+    ``dim`` given explicitly costs NO extra job: the length check rides
+    the plan as a per-row guard (a silent mismatch would null out every
+    plane dot product — zip_with pads with nulls — and collapse all rows
+    into bucket 0, i.e. a full scan with no error, so the guard raises
+    instead). ``dim=None`` falls back to sampling the length from the
+    data (one 1-row job).
     """
-    sampled = data.select(F.size(F.col(vec_col)).alias("d")).first()
-    actual_dim = sampled["d"] if sampled is not None else None
     if dim is None:
-        if actual_dim is None:
+        sampled = data.select(F.size(F.col(vec_col)).alias("d")).first()
+        if sampled is None:
             raise ValueError("cannot derive embedding dim from empty data")
-        dim = actual_dim
-    elif actual_dim is not None and actual_dim != dim:
-        raise ValueError(f"dim={dim} does not match embedding length {actual_dim} in data")
+        dim = sampled["d"]
     planes = _hyperplanes(dim, n_planes, seed)
+
+    def _guarded_bucket(col):
+        return F.when(
+            F.size(col) == dim, rhp_bucket(col, planes)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"rhp_lsh_topk: dim={dim} does not match embedding length "),
+                    F.size(col).cast("string"),
+                )
+            ).cast("long")
+        )
+
     d = data.select(
         F.col(id_col).alias("vec_id"),
         to_double_array(vec_col).alias("v"),
-        rhp_bucket(F.col(vec_col), planes).alias("bucket"),
+        _guarded_bucket(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col("query_id"),
         to_double_array(vec_col).alias("qv"),
-        rhp_bucket(F.col(vec_col), planes).alias("bucket"),
+        _guarded_bucket(F.col(vec_col)).alias("bucket"),
     )
     cos = cosine_similarity(F.col("qv"), F.col("v"))
     if round_digits is not None:
@@ -202,8 +214,20 @@ def rhp_lsh_topk(
         d.join(F.broadcast(q), (d["bucket"] == q["bucket"]) & (F.col("vec_id") != F.col("query_id")))
         .select("query_id", "vec_id", cos.alias("cosine"))
     )
+    # Two-phase rank (same reasoning as cosine_topk): local per-partition
+    # top-k first so the final per-query window sees k·n_partitions rows,
+    # not every bucket candidate funneling into |queries| reducers.
+    local_w = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(local_w))
+        .filter(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(_rank_window()))
+        pruned.withColumn("rank", F.row_number().over(_rank_window()))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
@@ -678,4 +702,42 @@ def pq_adc_topk(
         pruned.withColumn("rank", F.row_number().over(final_w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "adc_ppm")
+    )
+
+
+def semdedup_pairs(
+    data: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): semantic near-duplicate
+    pairs found by clustering embeddings and comparing ONLY within each
+    cluster — the trick that turns the n² web-corpus comparison into
+    per-cluster blocks.
+
+    Pipeline: md5-seeded centroids (``seed_centroids``, broadcast) →
+    nearest-centroid assignment (Arrow GEMM, zero shuffle) → blocked
+    self-join within cluster (``embedding_neardup_pairs`` — one shuffle
+    by cluster id) → pairs (id_a < id_b, cosine ≥ threshold). Keep-rule
+    downstream: drop every id_b, or feed the pairs to
+    dedup.connected_components for transitive groups.
+
+    Cluster count is the scale knob: shuffle volume is Σ|cluster|² —
+    at corpus scale pick n_clusters so the expected cluster fits an
+    executor (SemDeDup used 50k clusters for LAION); the md5 seeding and
+    rounded-cosine argmax keep the assignment engine-reproducible.
+    """
+    cents = seed_centroids(data, n_clusters, id_col=id_col, vec_col=vec_col)
+    assigned = _ivf_assign(data, cents, 1, id_col, vec_col, "vec_id", round_digits)
+    return embedding_neardup_pairs(
+        assigned,
+        threshold=threshold,
+        id_col="vec_id",
+        vec_col="v",
+        block_col="list_id",
+        round_digits=round_digits,
     )

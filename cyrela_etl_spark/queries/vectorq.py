@@ -373,3 +373,50 @@ SELECT query_id, rank, vec_id, adc_ppm FROM ranked WHERE rank <= {_K}
 
 
 register("vector_pq_adc_topk", vector_pq_adc_topk, _pq_oracle())
+
+
+# ---------------------------------------------------------------------------
+# vector_semdedup_pairs — SemDeDup over the planted near-dup corpus
+# (operators/similarity.py semdedup_pairs): md5-seeded clusters, nearest-
+# centroid assignment, near-dup pairs only WITHIN a cluster. The oracle
+# replays seeding, the rounded-cosine argmax assignment, and the blocked
+# pair join.
+# ---------------------------------------------------------------------------
+_SEM_C, _SEM_T = 16, 0.99
+
+
+def vector_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.similarity import semdedup_pairs
+
+    return semdedup_pairs(
+        _neardup_corpus(spark, sf_dir), n_clusters=_SEM_C, threshold=_SEM_T
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM corpus
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_SEM_C}),
+cscored AS (
+  SELECT c.vec_id, c.v, ct.cid,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY round({_SQL_COS.format(a='c.v', b='ct.cv')}, 6) DESC, ct.cid
+         ) AS crank
+  FROM corpus c CROSS JOIN cent ct
+),
+assign AS (SELECT vec_id, v, cid AS list_id FROM cscored WHERE crank = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_SQL_COS.format(a='a.v', b='b.v')}, 6) AS cosine
+  FROM assign a JOIN assign b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {_SEM_T}
+"""
+register("vector_semdedup_pairs", vector_semdedup_pairs, ORACLE_SEMDEDUP)

@@ -36,10 +36,14 @@ def test_neardup_requires_blocking(spark, sf_dir):
 
 
 def test_rhp_dim_mismatch_raises(spark, sf_dir):
+    # The guard rides the plan (no extra driver job when dim is passed),
+    # so the mismatch surfaces at execution time as a raise_error.
+    from pyspark.errors.exceptions.base import PySparkException
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.selectExpr("vec_id AS query_id", "embedding")
-    with pytest.raises(ValueError, match="dim=128"):
-        rhp_lsh_topk(emb, q, dim=128)
+    with pytest.raises(PySparkException, match="dim=128"):
+        rhp_lsh_topk(emb, q, dim=128).collect()
 
 
 # -- similarity: arrow path parity ------------------------------------------

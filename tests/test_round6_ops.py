@@ -390,3 +390,39 @@ def test_pq_encode_uses_agg_not_window(spark):
     assert "partial_min" in plan
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+def test_semdedup_finds_planted_copies(spark):
+    from cyrela_etl_spark.operators.similarity import semdedup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    pairs = semdedup_pairs(corpus, n_clusters=8, threshold=0.99).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # Every planted directional copy is cosine-1 to its source; scaling is
+    # cosine-invariant so both land in the same cluster — all copies found.
+    planted = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in emb.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    assert planted <= found
+
+
+def test_semdedup_join_is_cluster_blocked(spark):
+    from cyrela_etl_spark.operators.similarity import semdedup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(semdedup_pairs(emb, n_clusters=8, threshold=0.99))
+    # The pair join must be an equi-join on the cluster id, never a
+    # cartesian.
+    assert "CartesianProduct" not in plan
+    assert "list_id" in plan
