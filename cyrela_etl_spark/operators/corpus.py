@@ -223,3 +223,68 @@ def weighted_priority_sample(
         .over(Window.orderBy(F.col("priority").asc(), F.col(id_col).asc()))
         .cast("long"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_doc_ratio: float = 0.3,
+    min_docs_with_line: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: a LINE that appears in more than
+    ``max_line_doc_ratio`` of the documents of its group (site/source) is
+    boilerplate — cookie banners, nav menus, subscribe footers — and is
+    stripped from every document (Wenzek et al. 2020 dedup lines across
+    shards for exactly this reason; Dolma/RefinedWeb keep a per-site
+    variant).
+
+    Returns (doc_id, group, text_clean, n_lines, n_lines_removed) with
+    line order preserved. ``min_docs_with_line`` (default 2) keeps the
+    ratio test meaningful for tiny groups — in a one-document group EVERY
+    line trivially hits 100% document frequency and the whole document
+    would vanish.
+
+    Plan: posexplode lines → line-hash × group doc-frequency hash agg →
+    broadcast-join the (small) boilerplate line set back → re-assemble via
+    array_sort(collect_list(struct(pos, line))) — deterministic order
+    restoration without a window sort. Two shuffles (line-DF agg, per-doc
+    regroup), both keyed and combinable map-side; the boilerplate set is
+    frequent-by-definition, hence tiny relative to the corpus.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    docs_per_group = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    line_df = (
+        lines.groupBy("grp", "line")
+        .agg(F.countDistinct("doc_id").alias("n_docs_with_line"))
+        .join(docs_per_group, "grp")
+        .filter(
+            (F.col("n_docs_with_line") >= min_docs_with_line)
+            & (F.col("n_docs_with_line") / F.col("n_docs") > max_line_doc_ratio)
+        )
+        .select("grp", "line", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(F.broadcast(line_df), ["grp", "line"], "left")
+    kept = marked.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast("long").alias("n_lines_removed"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("is_boiler").isNull(), F.struct("pos", "line"))
+            )
+        ).alias("kept_lines"),
+    )
+    return kept.select(
+        "doc_id",
+        F.col("grp").alias(group_col),
+        F.concat_ws("\n", F.transform("kept_lines", lambda s: s["line"])).alias("text_clean"),
+        "n_lines",
+        "n_lines_removed",
+    )

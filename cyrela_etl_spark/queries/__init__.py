@@ -33,9 +33,9 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 # Scoring-priority order: the driver walks the returned dict in insertion
 # order and scores AT MOST ~50 entries per round. Slot allocation for
-# round 6 (113 registered queries, all oracle-backed — keep this count in
+# round 6 (116 registered queries, all oracle-backed — keep this count in
 # sync with len(REGISTRY); VERDICT r5 ADVICE flagged a stale count here):
-#   block 0 (12): operators new in round 6, never scored — first;
+#   block 0 (15): operators new in round 6, never scored — first;
 #   block A (16): every events-reader. The driver regenerated events.parquet
 #     with a new ts encoding after round 5's last commit, so ALL prior green
 #     rows for these queries describe the old physical schema — stale by
@@ -56,6 +56,9 @@ _PRIORITY: list[str] = [
     "text_bm25_topk",
     "quality_classifier_filter",
     "corpus_weighted_sample",
+    "corpus_boilerplate_removal",
+    "storage_numeric_profile",
+    "events_anomaly_zscore",
     "vector_sq_int8_topk",
     "vector_pq_adc_topk",
     "vector_semdedup_pairs",

@@ -263,3 +263,38 @@ GROUP BY 1
 
 
 register("storage_zorder_cluster", storage_zorder_cluster, _zorder_oracle())
+
+
+# ---------------------------------------------------------------------------
+# storage_numeric_profile — ANALYZE-style per-column stats over orders
+# (operators/profile.py numeric_profile): one scan computes every column's
+# exact counts/distincts/min/max simultaneously; the oracle is the
+# per-column UNION ALL spelling of the same stats.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+def storage_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.profile import numeric_profile
+
+    return numeric_profile(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), _PROFILE_COLS
+    )
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_value,
+       CAST(max({c}) AS DOUBLE) AS max_value
+FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+register("storage_numeric_profile", storage_numeric_profile, _profile_oracle())

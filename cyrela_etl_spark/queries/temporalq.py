@@ -257,3 +257,44 @@ FROM marked
 GROUP BY event_type, bucket_start
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_zscore — per-event-type outlier detection (operators/
+# profile.py zscore_anomalies): moments from exact decimal sums, z-scores
+# rounded before thresholding; output sized to the anomalies.
+# ---------------------------------------------------------------------------
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.profile import zscore_anomalies
+
+    return zscore_anomalies(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        value_col="value",
+        id_col="event_id",
+        z=2.0,
+    )
+
+
+register(
+    "events_anomaly_zscore",
+    events_anomaly_zscore,
+    """
+WITH stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS q
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, s / n AS mean,
+         sqrt((n * q - s * s) / (n * (n - 1))) AS std
+  FROM stats
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(m.mean, 6) AS key_mean,
+       round((e.value - m.mean) / m.std, 6) AS zscore
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE abs(round((e.value - m.mean) / m.std, 6)) > 2.0
+""",
+)

@@ -1171,3 +1171,76 @@ ranked AS (
 SELECT doc_id, n_chars, priority, rank FROM ranked WHERE rank <= {_WSAMPLE_N}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_boilerplate_removal — CCNet-style per-source boilerplate-line
+# stripping (operators/corpus.py remove_boilerplate_lines). A header line
+# is planted on every even doc_id (≈50% of each source, over the 30%
+# threshold), so the removal is non-vacuous; line order is restored
+# deterministically on both engines.
+# ---------------------------------------------------------------------------
+_BOILER_LINE = "cookie notice accept terms"
+
+
+def corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(_BOILER_LINE + "\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_boilerplate_lines(docs)
+
+
+register(
+    "corpus_boilerplate_removal",
+    corpus_boilerplate_removal,
+    f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 2 = 0
+              THEN '{_BOILER_LINE}' || chr(10) || text ELSE text END AS text
+  FROM documents
+),
+split_docs AS (
+  SELECT doc_id, source AS grp, string_split(text, chr(10)) AS l FROM planted
+),
+lines AS (
+  SELECT doc_id, grp, u['pos'] AS pos, u['line'] AS line
+  FROM (
+    SELECT doc_id, grp,
+           unnest(list_transform(generate_series(1, len(l)),
+                                 i -> {{'pos': i - 1, 'line': l[i]}})) AS u
+    FROM split_docs
+  )
+),
+docs_per_group AS (
+  SELECT grp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM lines GROUP BY grp
+),
+boiler AS (
+  SELECT lg.grp, lg.line
+  FROM (
+    SELECT grp, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with_line
+    FROM lines GROUP BY grp, line
+  ) lg JOIN docs_per_group d ON lg.grp = d.grp
+  WHERE lg.n_docs_with_line >= 2 AND lg.n_docs_with_line / d.n_docs > 0.3
+),
+flagged AS (
+  SELECT l.doc_id, l.grp, l.pos, l.line, (b.line IS NOT NULL) AS is_b
+  FROM lines l LEFT JOIN boiler b ON l.grp = b.grp AND l.line = b.line
+)
+SELECT doc_id, grp AS source,
+       COALESCE(string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY pos), '') AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+FROM flagged
+GROUP BY doc_id, grp
+""",
+)

@@ -426,3 +426,67 @@ def test_semdedup_join_is_cluster_blocked(spark):
     # cartesian.
     assert "CartesianProduct" not in plan
     assert "list_id" in plan
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal
+# ---------------------------------------------------------------------------
+def test_boilerplate_removed_order_preserved(spark):
+    from cyrela_etl_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "BANNER\nreal one\nreal two"),
+            (2, "s", "BANNER\nother text"),
+            (3, "s", "no banner here"),
+            (4, "t", "BANNER\nlonely"),  # 1-doc group: min-doc guard keeps all
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {r.doc_id: r for r in remove_boilerplate_lines(docs, max_line_doc_ratio=0.5).collect()}
+    assert out[1].text_clean == "real one\nreal two"
+    assert out[1].n_lines == 3 and out[1].n_lines_removed == 1
+    assert out[2].text_clean == "other text"
+    assert out[3].text_clean == "no banner here" and out[3].n_lines_removed == 0
+    # group "t" has one doc: every line is 100% document frequency there,
+    # but the min_docs_with_line=2 guard keeps the document intact.
+    assert out[4].text_clean == "BANNER\nlonely"
+    assert out[4].n_lines_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# numeric profile
+# ---------------------------------------------------------------------------
+def test_numeric_profile_values_and_single_scan(spark):
+    from cyrela_etl_spark.operators.profile import numeric_profile
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (2, 30.0)], ["k", "v"]
+    )
+    out = {r.col_name: r for r in numeric_profile(df, ["k", "v"]).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 0 and out["k"].n_distinct == 2
+    assert out["v"].n_nulls == 1 and out["v"].min_value == 10.0 and out["v"].max_value == 30.0
+    # one scan: a single aggregate, no join of per-column subplans
+    plan = _plan(numeric_profile(spark.read.parquet(f"{SF}/orders.parquet"), ["o_orderkey", "o_totalprice"]))
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# z-score anomalies
+# ---------------------------------------------------------------------------
+def test_zscore_anomalies_flags_outlier(spark):
+    from cyrela_etl_spark.operators.profile import zscore_anomalies
+
+    rows = [(i, "k", 10.0) for i in range(20)] + [(99, "k", 1000.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = zscore_anomalies(df, "event_type", "value", "event_id", z=2.0).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].zscore > 2.0
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    from cyrela_etl_spark.operators.profile import zscore_anomalies
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    plan = _plan(zscore_anomalies(read_events(spark, SF), "event_type", "value", "event_id"))
+    assert "BroadcastHashJoin" in plan
