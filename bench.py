@@ -69,6 +69,9 @@ HEADLINE = [
     "text_lm_score",
     "text_bm25_topk",
     "vector_sq_int8_topk",
+    "vector_pq_adc_topk",
+    "vector_semdedup_pairs",
+    "corpus_boilerplate_removal",
     "storage_zorder_cluster",
 ]
 
