@@ -298,3 +298,80 @@ FROM orders"""
 
 
 register("storage_numeric_profile", storage_numeric_profile, _profile_oracle())
+
+
+# ---------------------------------------------------------------------------
+# storage_jsonl_roundtrip — orders → JSONL (engine writer) → explicit-
+# schema read-back → decimal-exact re-aggregation. A value mismatch means
+# the JSON path corrupted a type (the float→string→float hazard JSONL
+# shares with CSV).
+# ---------------------------------------------------------------------------
+def storage_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/orders"
+    write_jsonl(orders, path)
+    back = read_jsonl(spark, path, orders.schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+register(
+    "storage_jsonl_roundtrip",
+    storage_jsonl_roundtrip,
+    """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# storage_jsonl_badrecords — malformed-line policy e2e: a JSONL feed with
+# planted garbage lines (every doc_id % 25 == 0 replaced by non-JSON) read
+# back PERMISSIVE; bad lines surface as all-null rows that are counted and
+# integrity-summed, never silently dropped. The oracle derives the same
+# counts from the planting rule.
+# ---------------------------------------------------------------------------
+def storage_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.jsonl import read_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 25 == 0, F.lit("{corrupt not-json")
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang")))
+        .alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_bad_") + "/feed"
+    lines.write.mode("overwrite").text(path)
+    back = read_jsonl(spark, path, "doc_id long, lang string", parse_mode="PERMISSIVE")
+    return back.agg(
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(F.col("doc_id").isNotNull(), 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum("doc_id").cast("long").alias("good_id_sum"),
+    )
+
+
+register(
+    "storage_jsonl_badrecords",
+    storage_jsonl_badrecords,
+    """
+SELECT CAST(sum(CASE WHEN doc_id % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(sum(CASE WHEN doc_id % 25 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(sum(CASE WHEN doc_id % 25 <> 0 THEN doc_id END) AS BIGINT) AS good_id_sum
+FROM documents
+""",
+)

@@ -490,3 +490,33 @@ def test_zscore_stats_join_is_broadcast(spark):
 
     plan = _plan(zscore_anomalies(read_events(spark, SF), "event_type", "value", "event_id"))
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink
+# ---------------------------------------------------------------------------
+def test_jsonl_roundtrip_types(spark, tmp_path):
+    from cyrela_etl_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, None, -0.25)], ["k", "s", "v"])
+    write_jsonl(df, str(tmp_path / "j"))
+    back = read_jsonl(spark, str(tmp_path / "j"), df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_permissive_counts_corrupt_and_failfast_raises(spark, tmp_path):
+    from cyrela_etl_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part-0.json").write_text('{"k": 1}\nnot json at all\n{"k": 3}\n')
+    ok = read_jsonl(spark, str(p), "k long", parse_mode="PERMISSIVE")
+    vals = [r.k for r in ok.collect()]
+    assert sorted(v for v in vals if v is not None) == [1, 3]
+    assert vals.count(None) == 1
+    dropped = read_jsonl(spark, str(p), "k long", parse_mode="DROPMALFORMED")
+    assert dropped.count() == 2
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(p), "k long", parse_mode="FAILFAST").collect()
