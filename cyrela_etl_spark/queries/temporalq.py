@@ -298,3 +298,81 @@ FROM events e JOIN m ON e.event_type = m.event_type
 WHERE abs(round((e.value - m.mean) / m.std, 6)) > 2.0
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel — ordered conversion funnel (view → click → purchase):
+# per user, the first view, the first click AT OR AFTER that view, and the
+# first purchase at or after that click; output is the stage-survival
+# count row. ONE shuffle: per-user collect of (type, ts) structs, then the
+# sequential stage logic runs as array expressions (array_min over
+# filtered arrays — deterministic, no re-scan per stage; a join-per-stage
+# formulation would rescan events three times).
+# ---------------------------------------------------------------------------
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "view", F.col("ts")))
+        ).alias("views"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
+    )
+    staged = (
+        per_user.select(
+            "user_id",
+            "purchases",
+            F.element_at("views", 1).alias("first_view"),
+            F.array_min(
+                F.filter("clicks", lambda t: t >= F.element_at("views", 1))
+            ).alias("first_click"),
+        )
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            F.array_min(
+                F.filter("purchases", lambda t: t >= F.col("first_click"))
+            ).alias("first_purchase"),
+        )
+    )
+    return staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0)).cast("long").alias("n_view"),
+        F.sum(F.when(F.col("first_click").isNotNull(), 1).otherwise(0)).cast("long").alias("n_view_click"),
+        F.sum(F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)).cast("long").alias("n_full_funnel"),
+    )
+
+
+register(
+    "events_funnel",
+    events_funnel,
+    """
+WITH v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.first_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN v.first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN c.first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN p.first_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+)

@@ -1244,3 +1244,121 @@ FROM flagged
 GROUP BY doc_id, grp
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# search_hybrid_rrf — hybrid retrieval: BM25-lite term ranking fused with
+# embedding-cosine ranking by Reciprocal Rank Fusion (Cormack, Clarke &
+# Buettcher 2009: score = Σ 1/(60 + rank)). Ranks come from the two
+# existing deterministic retrievers; the fusion is two single IEEE
+# divisions added in a fixed order — bit-stable, no rounding needed.
+# The doc/vec id spaces align on doc_id = vec_id for the shared range.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_DEPTH = 100
+_RRF_TOPN = 20
+_RRF_QVEC = 0  # query = the embedding of vec_id 0
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs  # id range of documents bounds the fusible vector side
+    text_ranks = X.bm25_lite_topk(docs, _BM25_TERMS, k=_RRF_DEPTH).select(
+        "doc_id", F.col("rank").alias("r_text")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_docs = emb.join(docs.select("doc_id"), emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "embedding"
+    )
+    qv = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec_ranks = cosine_topk(emb_docs, qv, k=_RRF_DEPTH).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("r_vec")
+    )
+    fused = text_ranks.join(vec_ranks, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("r_text").cast("long").alias("r_text"),
+        F.col("r_vec").cast("long").alias("r_vec"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_text")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RRF_TOPN)
+        .select("doc_id", "rank", "r_text", "r_vec", "rrf_score")
+    )
+
+
+def _rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+sized AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM toks),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+  FROM sized
+),
+occ AS (SELECT doc_id, dl, unnest(t) AS term FROM sized),
+matched AS (SELECT * FROM occ WHERE term IN ({terms})),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM matched GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM matched GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         sum((1000000 * (2*t.n_docs - 2*d.df + 1) * 22 * tf.tf * t.total_len) //
+             ((2*d.df + 1) * (10*tf.tf*t.total_len + 3*t.total_len + 9*tf.dl*t.n_docs)))
+           AS score_ppm
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN totals t
+  GROUP BY tf.doc_id
+),
+text_ranks AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS BIGINT) AS r_text
+  FROM bm QUALIFY r_text <= {_RRF_DEPTH}
+),
+base AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+vscored AS (
+  SELECT b.vec_id AS doc_id, round({cos.format(a='qv.q', b='b.v')}, 6) AS cosine
+  FROM base b CROSS JOIN qv WHERE b.vec_id <> {_RRF_QVEC}
+),
+vec_ranks AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS r_vec
+  FROM vscored QUALIFY r_vec <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.r_text, v.r_vec,
+         COALESCE(1.0 / ({_RRF_K} + t.r_text), 0.0)
+         + COALESCE(1.0 / ({_RRF_K} + v.r_vec), 0.0) AS rrf_score
+  FROM text_ranks t FULL OUTER JOIN vec_ranks v ON t.doc_id = v.doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank,
+       r_text, r_vec, rrf_score
+FROM fused
+QUALIFY rank <= {_RRF_TOPN}
+"""
+
+
+register("search_hybrid_rrf", search_hybrid_rrf, _rrf_oracle())

@@ -520,3 +520,65 @@ def test_jsonl_permissive_counts_corrupt_and_failfast_raises(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_jsonl(spark, str(p), "k long", parse_mode="FAILFAST").collect()
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF + funnel
+# ---------------------------------------------------------------------------
+def test_rrf_fuses_both_rank_sources(spark):
+    from cyrela_etl_spark.queries import load_all
+
+    fn, _ = load_all()["search_hybrid_rrf"]
+    rows = fn(spark, SF).collect()
+    assert len(rows) == 20
+    assert [r.rank for r in rows] == list(range(1, 21))
+    # a doc present in BOTH lists must outrank the same positions in one:
+    # spot-check scores are the sum of the two reciprocal terms
+    for r in rows:
+        expect = 0.0
+        if r.r_text is not None:
+            expect += 1.0 / (60 + r.r_text)
+        if r.r_vec is not None:
+            expect += 1.0 / (60 + r.r_vec)
+        assert r.rrf_score == expect
+
+
+def test_funnel_stage_ordering(spark):
+    from cyrela_etl_spark.queries import temporalq
+
+    # user 1: full ordered funnel; user 2: purchase BEFORE click (breaks);
+    # user 3: view only.
+    df = spark.createDataFrame(
+        [
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 10:05:00"),
+            (1, "purchase", "2024-01-01 10:10:00"),
+            (2, "view", "2024-01-01 11:00:00"),
+            (2, "purchase", "2024-01-01 11:01:00"),
+            (2, "click", "2024-01-01 11:02:00"),
+            (3, "view", "2024-01-01 12:00:00"),
+        ],
+        ["user_id", "event_type", "ts_s"],
+    ).select("user_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+
+    # run the same logic the registered query uses, on the fixture
+    per_user = df.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.when(F.col("event_type") == "view", F.col("ts")))).alias("views"),
+        F.array_sort(F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))).alias("clicks"),
+        F.array_sort(F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))).alias("purchases"),
+    )
+    staged = per_user.select(
+        "user_id",
+        "purchases",
+        F.element_at("views", 1).alias("first_view"),
+        F.array_min(F.filter("clicks", lambda t: t >= F.element_at("views", 1))).alias("first_click"),
+    ).select(
+        "user_id",
+        "first_view",
+        "first_click",
+        F.array_min(F.filter("purchases", lambda t: t >= F.col("first_click"))).alias("first_purchase"),
+    )
+    out = {r.user_id: r for r in staged.collect()}
+    assert out[1].first_purchase is not None
+    assert out[2].first_click is not None and out[2].first_purchase is None
+    assert out[3].first_click is None and out[3].first_purchase is None
