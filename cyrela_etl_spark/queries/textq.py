@@ -1362,3 +1362,61 @@ QUALIFY rank <= {_RRF_TOPN}
 
 
 register("search_hybrid_rrf", search_hybrid_rrf, _rrf_oracle())
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_stats — triangle census over the same dedup pair graph
+# connected-components runs on (operators/graph.py triangle_stats):
+# nodes/edges/wedges/triangles + closure ratio. The registry entry keeps
+# the id-ascending orientation (the spelling SQL replays directly);
+# production uses the degree orientation for the O(m^1.5) bound
+# (parity-tested against this one).
+# ---------------------------------------------------------------------------
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.graph import triangle_stats
+
+    c = corpus(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    keyed = c.select(
+        F.col("doc_id").alias("id"),
+        F.md5(norm).alias("k_exact"),
+        F.md5(F.concat_ws(" ", F.slice(X.tokens(F.col("text")), 1, 6))).alias("k_prefix"),
+    )
+
+    def _pairs(key: str) -> DataFrame:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return a.join(
+            b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.id") < F.col("b.id"))
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    edges = _pairs("k_exact").unionByName(_pairs("k_prefix"))
+    return triangle_stats(edges, orient_by_degree=False)
+
+
+register(
+    "graph_triangle_stats",
+    graph_triangle_stats,
+    f"""
+WITH corpus AS ({CORPUS_SQL}),
+{_COMPONENTS_EDGES_SQL},
+e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+w AS (
+  SELECT x.a AS wa, x.b AS wb, y.b AS wc
+  FROM e x JOIN e y ON x.b = y.a
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM w WHERE EXISTS (
+    SELECT 1 FROM e z
+    WHERE (z.a = w.wa AND z.b = w.wc) OR (z.a = w.wc AND z.b = w.wa)
+  )
+),
+nodes AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_nodes
+          FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+ecnt AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+wcnt AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges FROM w)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       n_triangles / n_wedges AS closure_ratio
+FROM nodes CROSS JOIN ecnt CROSS JOIN wcnt CROSS JOIN tri
+""",
+)

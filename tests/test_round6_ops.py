@@ -582,3 +582,31 @@ def test_funnel_stage_ordering(spark):
     assert out[1].first_purchase is not None
     assert out[2].first_click is not None and out[2].first_purchase is None
     assert out[3].first_click is None and out[3].first_purchase is None
+
+
+# ---------------------------------------------------------------------------
+# triangle stats
+# ---------------------------------------------------------------------------
+def test_triangle_stats_hand_fixture(spark):
+    from cyrela_etl_spark.operators.graph import triangle_stats
+
+    # Graph: triangle 1-2-3 plus pendant 3-4: 3 ordered wedges
+    # (1→2→3, 1→3→4, 2→3→4), one closed.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    r = triangle_stats(edges, orient_by_degree=False).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 4, 3, 1)
+    assert r.closure_ratio == 1 / 3
+
+
+def test_triangle_count_orientation_invariant(spark):
+    from cyrela_etl_spark.operators.graph import triangle_stats
+
+    # K4 plus noise: 4 triangles regardless of edge orientation.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 9), (9, 10)], ["id_a", "id_b"])
+    by_id = triangle_stats(edges, orient_by_degree=False).collect()[0]
+    by_deg = triangle_stats(edges, orient_by_degree=True).collect()[0]
+    assert by_id.n_triangles == by_deg.n_triangles == 4
+    assert by_id.n_nodes == by_deg.n_nodes and by_id.n_edges == by_deg.n_edges
