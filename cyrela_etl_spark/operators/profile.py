@@ -96,3 +96,64 @@ def zscore_anomalies(
         )
         .filter(F.abs(F.col("zscore")) > F.lit(z))
     )
+
+
+def histogram_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Distribution-drift report between two snapshots of a numeric
+    column — the monitoring check run before retraining or after a
+    pipeline change (the PSI/KS family; this is the L1 variant kept in
+    exact integers so any engine reproduces it bit-for-bit).
+
+    Shared bin edges come from the UNION's min/max in exact cents
+    (round(value·100) as BIGINT), bin assignment is pure integer
+    arithmetic, per-cohort shares are ppm integer divisions, and the
+    drift contribution per bin is |share_a − share_b| in ppm — summable
+    exactly downstream (Σ/2e6 ≈ total-variation distance).
+
+    Plan: one agg for the shared edges (1 row, broadcast), one hash agg
+    per cohort on the bin id, full-outer join of two ≤bins-row tables.
+    Nothing shuffles more than the histograms themselves.
+    """
+    both = baseline.select(F.col(value_col).alias("v")).unionAll(
+        current.select(F.col(value_col).alias("v"))
+    )
+    cents = F.round(F.col("v") * 100).cast("long")
+    edges = both.select(cents.alias("c")).agg(
+        F.min("c").alias("min_c"), F.max("c").alias("max_c")
+    )
+
+    def _hist(df: DataFrame, name: str) -> DataFrame:
+        c = F.round(F.col(value_col) * 100).cast("long")
+        binned = df.select(c.alias("c")).crossJoin(F.broadcast(edges)).select(
+            F.least(
+                F.expr(f"((c - min_c) * {bins}) div (max_c - min_c + 1)"),
+                F.lit(bins - 1),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        out = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias(f"n_{name}"))
+        total = out.agg(F.sum(f"n_{name}").cast("long").alias(f"t_{name}"))
+        return out.crossJoin(F.broadcast(total)).select(
+            "bin",
+            f"n_{name}",
+            F.expr(f"(n_{name} * 1000000) div t_{name}").alias(f"share_{name}_ppm"),
+        )
+    a = _hist(baseline, "base")
+    b = _hist(current, "curr")
+    joined = a.join(b, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
+        F.coalesce("share_base_ppm", F.lit(0)).alias("share_base_ppm"),
+        F.coalesce("share_curr_ppm", F.lit(0)).alias("share_curr_ppm"),
+    )
+    return joined.select(
+        "*",
+        F.abs(F.col("share_base_ppm") - F.col("share_curr_ppm")).alias("l1_ppm"),
+    )

@@ -33,9 +33,9 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 # Scoring-priority order: the driver walks the returned dict in insertion
 # order and scores AT MOST ~50 entries per round. Slot allocation for
-# round 6 (121 registered queries, all oracle-backed — keep this count in
+# round 6 (122 registered queries, all oracle-backed — keep this count in
 # sync with len(REGISTRY); VERDICT r5 ADVICE flagged a stale count here):
-#   block 0 (20): operators new in round 6, never scored — first;
+#   block 0 (21): operators new in round 6, never scored — first;
 #   block A (16): every events-reader. The driver regenerated events.parquet
 #     with a new ts encoding after round 5's last commit, so ALL prior green
 #     rows for these queries describe the old physical schema — stale by
@@ -71,6 +71,7 @@ _PRIORITY: list[str] = [
     "search_hybrid_rrf",
     "events_funnel",
     "graph_triangle_stats",
+    "storage_histogram_drift",
     # -- block A: events-readers (all rows stale after the ts-encoding drift)
     "stream_tumbling",
     "stream_sliding",

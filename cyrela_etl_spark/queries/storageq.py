@@ -375,3 +375,59 @@ SELECT CAST(sum(CASE WHEN doc_id % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cor
 FROM documents
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_histogram_drift — distribution drift between two order cohorts
+# (operators/profile.py histogram_drift): shared integer-cent bin edges,
+# exact ppm shares, per-bin L1 contribution. The PSI/KS monitoring check
+# without transcendental folds.
+# ---------------------------------------------------------------------------
+_DRIFT_BINS = 20
+
+
+def storage_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.profile import histogram_drift
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    curr = orders.filter(F.col("o_orderkey") % 2 == 1)
+    return histogram_drift(base, curr, "o_totalprice", bins=_DRIFT_BINS)
+
+
+register(
+    "storage_histogram_drift",
+    storage_histogram_drift,
+    f"""
+WITH cents AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+edges AS (SELECT min(c) AS min_c, max(c) AS max_c FROM cents),
+binned AS (
+  SELECT o_orderkey % 2 AS cohort,
+         least(((c - e.min_c) * {_DRIFT_BINS}) // (e.max_c - e.min_c + 1),
+               {_DRIFT_BINS - 1}) AS bin
+  FROM cents CROSS JOIN edges e
+),
+base AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_base FROM binned WHERE cohort = 0 GROUP BY bin
+),
+curr AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_curr FROM binned WHERE cohort = 1 GROUP BY bin
+),
+bt AS (SELECT CAST(sum(n_base) AS BIGINT) AS t FROM base),
+ct AS (SELECT CAST(sum(n_curr) AS BIGINT) AS t FROM curr),
+joined AS (
+  SELECT COALESCE(b.bin, c.bin) AS bin,
+         COALESCE(b.n_base, 0) AS n_base,
+         COALESCE(c.n_curr, 0) AS n_curr,
+         COALESCE((b.n_base * 1000000) // bt.t, 0) AS share_base_ppm,
+         COALESCE((c.n_curr * 1000000) // ct.t, 0) AS share_curr_ppm
+  FROM base b FULL OUTER JOIN curr c ON b.bin = c.bin
+  CROSS JOIN bt CROSS JOIN ct
+)
+SELECT bin, n_base, n_curr, share_base_ppm, share_curr_ppm,
+       abs(share_base_ppm - share_curr_ppm) AS l1_ppm
+FROM joined
+""",
+)

@@ -610,3 +610,27 @@ def test_triangle_count_orientation_invariant(spark):
     by_deg = triangle_stats(edges, orient_by_degree=True).collect()[0]
     assert by_id.n_triangles == by_deg.n_triangles == 4
     assert by_id.n_nodes == by_deg.n_nodes and by_id.n_edges == by_deg.n_edges
+
+
+# ---------------------------------------------------------------------------
+# histogram drift
+# ---------------------------------------------------------------------------
+def test_histogram_drift_identical_cohorts_zero_l1(spark):
+    from cyrela_etl_spark.operators.profile import histogram_drift
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    out = histogram_drift(df, df, "v", bins=10).collect()
+    assert len(out) == 10
+    assert all(r.l1_ppm == 0 for r in out)
+    assert all(r.n_base == r.n_curr for r in out)
+
+
+def test_histogram_drift_detects_shift(spark):
+    from cyrela_etl_spark.operators.profile import histogram_drift
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], ["v"])
+    b = spark.createDataFrame([(float(i % 10) + 50,) for i in range(100)], ["v"])
+    out = histogram_drift(a, b, "v", bins=10).collect()
+    # disjoint supports: every populated bin is exclusive to one cohort
+    total_l1 = sum(r.l1_ppm for r in out)
+    assert total_l1 >= 1_900_000  # ~2e6 ppm = total separation
