@@ -144,19 +144,26 @@ def main() -> None:
         samples_by_query[name] = [round(s, 3) for s in samples]
 
     total = round(sum(timings.values()), 3)
+    # Diagnostics (per-run samples, uptime, loadavg — VERDICT r5 item 3)
+    # go to a SIBLING file, not stdout: embedding them in the contract
+    # line grew it past the driver's ~2 KB tail capture and BENCH_r06
+    # recorded `parsed: null` despite rc=0 (VERDICT r6 item 2). The
+    # compact contract line must be the LAST stdout line.
+    diag_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DIAG.json")
+    with open(diag_path, "w") as fh:
+        json.dump({
+            "runs_per_query": runs,
+            "samples": samples_by_query,
+            "session_uptime_at_query_start_sec": uptime_at_start,
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        }, fh, indent=1)
     print(json.dumps({
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "diagnostics": {
-            "runs_per_query": runs,
-            "samples": samples_by_query,
-            "session_uptime_at_query_start_sec": uptime_at_start,
-            "loadavg_start": [round(x, 2) for x in load_start],
-            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-        },
     }))
 
 

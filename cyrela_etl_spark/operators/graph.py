@@ -8,6 +8,14 @@ naive wedge join explodes on hub nodes. The standard fix (node-iterator++
 edge from the lower-degree endpoint to the higher-degree one, which
 bounds each node's out-degree by O(sqrt(m)) and therefore the wedge join
 by O(m^1.5) — the proven bound.
+
+The closure check is a two-key EQUI semi-join: wedge endpoints are
+canonicalized with least/greatest and matched against the same
+canonicalization of the edge set (valid because the triangle identity is
+orientation-free). An OR-of-equalities predicate here would deny Catalyst
+its equi-keys and plan a BroadcastNestedLoopJoin over O(m^1.5) wedges —
+the exact hub-explosion failure this file exists to avoid (that was the
+round-6 shape; tests/test_plan_quality.py now forbids it).
 """
 
 from __future__ import annotations
@@ -33,9 +41,15 @@ def triangle_stats(
     replays directly; use it when ids are uncorrelated with degree.
 
     Plan: distinct edge set → (optional) degree agg + re-orient →
-    self-join on the shared middle vertex (the wedge) → semi-join wedges
-    against the edge set → four scalar counts. Every join is an
-    equi-join; shuffle keys are vertex ids.
+    ``persist()`` the oriented edge list (five consumers: both wedge
+    sides, the canonical closure set, and the node/edge count agg — one
+    materialization instead of the round-6 ~6× subtree recompute) →
+    self-join on the shared middle vertex (the wedge) → LEFT equi-join
+    ``(least, greatest)`` wedge endpoints against the canonicalized edge
+    set → ONE aggregate counts wedges and closed wedges together (the
+    wedge set is never materialized twice). Every join is hash/SMJ on
+    vertex-id keys; the only cross join is the final 1-row × 1-row
+    scalar assembly.
     """
     e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
     if orient_by_degree:
@@ -51,30 +65,39 @@ def triangle_stats(
         fwd = (F.col("da") < F.col("db")) | (
             (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
         )
+        # Re-orientation can collapse (u,v)/(v,u) input duplicates onto
+        # the same oriented edge — distinct AFTER orienting keeps the
+        # edge set a set regardless of input orientation conventions.
         e = keyed.select(
             F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("a"),
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("b"),
-        )
-    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+        ).distinct()
+    e = e.persist()
+    x, y = e.alias("x"), e.alias("y")
     wedges = x.join(y, F.col("x.b") == F.col("y.a")).select(
-        F.col("x.a").alias("wa"), F.col("x.b").alias("wb"), F.col("y.b").alias("wc")
+        F.least(F.col("x.a"), F.col("y.b")).alias("lo"),
+        F.greatest(F.col("x.a"), F.col("y.b")).alias("hi"),
     )
-    closed = wedges.join(
-        z,
-        (
-            ((F.col("z.a") == F.col("wa")) & (F.col("z.b") == F.col("wc")))
-            | ((F.col("z.a") == F.col("wc")) & (F.col("z.b") == F.col("wa")))
-        ),
-        "left_semi",
+    # Each undirected edge appears exactly once in e (distinct + a single
+    # orientation per pair), so the canonical set needs no extra dedup
+    # and the left join cannot duplicate wedge rows.
+    canon = e.select(
+        F.least(F.col("a"), F.col("b")).alias("lo"),
+        F.greatest(F.col("a"), F.col("b")).alias("hi"),
+        F.lit(1).alias("__hit"),
     )
-    nodes = e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b").alias("v"))).distinct()
-    counts = (
-        nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
-        .crossJoin(closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    wt = (
+        wedges.join(canon, ["lo", "hi"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_wedges"),
+            F.count("__hit").cast("long").alias("n_triangles"),
+        )
     )
-    return counts.select(
+    ne = e.select(F.explode(F.array("a", "b")).alias("v")).agg(
+        F.count_distinct("v").cast("long").alias("n_nodes"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+    )
+    return ne.crossJoin(wt).select(
         "n_nodes",
         "n_edges",
         "n_wedges",

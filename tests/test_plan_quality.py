@@ -141,3 +141,33 @@ def test_q15_pushes_quarter_filter_and_broadcasts_max(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
     assert plan.count("BroadcastHashJoin") == 2  # 1-row max + supplier dim
     assert "GlobalSort" not in plan and "rangepartitioning" not in plan
+
+
+def test_triangle_closure_is_equi_join_with_cached_edges(spark):
+    """Round-6 verdict: the closure check's OR-of-equalities predicate
+    planned as a BroadcastNestedLoopJoin over O(m^1.5) wedges, and the
+    pair-graph subtree was recomputed ~6×. The fix canonicalizes wedge
+    endpoints (least/greatest) into a two-key equi-join and persists the
+    oriented edge list once — this test pins both properties."""
+    from cyrela_etl_spark.operators.graph import triangle_stats
+
+    edges = spark.range(0, 3000).select(
+        (F.col("id") % 70).alias("id_a"),
+        ((F.col("id") * 13 + 1) % 70 + 70).alias("id_b"),
+    )
+    for orient in (True, False):
+        df = triangle_stats(edges, orient_by_degree=orient)
+        plan = _plan(df)
+        # The ONLY nested-loop join allowed is the final 1-row × 1-row
+        # scalar assembly; the closure join itself must be hash/SMJ.
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+        assert "CartesianProduct" not in plan
+        assert (
+            plan.count("SortMergeJoin")
+            + plan.count("ShuffledHashJoin")
+            + plan.count("BroadcastHashJoin")
+        ) >= 2  # wedge join + closure join are both equi-joins
+        # the distinct oriented edge list is persisted and reused, not
+        # recomputed per consumer
+        assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()

@@ -634,3 +634,25 @@ def test_histogram_drift_detects_shift(spark):
     # disjoint supports: every populated bin is exclusive to one cohort
     total_l1 = sum(r.l1_ppm for r in out)
     assert total_l1 >= 1_900_000  # ~2e6 ppm = total separation
+
+
+def test_triangle_hub_stress_wedge_bound(spark):
+    """Hub-skew stress (VERDICT r6 #4): one mass-dup clique (the shape the
+    dedup testbed plants) plus a star hub. Counts must be exact and the
+    degree-oriented wedge count must respect the Suri–Vassilvitskii
+    O(m^1.5) bound even though the hub's raw degree is ~10× sqrt(m)."""
+    from cyrela_etl_spark.operators.graph import triangle_stats
+
+    k = 40  # mass-dup cluster → K40
+    clique = [(a, b) for a in range(k) for b in range(a + 1, k)]
+    hub = 1000
+    star = [(hub, 2000 + i) for i in range(400)]  # degree-400 hub, no triangles
+    edges = spark.createDataFrame(clique + star, ["id_a", "id_b"])
+    r = triangle_stats(edges, orient_by_degree=True).collect()[0]
+    m = len(clique) + len(star)
+    assert r.n_edges == m
+    assert r.n_triangles == k * (k - 1) * (k - 2) // 6  # C(40,3) exact
+    # star contributes ZERO wedges under any single orientation; the
+    # clique's ordered wedges are ~k^3/6 ≤ m^1.5
+    assert r.n_wedges <= m ** 1.5
+    spark.catalog.clearCache()
