@@ -84,6 +84,11 @@ def zscore_anomalies(
         (s / n).alias("__mean"),
         F.sqrt((n * q - s * s) / (n * (n - 1))).alias("__std"),
     )
+    # Keys with n=1 (std undefined, 0/0 → NaN) or zero variance would
+    # otherwise flag EVERY row as an anomaly: both Spark and DuckDB order
+    # NaN above any number, so |NaN| > z passes. Degenerate keys have no
+    # meaningful z-score — drop them before the broadcast join.
+    stats = stats.filter((n > 1) & (F.col("__std") > 0))
     joined = df.join(F.broadcast(stats), key_col)
     zscore = F.round((F.col(value_col) - F.col("__mean")) / F.col("__std"), round_digits)
     return (

@@ -175,8 +175,31 @@ def ohlc_downsample(
     (keys, bucket) and the subsequent groupBy on the same keys reuses
     that partitioning (no second shuffle; asserted in tests). State is
     O(bars), never O(events).
+
+    ``width`` must be one of the calendar-aligned bucket widths below
+    (they map to ``date_trunc`` units). Anything else raises — Spark's
+    ``date_trunc`` returns NULL for unknown units, which would silently
+    collapse every row into one null bucket.
     """
-    bucket = F.date_trunc("hour" if width == "1 hour" else width, F.col(ts_col))
+    width_units = {
+        "1 second": "second",
+        "1 minute": "minute",
+        "1 hour": "hour",
+        "1 day": "day",
+        "1 week": "week",
+        "1 month": "month",
+        "1 quarter": "quarter",
+        "1 year": "year",
+    }
+    unit = width_units.get(width, width if width in width_units.values() else None)
+    if unit is None:
+        raise ValueError(
+            f"ohlc_downsample: unsupported width {width!r}; "
+            f"use one of {sorted(width_units)} (or a bare date_trunc unit). "
+            "Sub-unit widths ('15 minutes') need window()-style bucketing — "
+            "see time_bucket in this module."
+        )
+    bucket = F.date_trunc(unit, F.col(ts_col))
     base = df.select(
         *key_cols,
         bucket.alias("bucket_start"),

@@ -417,9 +417,11 @@ def bm25_lite_topk(
 
     where L = total corpus tokens, avgdl = L/N, and the 22/10/3/9 factors
     are k1=6/5, b=3/4 cleared of denominators. Scores are exact BIGINT
-    sums — bit-identical in any engine. (Magnitude check: the numerator is
-    ≤ 1e6·2N·22·tf·L; keep N·tf·L under ~4e11 — any driver-scale corpus —
-    or move the oracle arithmetic to HUGEINT/decimal.)
+    sums — bit-identical in any engine. The numerator (≤ 1e6·2N·22·tf·L)
+    is carried as DECIMAL(38,0) on the Spark side — int64 wraps silently
+    past N·tf·L ≈ 4e11 while DuckDB promotes to HUGEINT, which would be a
+    silent large-SF divergence; decimal(38,0) is exact to ~1e38 and under
+    ANSI mode overflow past that errors loudly instead of wrapping.
 
     Plan: tokenize → explode filtered TO THE QUERY TERMS (the filter sits
     under the first shuffle, so corpus-size work is one projection) →
@@ -445,8 +447,10 @@ def bm25_lite_topk(
         .select(
             "doc_id",
             F.expr(
-                "(1000000 * (2*n_docs - 2*df + 1) * 22 * tf * total_len) div "
-                "((2*df + 1) * (10*tf*total_len + 3*total_len + 9*dl*n_docs))"
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * (2*n_docs - 2*df + 1) * 22"
+                " * tf * total_len) div "
+                "((CAST(2 AS DECIMAL(38,0))*df + 1)"
+                " * (10*tf*total_len + 3*total_len + 9*dl*n_docs)) AS BIGINT)"
             ).alias("contrib_ppm"),
         )
     )

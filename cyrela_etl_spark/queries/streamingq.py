@@ -352,7 +352,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="upsert_sink_")
     try:
         src = f"{work}/in"
-        read_events(spark, sf_dir).repartition(4).write.parquet(src)
+        read_events(spark, sf_dir).repartition(8).write.parquet(src)
         stream = read_file_stream(
             spark, src, spark.read.parquet(src).schema, max_files_per_trigger=2
         )

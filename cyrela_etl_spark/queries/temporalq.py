@@ -290,6 +290,7 @@ m AS (
   SELECT event_type, n, s / n AS mean,
          sqrt((n * q - s * s) / (n * (n - 1))) AS std
   FROM stats
+  WHERE n > 1 AND sqrt((n * q - s * s) / (n * (n - 1))) > 0
 )
 SELECT e.event_id, e.event_type, e.value,
        round(m.mean, 6) AS key_mean,

@@ -656,3 +656,32 @@ def test_triangle_hub_stress_wedge_bound(spark):
     # clique's ordered wedges are ~k^3/6 ≤ m^1.5
     assert r.n_wedges <= m ** 1.5
     spark.catalog.clearCache()
+
+
+def test_ohlc_rejects_unknown_width(spark):
+    from cyrela_etl_spark.operators.temporal import ohlc_downsample
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0, 10)], ["k", "ts", "value", "event_id"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with _pt.raises(ValueError, match="unsupported width"):
+        ohlc_downsample(df, ["k"], width="15 minutes")
+    # '1 day' now maps to date_trunc('day') instead of silently nulling
+    out = ohlc_downsample(df, ["k"], width="1 day").collect()
+    assert len(out) == 1 and out[0].bucket_start is not None
+
+
+def test_zscore_skips_degenerate_keys(spark):
+    from cyrela_etl_spark.operators.profile import zscore_anomalies
+
+    rows = (
+        [("solo", 5.0, 1)]                      # n=1: std undefined
+        + [("flat", 3.0, 10 + i) for i in range(5)]   # zero variance
+        + [("ok", float(v), 100 + i) for i, v in enumerate([1, 1, 1, 1, 50])]
+    )
+    df = spark.createDataFrame(rows, ["k", "value", "event_id"])
+    out = zscore_anomalies(df, "k", "value", "event_id", z=1.5).collect()
+    # NaN z-scores must not leak: only the genuine outlier key emits rows
+    assert all(r.k == "ok" for r in out)
+    assert len(out) == 1 and out[0].value == 50.0
