@@ -3,11 +3,12 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct. The Spark-side machinery — schema, Arrow batch shape, partitioning,
 ``mapInPandas`` signatures — is real and tested. The decode step parses
-REAL container headers for two formats that need no codec library — BMP
-(dimensions) and RIFF/WAV (sample rate, channel count, frame count,
-duration) — as pure-Python byte parsing; payloads in any other container
-fall back to a deterministic hash-derived stub (this container ships no
-image/av codecs), or ``NotImplementedError`` in strict mode.
+REAL container headers for formats that need no codec library — BMP and
+PNG (dimensions), JPEG (dimensions via the SOFn marker walk), and
+RIFF/WAV (sample rate, channel count, frame count, duration) — as
+pure-Python byte parsing; payloads in any other container fall back to a
+deterministic hash-derived stub (this environment ships no image/av
+codecs), or ``NotImplementedError`` in strict mode.
 
 At scale: binary payloads dominate partition size, so ``maxPartitionBytes``
 / explicit repartition must target bytes not rows; metadata-only operations
@@ -78,6 +79,66 @@ def make_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16
     return header + samples.tobytes()
 
 
+def make_jpeg(width: int, height: int, entropy_len: int) -> bytes:
+    """A structurally-valid baseline JFIF/JPEG: SOI, APP0(JFIF), DQT,
+    SOF0 carrying the real dimensions, two minimal DHTs, SOS, then
+    ``entropy_len`` stuffed entropy bytes (0xFF-free, so no marker is
+    forged) and EOI. Header-walking tools (and lazy decoders reading
+    only SOF for dimensions) open it; the entropy stream is deterministic
+    filler, not a real scan — this container ships no JPEG codec to
+    produce one. Total size = JPEG_OVERHEAD_BYTES + entropy_len."""
+    app0 = struct.pack(">2sH5sBBBHHBB", b"\xff\xe0", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0)
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes((i * 7 + 3) % 255 + 1 for i in range(64))
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    # one DC + one AC huffman table, each declaring a single 1-bit code
+    # (length 20 = 2 length bytes + class/id + 16 counts + 1 symbol)
+    dht = b"".join(
+        b"\xff\xc4" + struct.pack(">H", 20) + bytes([cls]) + bytes([1] + [0] * 15) + b"\x00"
+        for cls in (0x00, 0x10)
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 12) + bytes([3, 1, 0, 2, 0x11, 3, 0x11, 0, 0x3F, 0])
+    entropy = bytes((i * 31 + 5) % 255 for i in range(entropy_len))  # never 0xFF
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+
+
+# SOI(2)+APP0(18)+DQT(69)+SOF0(19)+DHT(22*2)+SOS(14)+EOI(2); pinned by test
+JPEG_OVERHEAD_BYTES = 2 + 18 + 69 + 19 + 44 + 14 + 2
+
+# SOF0..SOF15 carry frame dimensions; C4/C8/CC are DHT/JPG/DAC, not SOFs.
+_SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg_header(b: bytes) -> dict | None:
+    """(width, height) from a JPEG by walking its marker segments to the
+    first SOFn (the frame header: precision, height, width, components —
+    big-endian per the spec), None if not a JPEG. Stops at SOS/EOI: past
+    SOS lies entropy data, which may legally contain anything."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None  # desynced: not a marker where one must be
+        marker = b[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            return None
+        if 0xD0 <= marker <= 0xD7 or marker in (0x01, 0xFF):  # standalone/fill
+            pos += 2
+            continue
+        size = struct.unpack_from(">H", b, pos + 2)[0]
+        if marker in _SOF_MARKERS:
+            if pos + 10 > len(b):
+                return None
+            height, width = struct.unpack_from(">HH", b, pos + 5)
+            return {"width": width, "height": height}
+        pos += 2 + size
+    return None
+
+
 def parse_bmp_header(b: bytes) -> dict | None:
     """(width, height) from a BITMAPINFOHEADER .bmp, None if not a BMP.
     Height may be negative (top-down rows) — reported as magnitude."""
@@ -134,11 +195,12 @@ def binarize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic real-container test media: even ids become 24-bpp
-    BMPs (width/height derived from the id), odd ids become 16-bit mono
-    PCM WAVs (sample rate / length derived from the id). Every byte is a
-    valid container an external tool could open — this is the generator
-    the media-decode oracle predicts arithmetically."""
+    """Deterministic real-container test media keyed on ``doc_id % 3``:
+    0 → 24-bpp BMP, 1 → 16-bit mono PCM WAV, 2 → baseline JFIF/JPEG —
+    all parameters (dimensions, sample rate, entropy length) derived from
+    the id. Every byte is a container an external header parser could
+    open — this is the generator the media-decode oracle predicts
+    arithmetically."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,12 +208,16 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads, kinds = [], []
             for i in ids:
                 i = int(i)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     payloads.append(make_bmp(1 + i % 64, 1 + (i // 64) % 64))
                     kinds.append("image/bmp")
-                else:
+                elif i % 3 == 1:
                     payloads.append(make_wav(8000 + (i % 8) * 1000, 1 + i % 1000))
                     kinds.append("audio/wav")
+                else:
+                    w, h = 1 + i % 200, 1 + (i // 200) % 200
+                    payloads.append(make_jpeg(w, h, entropy_len=w * h // 8))
+                    kinds.append("image/jpeg")
             yield pd.DataFrame({"doc_id": ids, "payload": payloads, "media_type": kinds})
 
     return df.select(id_col).mapInPandas(
@@ -164,12 +230,13 @@ def extract_media_meta(binary_df: DataFrame, strict: bool = False) -> DataFrame:
     ``mapInPandas``.
 
     Per batch: byte length + md5 content hash (true properties of any
-    payload), then a REAL header parse for BMP (width/height) and
-    RIFF/WAV (sample_rate, n_frames, duration_ms) containers — pure
-    byte parsing, no codec library. Payloads in other containers get
-    hash-derived stub dimensions (media_kind='unknown') so tests are
-    stable, or — with ``strict=True`` — raise NotImplementedError (the
-    behavior a codec-equipped production build replaces).
+    payload), then a REAL header parse for BMP/PNG/JPEG (width/height —
+    JPEG via the SOFn marker walk) and RIFF/WAV (sample_rate, n_frames,
+    duration_ms) containers — pure byte parsing, no codec library.
+    Payloads in other containers get hash-derived stub dimensions
+    (media_kind='unknown') so tests are stable, or — with
+    ``strict=True`` — raise NotImplementedError (the behavior a
+    codec-equipped production build replaces).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -188,6 +255,8 @@ def extract_media_meta(binary_df: DataFrame, strict: bool = False) -> DataFrame:
                     row.update(media_kind="bmp", n_frames=1, **bmp)
                 elif (png := parse_png_header(p)) is not None:
                     row.update(media_kind="png", n_frames=1, **png)
+                elif (jpg := parse_jpeg_header(p)) is not None:
+                    row.update(media_kind="jpeg", n_frames=1, **jpg)
                 elif (wav := parse_wav_header(p)) is not None:
                     row.update(
                         media_kind="wav",

@@ -298,15 +298,19 @@ def test_media_decode_real_headers_via_spark(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
     meta = {r["doc_id"]: r for r in extract_media_meta(synthesize_media(docs), strict=True).collect()}
     for i, r in meta.items():
-        if i % 2 == 0:
+        if i % 3 == 0:
             assert r["media_kind"] == "bmp"
             assert r["width"] == 1 + i % 64 and r["height"] == 1 + (i // 64) % 64
             assert r["sample_rate"] is None
-        else:
+        elif i % 3 == 1:
             assert r["media_kind"] == "wav"
             assert r["sample_rate"] == 8000 + (i % 8) * 1000
             assert r["n_frames"] == 1 + i % 1000
             assert r["width"] is None
+        else:
+            assert r["media_kind"] == "jpeg"
+            assert r["width"] == 1 + i % 200 and r["height"] == 1 + (i // 200) % 200
+            assert r["sample_rate"] is None and r["n_frames"] == 1
 
 
 def test_png_header_parse():
@@ -375,3 +379,38 @@ def test_incremental_agg_merge_equals_full_recompute(spark, sf_dir):
     assert merge_agg_states(states, keys).columns == ["o_orderpriority", "agg_cnt", "agg_sum", "agg_min", "agg_max"]
     with pytest.raises(ValueError, match="at least one"):
         merge_agg_states([], keys)
+
+
+def test_jpeg_build_parse_roundtrip():
+    """JPEG SOF marker walk: what make_jpeg writes into SOF0,
+    parse_jpeg_header reads back; total size matches the pinned
+    overhead constant the oracle relies on."""
+    from cyrela_etl_spark.operators.multimodal import (
+        JPEG_OVERHEAD_BYTES,
+        make_jpeg,
+        parse_bmp_header,
+        parse_jpeg_header,
+        parse_wav_header,
+    )
+
+    j = make_jpeg(129, 47, entropy_len=333)
+    assert parse_jpeg_header(j) == {"width": 129, "height": 47}
+    assert len(j) == JPEG_OVERHEAD_BYTES + 333
+    assert parse_bmp_header(j) is None and parse_wav_header(j) is None
+    # SOF must be found by WALKING segments, not by byte scanning: an
+    # APP segment containing an embedded fake SOF byte pair must be
+    # skipped via its declared length.
+    import struct as _s
+
+    trap = (
+        b"\xff\xd8"
+        + b"\xff\xe1" + _s.pack(">H", 12) + b"\xff\xc0" + b"\x00" * 8
+        + b"\xff\xc0" + _s.pack(">HBHHB", 17, 8, 10, 20, 3) + bytes(9)
+    )
+    assert parse_jpeg_header(trap) == {"width": 20, "height": 10}
+    # truncated / non-JPEG payloads
+    assert parse_jpeg_header(b"\xff\xd8\xff") is None
+    assert parse_jpeg_header(b"GIF89a....") is None
+    # SOS before any SOF → no dimensions, not a crash
+    nos = b"\xff\xd8" + b"\xff\xda" + _s.pack(">H", 4) + b"\x00\x00"
+    assert parse_jpeg_header(nos) is None
