@@ -394,3 +394,115 @@ SELECT user_id, event_id AS last_event_id, ts AS last_ts,
 FROM ranked WHERE rn = 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_expiry — the WITHIN-WATERMARK dedup semantics made visible
+# (VERDICT r6 item 7). stream_dedup shows the drained stream equals the
+# batch distinct set when every duplicate arrives inside the watermark
+# delay; this query constructs the OTHER case. Three-file drain
+# (maxFilesPerTrigger=1, mtime-ordered):
+#   batch 1: the full events table. Commits watermark = max(ts) - 1h.
+#   batch 2: one 'tick' row (fresh key, ts = max(ts)). Dedup state is
+#     evicted at END-of-batch cleanup, not at lookup (verified against
+#     Spark's actual behavior), so this intervening batch is what lets
+#     the watermark evict every entry with ts + 1h < max(ts) - 1h — the
+#     bounded-state guarantee: state is O(events/horizon), not O(all keys
+#     ever seen).
+#   batch 3: re-sends of a deterministic event subset, stamped with fresh
+#     ts = max(ts) + 3660s + (event_id % 3600)s (above the watermark, so
+#     never late-dropped). Re-sends of EXPIRED keys (ts + 150 min < max —
+#     margins keep every resend strictly clear of the ±1h eviction
+#     boundary) are re-emitted: expiry traded dedup coverage for bounded
+#     state, exactly as documented. Re-sends of ALIVE keys (ts + 90 min >
+#     max) hit live state and are dropped.
+# The oracle is the batch "distinct within horizon" relation: all events
+# UNION ALL the tick UNION ALL the expired-key re-sends with their
+# re-stamped ts.
+# ---------------------------------------------------------------------------
+def stream_dedup_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    ev = read_events(spark, sf_dir).select(*cols)
+    mx = ev.agg(F.max("ts")).collect()[0][0]  # one scalar, drives file layout
+    resent = (
+        ev.crossJoin(F.broadcast(spark.createDataFrame([(mx,)], "mx timestamp")))
+        .filter(
+            (
+                ((F.col("event_id") % 7) == 0)
+                & (F.col("ts") + F.expr("INTERVAL 150 MINUTES") < F.col("mx"))
+            )
+            | (F.col("ts") + F.expr("INTERVAL 90 MINUTES") > F.col("mx"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.expr(
+                "timestampadd(SECOND, CAST(3660 + event_id % 3600 AS INT), mx)"
+            ).alias("ts"),
+        )
+    )
+
+    def _one_file(df: DataFrame, workdir: str, name: str, mtime: int) -> None:
+        tmp = f"{workdir}/__{name}"
+        df.coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = f"{workdir}/{name}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    tick = (
+        spark.createDataFrame([(mx,)], "ts timestamp")
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("tick").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            "ts",
+        )
+        .select(*cols)
+    )
+
+    work = tempfile.mkdtemp(prefix="dedup_expiry_")
+    try:
+        _one_file(ev, work, "arrival_0", 1_000_000_000)
+        _one_file(tick, work, "arrival_1", 1_000_000_100)
+        _one_file(resent, work, "arrival_2", 1_000_000_200)
+        schema = spark.read.parquet(f"{work}/arrival_0.parquet").schema
+        stream = read_file_stream(spark, work, schema, max_files_per_trigger=1)
+        deduped = dedup_within_watermark(
+            stream, keys=["event_id"], ts_col="ts", watermark="1 hour"
+        )
+        out = _drain(
+            spark, run_available_now, deduped.select(*cols), "stream_dedup_expiry",
+            output_mode="append",
+        )
+        # detach from the workdir before it is removed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "stream_dedup_expiry",
+    stream_dedup_expiry,
+    """
+WITH m AS (SELECT max(ts) AS mx FROM events)
+SELECT event_id, user_id, event_type, value, ts FROM events
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 'tick', 0.0, mx FROM m
+UNION ALL
+SELECT event_id, user_id, event_type, value,
+       mx + to_seconds(3660 + event_id % 3600) AS ts
+FROM events, m
+WHERE event_id % 7 = 0 AND ts + INTERVAL 150 MINUTE < mx
+""",
+)
