@@ -1646,3 +1646,70 @@ FROM ranked r CROSS JOIN t
 WHERE r.rank <= 20
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# scale_bloom_prefilter — explicit distributed Bloom-filter join pruning
+# (operators/bloom.py): bitmap of the build keys (one bit_or hash agg,
+# ≤ m/32 rows, broadcast), Kirsch–Mitzenmacher double-hash probe as a
+# zero-shuffle projection, exact verify only over the surviving sliver.
+# The oracle replays the SAME md5-derived bitmap arithmetic, so the
+# candidate and false-positive counts — the bloom's actual behavior, not
+# just the final join — are value-checked. m=4096 bits for ~312 build
+# keys keeps the false-positive rate visibly nonzero so the audit row
+# proves the exact-verify stage earns its keep.
+# ---------------------------------------------------------------------------
+def scale_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.bloom import bloom_prefilter_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    build = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+    ).select(F.col("c_custkey").cast("string").alias("key"))
+    probe = orders.select(F.col("o_custkey").cast("string").alias("key"))
+    return bloom_prefilter_report(build, probe, "key", m_bits=4096, k=3)
+
+
+register(
+    "scale_bloom_prefilter",
+    scale_bloom_prefilter,
+    """
+WITH b AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key
+  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+),
+p AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+pos_b AS (
+  SELECT (CAST(CONCAT('0x', SUBSTR(md5(key), 1, 15)) AS BIGINT)
+          + i * CAST(CONCAT('0x', SUBSTR(md5(key), 16, 15)) AS BIGINT)) % 4096 AS pos
+  FROM b, UNNEST([1, 2, 3]) AS t(i)
+),
+bitmap AS (
+  SELECT pos // 32 AS bucket,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+  FROM pos_b GROUP BY 1
+),
+pos_p AS (
+  SELECT key,
+         (CAST(CONCAT('0x', SUBSTR(md5(key), 1, 15)) AS BIGINT)
+          + i * CAST(CONCAT('0x', SUBSTR(md5(key), 16, 15)) AS BIGINT)) % 4096 AS pos
+  FROM p, UNNEST([1, 2, 3]) AS t(i)
+),
+hits AS (
+  SELECT key,
+         sum(CASE WHEN (COALESCE(word, 0) >> CAST(pos % 32 AS INT)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS h
+  FROM pos_p LEFT JOIN bitmap ON pos // 32 = bucket
+  GROUP BY key
+),
+cand AS (SELECT key FROM hits WHERE h = 3),
+ver AS (SELECT key FROM cand WHERE key IN (SELECT key FROM b))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_build_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_probe_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_verified,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand)
+       - (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_false_positives
+""",
+)

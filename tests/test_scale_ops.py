@@ -288,3 +288,31 @@ def test_fuzzy_indel_candidates_catch_insertions_and_scale_by_distinct(spark):
     # deletion pair (001 -> 01) AND substitution pair (001 -> 002) both found
     assert got[("Customer#001", "Customer#01")] == 1
     assert got[("Customer#001", "Customer#002")] == 1
+
+
+# ---------------------------------------------------------------------------
+# bloom prefilter
+# ---------------------------------------------------------------------------
+def test_bloom_prefilter_no_false_negatives(spark):
+    from cyrela_etl_spark.operators.bloom import bloom_build, bloom_probe
+
+    build = spark.range(0, 200).select(F.col("id").cast("string").alias("key"))
+    probe = spark.range(0, 2000).select(F.col("id").cast("string").alias("key"))
+    bitmap = bloom_build(build, "key", m_bits=2048, k=3)
+    cand = set(r.key for r in bloom_probe(probe, bitmap, "key", m_bits=2048, k=3).collect())
+    # every true member must survive the bloom (zero false negatives)
+    assert set(str(i) for i in range(200)) <= cand
+    # and the filter actually prunes (2048 bits / 200 keys leaves head room)
+    assert len(cand) < 2000
+
+
+def test_bloom_report_accounting(spark):
+    from cyrela_etl_spark.operators.bloom import bloom_prefilter_report
+
+    build = spark.range(50, 100).select(F.col("id").cast("string").alias("key"))
+    probe = spark.range(0, 1000).select(F.col("id").cast("string").alias("key"))
+    r = bloom_prefilter_report(build, probe, "key", m_bits=4096, k=3).collect()[0]
+    assert r.n_build_keys == 50 and r.n_probe_keys == 1000
+    assert r.n_verified == 50  # the true intersection, bloom-independent
+    assert r.n_candidates == r.n_verified + r.n_false_positives
+    assert r.n_candidates >= 50
