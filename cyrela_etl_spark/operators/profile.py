@@ -162,3 +162,48 @@ def histogram_drift(
         "*",
         F.abs(F.col("share_base_ppm") - F.col("share_curr_ppm")).alias("l1_ppm"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    bins: int = 8,
+) -> DataFrame:
+    """Per-key equi-depth (equal-frequency) histogram — the profile the
+    optimizer-statistics world prefers over equi-width when distributions
+    are skewed (every bin holds ~n/bins rows, so heavy tails can't hide
+    in one bucket).
+
+    Scale shape: NOT a global sort/ntile (which would funnel the table
+    through one reducer). Instead: one hash agg computes the bins-1 exact
+    interior percentile boundaries per key (``percentile`` with an array
+    of dyadic fractions — the same linear interpolation DuckDB's
+    ``quantile_cont`` defines, bit-identical per the agg_exact_median
+    precedent), the tiny per-key boundary table broadcasts back, bin
+    assignment is a pure projection (count of boundaries strictly below
+    the value), and a second hash agg on (key, bin) emits count/min/max.
+    Two shuffles total, both key-partitioned; nothing global.
+
+    ``bins`` should be a power of two so every boundary probability is an
+    exact dyadic double on both engines.
+    """
+    probs = ", ".join(str(i / bins) for i in range(1, bins))
+    nn = df.filter(F.col(value_col).isNotNull())
+    bounds = nn.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, array({probs}))").alias("__bs")
+    )
+    binned = nn.join(F.broadcast(bounds), key_col).select(
+        key_col,
+        F.col(value_col).alias("__v"),
+        F.aggregate(
+            "__bs",
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.when(b < F.col(value_col), 1).otherwise(0),
+        ).alias("bin"),
+    )
+    return binned.groupBy(key_col, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("__v").alias("min_v"),
+        F.max("__v").alias("max_v"),
+    )

@@ -431,3 +431,40 @@ SELECT bin, n_base, n_curr, share_base_ppm, share_curr_ppm,
 FROM joined
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_equidepth_histogram — per-event-type equal-frequency histogram
+# (operators/profile.py equidepth_histogram): exact interior percentile
+# boundaries (dyadic fractions — identical interpolation in both engines),
+# broadcast back, pure-projection bin assignment, (key, bin) hash agg.
+# The equi-DEPTH complement of the equi-width histogram_drift profile.
+# ---------------------------------------------------------------------------
+def storage_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.profile import equidepth_histogram
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir)
+    return equidepth_histogram(ev, key_col="event_type", value_col="value", bins=8)
+
+
+register(
+    "storage_equidepth_histogram",
+    storage_equidepth_histogram,
+    """
+WITH nn AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+bounds AS (
+  SELECT event_type,
+         quantile_cont(value, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+  FROM nn GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type, e.value,
+         CAST(length(list_filter(b.bs, x -> x < e.value)) AS BIGINT) AS bin
+  FROM nn e JOIN bounds b USING (event_type)
+)
+SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n_rows,
+       min(value) AS min_v, max(value) AS max_v
+FROM binned GROUP BY 1, 2
+""",
+)

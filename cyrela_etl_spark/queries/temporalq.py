@@ -377,3 +377,87 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
        LEFT JOIN p ON v.user_id = p.user_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution — last-touch revenue attribution: every purchase is
+# credited to the user's LATEST click at-or-before it and within a 7-day
+# lookback; purchases with no qualifying click go to channel -1 (direct).
+# Channel = props.k % 10 (the synthetic campaign id).
+#
+# Plan: the union-merge as-of pattern (same as temporal_asof_join) — tag
+# clicks 0 / purchases 1, ONE per-user shuffle, a running last-non-null
+# window ordered (ts, tag, event_id) carries the latest click's ts+channel
+# onto each purchase row (clicks sort before purchases at equal ts, so
+# "at or before" includes ties; the event_id leg makes same-ts click ties
+# deterministic), then the lookback check and the channel agg are pure
+# projections. A join-per-purchase formulation would rescan clicks per
+# row; this is one pass.
+# ---------------------------------------------------------------------------
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    channel = (F.get_json_object("props", "$.k").cast("long") % 10).alias("channel")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", channel, F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("tag"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(None).cast("long").alias("channel"),
+        "value", F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "*",
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts"),
+        F.last(F.when(F.col("tag") == 0, F.col("channel")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_channel"),
+    )
+    attributed = merged.filter(F.col("tag") == 1).select(
+        F.when(
+            F.col("last_click_ts").isNotNull()
+            & (F.col("last_click_ts") + F.expr("INTERVAL 7 DAYS") > F.col("ts")),
+            F.col("last_click_channel"),
+        )
+        .otherwise(-1)
+        .alias("channel"),
+        "value",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"),
+    )
+
+
+register(
+    "events_attribution",
+    events_attribution,
+    """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS channel
+  FROM events WHERE event_type = 'click'
+),
+p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+att AS (
+  SELECT p.event_id, p.value,
+         (SELECT c.channel FROM c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                AND c.ts + INTERVAL 7 DAY > p.ts
+          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS channel
+  FROM p
+)
+SELECT COALESCE(channel, -1) AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM att GROUP BY 1
+""",
+)
