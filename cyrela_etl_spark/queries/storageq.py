@@ -468,3 +468,87 @@ SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n_rows,
 FROM binned GROUP BY 1, 2
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_forget_user — right-to-be-forgotten propagation through the
+# snapshot catalog (sources/zones.py delete_rows): events land in a zone
+# table, a deterministic deletion-request list (user_id % 97 = 0) is
+# MERGE-DELETEd (anti join → new snapshot → catalog rebind), and the
+# OUTPUT is read back from the post-delete snapshot — so the check covers
+# the physical write path, not just the anti join. snapshot_diff between
+# the superseded and live snapshots supplies the CDC evidence column
+# (every changed key must classify as 'deleted', and their count is
+# value-checked against the oracle's arithmetic).
+# ---------------------------------------------------------------------------
+def storage_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from cyrela_etl_spark.sources.parquet import read_events
+    from cyrela_etl_spark.sources.zones import delete_rows, snapshot_diff
+
+    root = tempfile.mkdtemp(prefix="zone_forget_")
+    try:
+        store = ZoneStore(spark, root)
+        ev = read_events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+        store.promote_table(ev, "curated", "ev", "zone_events")
+        forget = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+        old_path = delete_rows(store, "curated", "ev", "zone_events", forget, "user_id")
+        new_df = store.table("zone_events")
+        old_df = spark.read.parquet(old_path)
+        cdc = snapshot_diff(old_df, new_df, key_cols=["event_id"])
+        cdc_deleted = cdc.filter(F.col("change") == "deleted").agg(
+            F.count(F.lit(1)).cast("long").alias("n_cdc_deleted_total")
+        )
+        after = new_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_after")
+        )
+        deleted = (
+            old_df.join(forget, "user_id", "left_semi")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_deleted"),
+                F.countDistinct("user_id").cast("long").alias("n_users_forgotten"),
+            )
+        )
+        out = (
+            after.join(deleted, "event_type", "left")
+            .crossJoin(F.broadcast(cdc_deleted))
+            .select(
+                "event_type",
+                "n_after",
+                F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"),
+                F.coalesce("n_users_forgotten", F.lit(0)).alias("n_users_forgotten"),
+                "n_cdc_deleted_total",
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    "storage_forget_user",
+    storage_forget_user,
+    """
+WITH after AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_after
+  FROM events WHERE user_id % 97 <> 0 GROUP BY 1
+),
+del AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_deleted,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_forgotten
+  FROM events WHERE user_id % 97 = 0 GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cdc_deleted_total
+  FROM events WHERE user_id % 97 = 0
+)
+SELECT a.event_type, a.n_after,
+       COALESCE(d.n_deleted, 0) AS n_deleted,
+       COALESCE(d.n_users_forgotten, 0) AS n_users_forgotten,
+       t.n_cdc_deleted_total
+FROM after a LEFT JOIN del d ON a.event_type = d.event_type
+CROSS JOIN tot t
+""",
+)

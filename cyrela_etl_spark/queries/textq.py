@@ -1420,3 +1420,152 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
 FROM nodes CROSS JOIN ecnt CROSS JOIN wcnt CROSS JOIN tri
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dsir_weights — DSIR-style importance weights for data selection
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"), rational-arithmetic variant: hashed word-bigram features
+# (md5 → 512 buckets), target distribution = long documents (the stand-in
+# curation signal), raw = the whole corpus; per-bucket smoothed
+# probability ratio p_target/p_raw carried as an exact ppm integer
+# (add-1 smoothing; one div), per-doc weight = mean bucket ratio over the
+# doc's bigrams. The published method scores sum-of-log-ratios; the
+# rational mean keeps the engine's no-transcendentals determinism
+# contract while preserving the ranking signal.
+#
+# Plan: tokenize → bigram transform (both zero-shuffle projections) →
+# explode → ONE bucket hash agg computing raw and target counts together
+# → 512-row ratio table broadcast back onto the gram stream → per-doc
+# hash agg. Shuffles carry (bucket) then (doc_id) keys only. Integer
+# magnitude: (ct+1)·(R+512)·1e6 needs R·ct ≲ 9e12 — fine to ~1e6-doc
+# corpora per job; move the numerator to DECIMAL(38,0) beyond (the
+# bm25_lite_topk precedent).
+# ---------------------------------------------------------------------------
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.when(F.length("text") >= 800, 1).otherwise(0).alias("is_tgt"),
+        X.tokens(F.col("text")).alias("t"),
+    ).filter(F.size("t") >= 2)
+    grams = toks.select(
+        "doc_id",
+        "is_tgt",
+        F.explode(
+            F.expr("transform(sequence(1, size(t)-1), i -> concat(t[i-1], ' ', t[i]))")
+        ).alias("gram"),
+    )
+    from cyrela_etl_spark.functions.hashing import hex_prefix_long
+
+    b = grams.select(
+        "doc_id",
+        "is_tgt",
+        (hex_prefix_long(F.col("gram")) % 512).alias("bucket"),
+    )
+    stats = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum("is_tgt").cast("long").alias("ct"),
+    )
+    tot = stats.agg(
+        F.sum("cr").cast("long").alias("R"), F.sum("ct").cast("long").alias("T")
+    )
+    ratio = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr("((ct + 1) * (R + 512) * 1000000) div ((cr + 1) * (T + 512))").alias(
+            "ratio_ppm"
+        ),
+    )
+    return (
+        b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.expr("CAST(sum(ratio_ppm) div count(1) AS BIGINT)").alias("score_ppm"),
+        )
+    )
+
+
+def _dsir_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 800 THEN 1 ELSE 0 END AS is_tgt,
+         {sql_tokens("text")} AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_tgt,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+b AS (
+  SELECT doc_id, is_tgt, {sql_hex64("gram")} % 512 AS bucket FROM grams
+),
+stats AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cr, CAST(sum(is_tgt) AS BIGINT) AS ct
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS R, CAST(sum(ct) AS BIGINT) AS T FROM stats
+),
+ratio AS (
+  SELECT bucket,
+         ((ct + 1) * (R + 512) * 1000000) // ((cr + 1) * (T + 512)) AS ratio_ppm
+  FROM stats, tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS score_ppm
+FROM b JOIN ratio USING (bucket)
+GROUP BY doc_id
+"""
+
+
+register("corpus_dsir_weights", corpus_dsir_weights, _dsir_oracle())
+
+
+# ---------------------------------------------------------------------------
+# text_positional_index — positional inverted index over a query
+# vocabulary (the _BM25_TERMS list): per (term, doc), the ordered list of
+# token positions, serialized to a comma string (arrays stringify
+# differently across engines — the established compare convention). The
+# postings structure phrase/proximity search needs; filter sits under the
+# explode's shuffle so only matching postings move.
+# Plan: tokenize → posexplode (projection) → filter to the vocabulary →
+# one (term, doc_id) hash agg with sort_array for deterministic position
+# order. Shuffle carries matching postings only, never the corpus.
+# ---------------------------------------------------------------------------
+def text_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    term_arr = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("t"))
+    occ = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "term")
+    ).filter(F.array_contains(term_arr, F.col("term")))
+    return occ.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.concat_ws(",", F.sort_array(F.collect_list(F.col("pos").cast("long")))).alias(
+            "positions"
+        ),
+    )
+
+
+def _positional_index_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+),
+occ AS (
+  SELECT doc_id, t[i] AS term, CAST(i - 1 AS BIGINT) AS pos
+  FROM toks, UNNEST(generate_series(1, len(t))) AS s(i)
+  WHERE t[i] IN ({terms})
+)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       array_to_string(list_sort(list(pos)), ',') AS positions
+FROM occ GROUP BY term, doc_id
+"""
+
+
+register("text_positional_index", text_positional_index, _positional_index_oracle())

@@ -288,6 +288,42 @@ def upsert_table(
     return old_path
 
 
+def delete_rows(
+    store: ZoneStore,
+    zone: str,
+    key: str,
+    table: str,
+    forget_keys: DataFrame,
+    merge_key: str,
+    keep_old_snapshot: bool = True,
+) -> str | None:
+    """Keyed MERGE-DELETE into a catalog zone table — the right-to-be-
+    forgotten / retention-policy primitive (Delta's MERGE WHEN MATCHED
+    THEN DELETE, spelled over the plain-parquet snapshot catalog): every
+    row whose ``merge_key`` appears in ``forget_keys`` is dropped, the
+    survivor set is written as a NEW snapshot and the catalog rebound.
+    One shuffle (the anti join); ``forget_keys`` is distinct-ed and is
+    small by contract (a deletion request list), so the anti join
+    broadcasts at scale.
+
+    Returns the superseded snapshot path (callers must delete it too for
+    a COMPLETE forget — a retained old snapshot still contains the
+    forgotten rows; ``keep_old_snapshot=False`` does so immediately).
+    """
+    import uuid
+
+    current = store.spark.table(table)
+    old_path = store._table_location(table)
+    kept = current.join(forget_keys.select(merge_key).distinct(), merge_key, "left_anti")
+    new_key = f"{key}__v{uuid.uuid4().hex[:8]}"
+    store.promote_table(kept, zone, new_key, table, mode="overwrite")
+    if not keep_old_snapshot and old_path is not None:
+        fs, jvm = store._fs()
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old_path), True)
+        return None
+    return old_path
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
