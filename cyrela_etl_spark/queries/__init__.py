@@ -33,76 +33,39 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 # Scoring-priority order: the driver walks the returned dict in insertion
 # order and scores AT MOST ~50 entries per round. Slot allocation for
-# round 6 (122 registered queries, all oracle-backed — keep this count in
-# sync with len(REGISTRY); VERDICT r5 ADVICE flagged a stale count here):
-#   block 0 (21): operators new in round 6, never scored — first;
-#   block A (16): every events-reader. The driver regenerated events.parquet
-#     with a new ts encoding after round 5's last commit, so ALL prior green
-#     rows for these queries describe the old physical schema — stale by
-#     definition. 8 errored in r5 (whole stream_* family, incl. the
-#     never-green stream_interval_join) and 8 more fail-localled
-#     (temporal_* ×5, func_json_extract, grouped_map_normalize,
-#     minmax_normalize_window). The round-6 reader is dtype-adaptive
-#     (sources/parquet.py); these must produce fresh rows first.
-#   block B: the tail whose last driver row is r3 (corpus_*, agg_*,
-#     func_*, fuzzy_*, sql_*, plus singles) — oldest-risk first so the
-#     whole registry has a fresh row within r6-r7.
-#   tail (unlisted): everything green in r5 over files unchanged in round 6
-#     — the safest thing to leave unscored this round.
+# round 7 (129 registered queries, all oracle-backed — keep this count in
+# sync with len(REGISTRY); VERDICT r5/r6 ADVICE both flagged stale counts
+# here and in NOTES.md):
+#   block 0 (7): operators new in round 7, never scored — first;
+#   block A (6): queries whose CODE changed in round 7 (triangle closure
+#     rewrite, zscore degenerate-key guard, bm25 decimal numerator + its
+#     RRF consumer, upsert 8-part split, JPEG media mix) — their r6 green
+#     rows describe the old implementation;
+#   block B (30): the stale tail VERDICT r6 item 3 enumerates — 19 whose
+#     last driver row is r3 (func/fuzzy/sql/join/window/storage singles)
+#     and the 11-query r4 TPC-H battery. After r7 no registry query's
+#     latest row should predate r5;
+#   block C (7): r5-scored heavy representatives (LSH/vector/curation) —
+#     freshest-of-the-stale, fills the ~50th slot.
+#   tail (unlisted): everything green in r5/r6 over files unchanged in
+#     round 7 — the safest tail to leave unscored.
 _PRIORITY: list[str] = [
-    # -- new in round 6 (never scored) --------------------------------------
-    "dedup_contamination",
-    "text_lm_score",
-    "text_bm25_topk",
-    "quality_classifier_filter",
-    "corpus_weighted_sample",
-    "corpus_boilerplate_removal",
-    "storage_numeric_profile",
-    "events_anomaly_zscore",
-    "vector_sq_int8_topk",
-    "vector_pq_adc_topk",
-    "vector_semdedup_pairs",
-    "temporal_ohlc",
-    "scale_skew_profile",
-    "stream_upsert_sink",
-    "storage_zorder_cluster",
-    "storage_jsonl_roundtrip",
-    "storage_jsonl_badrecords",
-    "search_hybrid_rrf",
-    "events_funnel",
+    # -- block 0: new in round 7 (never scored) -----------------------------
+    "stream_dedup_expiry",
+    "scale_bloom_prefilter",
+    "storage_equidepth_histogram",
+    "events_attribution",
+    "corpus_dsir_weights",
+    "text_positional_index",
+    "storage_forget_user",
+    # -- block A: code changed in round 7 -----------------------------------
     "graph_triangle_stats",
-    "storage_histogram_drift",
-    # -- block A: events-readers (all rows stale after the ts-encoding drift)
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup",
-    "stream_stateful_running",
-    "stream_static_enrich",
-    "stream_parquet_sink",
-    "stream_interval_join",
-    "temporal_asof_join",
-    "temporal_range_join",
-    "temporal_time_bucket",
-    "temporal_gap_fill",
-    "temporal_sessionize",
-    "func_json_extract",
-    "grouped_map_normalize",
-    "minmax_normalize_window",
-    # -- block B: last scored r3 — oldest first -----------------------------
-    "corpus_chunking",
-    "corpus_dataset_split",
-    "corpus_pii_redact",
-    "corpus_stratified_sample",
-    "corpus_token_pack",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_filtered",
-    "agg_exact_median",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_pivot",
-    "agg_unpivot",
+    "events_anomaly_zscore",
+    "text_bm25_topk",
+    "search_hybrid_rrf",
+    "stream_upsert_sink",
+    "multimodal_media_meta",
+    # -- block B: last scored r3 (oldest first) -----------------------------
     "func_string",
     "func_math",
     "func_datetime",
@@ -114,7 +77,6 @@ _PRIORITY: list[str] = [
     "sql_scalar_subquery",
     "sql_correlated_subquery",
     "sql_q04_exists",
-    "multimodal_media_meta",
     "join_salted",
     "join_bucketed",
     "window_analytics",
@@ -122,7 +84,7 @@ _PRIORITY: list[str] = [
     "distinct_agg",
     "storage_csv_roundtrip",
     "wallet_features",
-    # -- block C: r4-scored TPC-H battery (still fresher than block B) ------
+    # -- block B: r4-scored TPC-H battery -----------------------------------
     "q07_volume_shipping",
     "q08_market_share",
     "q09_nation_profit",
@@ -134,6 +96,14 @@ _PRIORITY: list[str] = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    # -- block C: r5-scored heavy representatives ---------------------------
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_components",
+    "vector_cosine_topk",
+    "curation_pipeline",
+    "text_winnow_fingerprints",
+    "topk_global",
 ]
 
 

@@ -481,12 +481,12 @@ def stream_dedup_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = dedup_within_watermark(
             stream, keys=["event_id"], ts_col="ts", watermark="1 hour"
         )
-        out = _drain(
+        # the memory sink holds the drained relation itself, so the
+        # workdir can be removed without a detaching collect
+        return _drain(
             spark, run_available_now, deduped.select(*cols), "stream_dedup_expiry",
             output_mode="append",
         )
-        # detach from the workdir before it is removed
-        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
