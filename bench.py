@@ -73,6 +73,15 @@ HEADLINE = [
     "vector_semdedup_pairs",
     "corpus_boilerplate_removal",
     "storage_zorder_cluster",
+    # round-7 operator representatives
+    "scale_bloom_prefilter",
+    "corpus_dsir_weights",
+    "events_attribution",
+    "storage_equidepth_histogram",
+    "text_positional_index",
+    "stream_dedup_expiry",
+    "storage_forget_user",
+    "graph_triangle_stats",
 ]
 
 

@@ -102,10 +102,14 @@ def bloom_prefilter_report(
     probe-key count, bloom candidates, exact-verified matches, and the
     false-positive count the bloom traded for its size. ``distinct``
     keys on both sides (bloom pruning is a key-set question)."""
-    b = build_keys.select(F.col(key_col)).distinct()
-    p = probe_keys.select(F.col(key_col)).distinct()
+    # Each distinct'd key set and the candidate sliver feed two consumers
+    # (their count and the next stage) — persist so the report plan
+    # computes each once (MEMORY_AND_DISK, spillable; b and candidates
+    # are small by contract, p is key-sized).
+    b = build_keys.select(F.col(key_col)).distinct().persist()
+    p = probe_keys.select(F.col(key_col)).distinct().persist()
     bitmap = bloom_build(b, key_col, m_bits, k)
-    candidates = bloom_probe(p, bitmap, key_col, m_bits, k)
+    candidates = bloom_probe(p, bitmap, key_col, m_bits, k).persist()
     verified = candidates.join(b, key_col, "left_semi")
     return (
         b.agg(F.count(F.lit(1)).cast("long").alias("n_build_keys"))
