@@ -207,3 +207,57 @@ def equidepth_histogram(
         F.min("__v").alias("min_v"),
         F.max("__v").alias("max_v"),
     )
+
+
+def winsorize_profile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key winsorization audit — the outlier-clipping prep step
+    (clip to [p_lo, p_hi] exact percentiles) reported as what it WOULD
+    do: how many rows clip at each tail, the clip bounds, and the
+    decimal-exact sum of the untouched inliers. Feature pipelines run
+    this before committing to a clip threshold.
+
+    Same scale shape as equidepth_histogram: one hash agg for the two
+    exact percentile bounds per key, broadcast back, pure-projection
+    tail flags, one (key) hash agg. The output keeps inlier_total over
+    ORIGINAL values (decimal-cast, the money contract) rather than a
+    clipped mean — clipping at an interpolated double bound would drag
+    engine-specific decimal rounding into the hash.
+    """
+    nn = df.filter(F.col(value_col).isNotNull())
+    bounds = nn.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, array({p_lo}, {p_hi}))").alias("__b")
+    ).select(
+        key_col,
+        F.col("__b")[0].alias("__lo"),
+        F.col("__b")[1].alias("__hi"),
+    )
+    flagged = nn.join(F.broadcast(bounds), key_col).select(
+        key_col,
+        F.col(value_col).alias("__v"),
+        "__lo",
+        "__hi",
+        F.when(F.col(value_col) < F.col("__lo"), 1).otherwise(0).alias("__is_lo"),
+        F.when(F.col(value_col) > F.col("__hi"), 1).otherwise(0).alias("__is_hi"),
+    )
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("__is_lo").cast("long").alias("n_clipped_lo"),
+        F.sum("__is_hi").cast("long").alias("n_clipped_hi"),
+        F.round(F.min("__lo"), round_digits).alias("lo_bound"),
+        F.round(F.min("__hi"), round_digits).alias("hi_bound"),
+        F.sum(
+            F.when(
+                (F.col("__is_lo") == 0) & (F.col("__is_hi") == 0),
+                F.col("__v").cast("decimal(12,2)"),
+            )
+        )
+        .cast("double")
+        .alias("inlier_total"),
+    )

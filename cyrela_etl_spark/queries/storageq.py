@@ -552,3 +552,44 @@ FROM after a LEFT JOIN del d ON a.event_type = d.event_type
 CROSS JOIN tot t
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_winsorize_profile — per-event-type outlier-clip audit
+# (operators/profile.py winsorize_profile): exact p05/p95 bounds (same
+# engine-identical interpolation as agg_exact_median / equidepth), tail
+# counts, decimal-exact inlier sum. One percentile agg + broadcast + one
+# key agg.
+# ---------------------------------------------------------------------------
+def storage_winsorize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.profile import winsorize_profile
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    return winsorize_profile(
+        read_events(spark, sf_dir), key_col="event_type", value_col="value"
+    )
+
+
+register(
+    "storage_winsorize_profile",
+    storage_winsorize_profile,
+    """
+WITH nn AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM nn GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       round(min(b.lo), 6) AS lo_bound,
+       round(min(b.hi), 6) AS hi_bound,
+       CAST(sum(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+                     THEN CAST(e.value AS DECIMAL(12,2)) END) AS DOUBLE) AS inlier_total
+FROM nn e JOIN b USING (event_type)
+GROUP BY e.event_type
+""",
+)

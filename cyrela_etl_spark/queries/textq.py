@@ -1569,3 +1569,54 @@ FROM occ GROUP BY term, doc_id
 
 
 register("text_positional_index", text_positional_index, _positional_index_oracle())
+
+
+# ---------------------------------------------------------------------------
+# text_phrase_search — exact phrase retrieval ("data stream") over the
+# positional postings: occurrences of both words (the vocabulary filter
+# again sits UNDER the shuffle), adjacency = an equi-join on
+# (doc_id, pos+1) — the classic positional-index intersection, never a
+# corpus rescan per phrase. The ORACLE deliberately uses a different
+# algorithm (a full array scan with list_filter adjacency) — two
+# independent formulations must produce the identical hit relation.
+# ---------------------------------------------------------------------------
+_PHRASE = ("data", "stream")
+
+
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w1, w2 = _PHRASE
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("t"))
+    occ = toks.select("doc_id", F.posexplode("t").alias("pos", "term")).filter(
+        F.col("term").isin(w1, w2)
+    )
+    a = occ.filter(F.col("term") == w1).select("doc_id", F.col("pos").alias("p1"))
+    b = occ.filter(F.col("term") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("p1")
+    )
+    hits = a.join(b, ["doc_id", "p1"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("p1").cast("long").alias("first_pos"),
+    )
+
+
+def _phrase_oracle() -> str:
+    w1, w2 = _PHRASE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, len(t) - 1),
+                     i -> t[i] = '{w1}' AND t[i + 1] = '{w2}') AS hits
+  FROM toks
+)
+SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+       CAST(hits[1] - 1 AS BIGINT) AS first_pos
+FROM h WHERE len(hits) > 0
+"""
+
+
+register("text_phrase_search", text_phrase_search, _phrase_oracle())

@@ -38,3 +38,21 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     oracle_pdf = oracle_con.execute(oracle).df()
     problems = compare(name, spark_pdf, oracle_pdf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_priority_list_is_consistent_with_registry():
+    """The _PRIORITY scoring order must reference only registered
+    queries, contain no duplicates, and stay within the driver's ~50-slot
+    budget — the invariant whose drift ADVICE flagged in rounds 5 and 6
+    (stale counts in prose); this pins the machine-readable side."""
+    from cyrela_etl_spark.queries import _PRIORITY, load_all
+
+    reg = load_all()
+    missing = [n for n in _PRIORITY if n not in reg]
+    assert missing == [], f"_PRIORITY names not in registry: {missing}"
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate _PRIORITY entries"
+    assert len(_PRIORITY) <= 52, "priority list exceeds the driver's scoring budget"
+    # every registry entry is oracle-backed (the registry currently has
+    # no weaker rows-only entries; loosen deliberately if one is added)
+    no_oracle = [n for n, (_fn, o) in reg.items() if o is None]
+    assert no_oracle == [], f"queries without oracles: {no_oracle}"
