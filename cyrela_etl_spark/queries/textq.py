@@ -1620,3 +1620,84 @@ FROM h WHERE len(hits) > 0
 
 
 register("text_phrase_search", text_phrase_search, _phrase_oracle())
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — the SURVIVOR-SELECTION step that turns dup clusters
+# into a deduplicated corpus (what a curation pipeline actually ships):
+# connected components over the merged pair sources (same construction as
+# dedup_components), every document labeled with its cluster (singletons
+# label themselves), and ONE representative kept per cluster — the
+# longest text, ties to the lowest id (the "most complete version" keep
+# policy). Output is one row per surviving document's cluster: label,
+# member count, kept id + length.
+# Plan: the CC rounds (O(log d) label shuffles) + one left join to
+# attach labels + one (cluster) hash agg via an ordered struct-max — no
+# window over the corpus. The oracle recomputes components with a
+# recursive CTE and picks survivors with a window: different algorithms,
+# same relation.
+# ---------------------------------------------------------------------------
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    keyed = c.select(
+        F.col("doc_id").alias("id"),
+        F.md5(norm).alias("k_exact"),
+        F.md5(F.concat_ws(" ", F.slice(X.tokens(F.col("text")), 1, 6))).alias("k_prefix"),
+    )
+
+    def _pairs(key: str) -> DataFrame:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return a.join(
+            b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.id") < F.col("b.id"))
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    edges = _pairs("k_exact").unionByName(_pairs("k_prefix"))
+    comp = D.connected_components(edges, shuffle_partitions=8)
+    labeled = (
+        c.select(F.col("doc_id").alias("id"), F.length("text").cast("long").alias("len"))
+        .join(comp, "id", "left")
+        .select(
+            "id", "len", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )
+    agg = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(F.struct(F.col("len"), (-F.col("id")).alias("neg"))).alias("__best"),
+    )
+    return agg.select(
+        "component",
+        "n_members",
+        (-F.col("__best.neg")).cast("long").alias("kept_id"),
+        F.col("__best.len").cast("long").alias("kept_len"),
+    )
+
+
+register(
+    "dedup_keep_best",
+    dedup_keep_best,
+    f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+{_COMPONENTS_EDGES_SQL.strip()},
+e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT c.doc_id AS id, CAST(length(c.text) AS BIGINT) AS len,
+         COALESCE(k.component, c.doc_id) AS component
+  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.id
+),
+ranked AS (
+  SELECT component, id, len,
+         row_number() OVER (PARTITION BY component ORDER BY len DESC, id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+  FROM labeled
+)
+SELECT component, n_members, id AS kept_id, len AS kept_len
+FROM ranked WHERE rn = 1
+""",
+)

@@ -171,3 +171,35 @@ def test_triangle_closure_is_equi_join_with_cached_edges(spark):
         # recomputed per consumer
         assert "InMemoryTableScan" in plan
     spark.catalog.clearCache()
+
+
+def test_equidepth_histogram_broadcasts_bounds_no_global_sort(spark, sf_dir):
+    from cyrela_etl_spark.operators.profile import equidepth_histogram
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    plan = _plan(equidepth_histogram(read_events(spark, sf_dir), "event_type", "value"))
+    assert "BroadcastHashJoin" in plan          # boundary table broadcasts back
+    assert "Sort [" not in plan or "SortMergeJoin" not in plan  # no global ntile sort
+    assert "Window" not in plan                 # bin assignment is a projection
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    from cyrela_etl_spark.queries.temporalq import events_attribution
+
+    plan = _plan(events_attribution(spark, sf_dir))
+    # one exchange for the per-user window; the channel agg reuses or
+    # hash-partitions the tiny attributed set
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_is_broadcast_projection(spark):
+    from cyrela_etl_spark.operators.bloom import bloom_build, bloom_probe
+
+    build = spark.range(100).select(F.col("id").cast("string").alias("key"))
+    probe = spark.range(1000).select(F.col("id").cast("string").alias("key"))
+    plan = _plan(bloom_probe(probe, bloom_build(build, "key"), "key"))
+    # the bitmap side must broadcast — a shuffled bitmap join would defeat
+    # the zero-shuffle-probe design
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
