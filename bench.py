@@ -82,6 +82,7 @@ HEADLINE = [
     "stream_dedup_expiry",
     "storage_forget_user",
     "graph_triangle_stats",
+    "dedup_keep_best",
 ]
 
 
