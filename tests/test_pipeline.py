@@ -253,3 +253,48 @@ def test_promote_table_append_refuses_foreign_location(spark, sf_dir, tmp_path):
     # the table still reads fine from its original location
     assert spark.table("t_append_guard").count() == nation.count()
     spark.sql("DROP TABLE IF EXISTS t_append_guard")
+
+
+def test_delete_rows_forgets_keys_and_returns_old_snapshot(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.sources.zones import ZoneStore, delete_rows
+
+    store = ZoneStore(spark, str(tmp_path))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    store.promote_table(nation, "curated", "nat", "t_forget_nation")
+    forget = spark.createDataFrame([(0,), (5,), (999,)], "n_nationkey long")
+    old_path = delete_rows(
+        store, "curated", "nat", "t_forget_nation", forget, merge_key="n_nationkey"
+    )
+    kept = {r["n_nationkey"] for r in spark.table("t_forget_nation").collect()}
+    assert 0 not in kept and 5 not in kept          # requested keys gone
+    assert len(kept) == nation.count() - 2          # 999 never existed; rest kept
+    # the superseded snapshot still exists (time-travel / rollback) and
+    # still CONTAINS the forgotten rows — a complete forget deletes it too
+    assert old_path is not None and os.path.exists(old_path.replace("file:", ""))
+    old_keys = {r["n_nationkey"] for r in spark.read.parquet(old_path).collect()}
+    assert {0, 5} <= old_keys
+    spark.sql("DROP TABLE IF EXISTS t_forget_nation")
+
+
+def test_delete_rows_drop_old_snapshot(spark, sf_dir, tmp_path):
+    import os
+
+    from cyrela_etl_spark.sources.zones import ZoneStore, delete_rows
+
+    store = ZoneStore(spark, str(tmp_path))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    store.promote_table(nation, "curated", "nat", "t_forget_nation2")
+    loc_before = store._table_location("t_forget_nation2")
+    forget = spark.createDataFrame([(1,)], "n_nationkey long")
+    out = delete_rows(
+        store, "curated", "nat", "t_forget_nation2", forget,
+        merge_key="n_nationkey", keep_old_snapshot=False,
+    )
+    assert out is None
+    assert not os.path.exists(loc_before.replace("file:", ""))  # complete forget
+    assert spark.table("t_forget_nation2").count() == nation.count() - 1
+    spark.sql("DROP TABLE IF EXISTS t_forget_nation2")
