@@ -158,3 +158,51 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
         F.expr("(cnt * 1000000) div total").alias("share_ppm"),
         (F.col("cnt") * F.col("n_keys") / F.col("total")).alias("skew_x"),
     )
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Histogram-based equi-join cardinality estimation — the optimizer-
+    statistics primitive every cost-based planner runs before choosing
+    broadcast vs shuffle vs salted (Selinger-style, per-bucket variant):
+    hash each side's key into ``buckets``, and per matching bucket
+    estimate ``n_left·n_right / max(d_left, d_right)`` (the uniform-
+    within-bucket / containment assumption), all in exact integer
+    arithmetic. The one-row report carries the estimate NEXT TO the true
+    join count and the ppm error, so the estimator itself is what the
+    oracle value-checks — at 100 TB only the two tiny histogram aggs
+    would run (the actual join is the thing being avoided).
+
+    Plan: one hash agg per side (buckets-row outputs), a buckets-row
+    join, plus the real join's count for the report. Estimation cost is
+    independent of join output size.
+    """
+    def hist(df: DataFrame, n: str, d: str) -> DataFrame:
+        return df.groupBy((F.col(key_col) % buckets).alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.countDistinct(key_col).cast("long").alias(d),
+        )
+
+    est = (
+        hist(left, "n1", "d1")
+        .join(hist(right, "n2", "d2"), "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets_matched"),
+            F.sum(F.expr("(n1 * n2) div greatest(d1, d2)")).cast("long").alias("est_rows"),
+        )
+    )
+    actual = (
+        left.select(key_col)
+        .join(right.select(key_col), key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+    )
+    return est.crossJoin(actual).select(
+        "n_buckets_matched",
+        "est_rows",
+        "actual_rows",
+        F.expr("(est_rows * 1000000) div actual_rows").alias("est_over_actual_ppm"),
+    )

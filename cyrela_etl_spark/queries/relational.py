@@ -1713,3 +1713,52 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_build_keys,
        - (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_false_positives
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# scale_join_cardinality — histogram join-size estimation (operators/
+# skew.py join_cardinality_estimate): clicks ⋈ purchases on user_id, the
+# skew-sensitive self-ish join attribution runs. The report carries the
+# per-bucket containment estimate, the true join count, and the ppm
+# ratio — the estimator's own accuracy is the value under test.
+# ---------------------------------------------------------------------------
+def scale_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.skew import join_cardinality_estimate
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return join_cardinality_estimate(clicks, purchases, "user_id", buckets=64)
+
+
+register(
+    "scale_join_cardinality",
+    scale_join_cardinality,
+    """
+WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+h1 AS (
+  SELECT user_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n1,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS d1
+  FROM c GROUP BY 1
+),
+h2 AS (
+  SELECT user_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n2,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS d2
+  FROM p GROUP BY 1
+),
+e AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets_matched,
+         CAST(sum((n1 * n2) // greatest(d1, d2)) AS BIGINT) AS est_rows
+  FROM h1 JOIN h2 USING (bucket)
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS actual_rows
+  FROM c JOIN p USING (user_id)
+)
+SELECT e.n_buckets_matched, e.est_rows, a.actual_rows,
+       (e.est_rows * 1000000) // a.actual_rows AS est_over_actual_ppm
+FROM e CROSS JOIN a
+""",
+)
