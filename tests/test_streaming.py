@@ -209,3 +209,57 @@ def test_stream_foreachbatch_jdbc_sink(spark, sf_dir, tmp_path):
     q.awaitTermination()
     n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert spark.read.jdbc(url, "wh_events").count() == n_src
+
+
+def test_dedup_within_watermark_state_expires_after_cleanup_batch(spark, tmp_path):
+    """Pins the eviction timing stream_dedup_expiry relies on: dedup
+    state is evicted at END-of-batch cleanup, not at lookup — a resend in
+    the batch right after the watermark advances is still dropped, and a
+    resend one batch later re-emits; alive-state resends always drop."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.streaming.ops import dedup_within_watermark, run_available_now
+
+    work = str(tmp_path / "arrivals")
+    os.makedirs(work)
+
+    def one_file(rows, name, mtime):
+        df = spark.createDataFrame(rows, ["event_id", "ts"]).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        tmp = f"{work}/__{name}"
+        df.coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.move(f"{tmp}/{part}", f"{work}/{name}.parquet")
+        shutil.rmtree(tmp)
+        os.utime(f"{work}/{name}.parquet", (mtime, mtime))
+
+    # hours 0..10; watermark after batch 0 commits = 09:00
+    one_file([(i, f"2024-01-01 {i:02d}:00:00") for i in range(11)], "a0", 1_000_000_000)
+    # resend id=1 IMMEDIATELY (state expired but not yet cleaned) → dropped
+    one_file([(1, "2024-01-01 11:30:00")], "a1", 1_000_000_100)
+    # resend id=2 (expired+cleaned → re-emits) and id=10 (alive → drops)
+    one_file(
+        [(2, "2024-01-01 12:00:00"), (10, "2024-01-01 12:00:01")], "a2", 1_000_000_200
+    )
+    schema = spark.read.parquet(f"{work}/a0.parquet").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(work)
+    )
+    out = run_available_now(
+        dedup_within_watermark(stream, ["event_id"], ts_col="ts", watermark="1 hour"),
+        "t_expiry_unit",
+        output_mode="append",
+    )
+    emitted = sorted((r.event_id, str(r.ts)) for r in out.collect())
+    ids = [e for e, _ in emitted]
+    assert ids.count(2) == 2      # expired + cleaned → re-emitted
+    assert ids.count(1) == 1      # expired but not yet cleaned → deduped
+    assert ids.count(10) == 1     # state alive → deduped
+    assert len(emitted) == 12     # 11 originals + one re-emission
