@@ -461,3 +461,191 @@ SELECT COALESCE(channel, -1) AS channel,
 FROM att GROUP BY 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_retention_cohorts — weekly cohort retention matrix: users are
+# cohorted by the Monday-truncated week of their FIRST event; for each
+# (cohort_week, week_offset) the count of cohort members active that week
+# and the retention ratio. The product-analytics staple (Amplitude/Mixpanel
+# retention view) as two key-aligned aggregates.
+#
+# Plan: first-event agg and per-(user, week) activity dedup both shuffle on
+# user_id-led keys (data-sized, unavoidable — per-user state); the
+# cohort→activity join is a per-user equi join; everything above it
+# (cohort sizes, the matrix itself) is O(weeks²) rows, and the size table
+# joins back broadcast. No window functions, no global sort. Retention is
+# one IEEE division of two exact counts, rounded on both engines.
+# ---------------------------------------------------------------------------
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", F.date_trunc("week", "first_ts").alias("cohort_week"))
+    )
+    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    matrix = (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    return matrix.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+register(
+    "events_retention_cohorts",
+    events_retention_cohorts,
+    """
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+matrix AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, a.week) / 7 AS BIGINT) AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM activity a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size FROM cohort GROUP BY 1
+)
+SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+       round(m.n_active / s.cohort_size, 6) AS retention
+FROM matrix m JOIN sizes s ON m.cohort_week = s.cohort_week
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — first-order event-type transition matrix:
+# for each user's event sequence ordered (ts, event_id), count
+# (from_type → to_type) adjacencies and normalize per from-state. The
+# user-journey / process-mining primitive (a Markov chain estimated by
+# maximum likelihood).
+#
+# Plan: ONE per-user window shuffle computes lead(); the transition agg is
+# at most |types|² rows and its per-from-state totals join back broadcast.
+# prob is one IEEE division of exact counts, rounded on both engines.
+# ---------------------------------------------------------------------------
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    trans = (
+        pairs.groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("n_from"), 6).alias("prob"),
+    )
+
+
+register(
+    "events_markov_transitions",
+    events_markov_transitions,
+    """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n_transitions,
+       round(t.n_transitions / x.n_from, 6) AS prob
+FROM trans t JOIN totals x ON t.from_type = x.from_type
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# temporal_ewma — per-user exponentially weighted moving average of `value`
+# (alpha = 0.2): ewma_1 = x_1; ewma_i = alpha*x_i + (1-alpha)*ewma_{i-1};
+# the final smoothed level per user. The recurrence is evaluated as an
+# ORDERED LEFT FOLD on both engines (Spark `aggregate` HOF over the
+# (ts, event_id)-sorted value array; DuckDB `list_reduce` over
+# `list(value ORDER BY ts, event_id)`, whose implicit seed is the first
+# element — exactly ewma_1 = x_1), so the double arithmetic is performed
+# in the identical order and the results agree bit-for-bit before the
+# defensive round. This avoids the classic cumsum/log-domain EWMA trick,
+# whose (1-a)^{-i} renormalizer overflows past ~3500 events per key.
+#
+# Plan: ONE per-user shuffle (the collect_list agg); the fold is a scalar
+# expression — no second window pass, no join. Scale note: per-key state
+# is the user's event array (bounded by per-user activity, same contract
+# as events_funnel); for unbounded keys the streaming twin is
+# stream_stateful_running's applyInPandasWithState path.
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = 0.2
+
+
+def temporal_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
+    )
+    vals = F.col("seq").getField("value")
+    a = F.lit(_EWMA_ALPHA)
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
+register(
+    "temporal_ewma",
+    temporal_ewma,
+    f"""
+WITH seq AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(list_reduce(vals,
+             (acc, x) -> CAST({_EWMA_ALPHA} AS DOUBLE) * x
+                         + CAST({1.0 - _EWMA_ALPHA} AS DOUBLE) * acc), 6) AS ewma_value
+FROM seq
+""",
+)
