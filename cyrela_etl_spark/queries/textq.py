@@ -1701,3 +1701,251 @@ SELECT component, n_members, id AS kept_id, len AS kept_len
 FROM ranked WHERE rn = 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# text_pmi_collocations — pointwise mutual information over adjacent word
+# pairs (Church & Hanks 1990's association ratio): PMI(a,b) =
+# ln( P(ab) / (P(a)·P(b)) ) with P from corpus-wide occurrence counts,
+# reported for pairs seen ≥ 5 times. The collocation/phrase-mining
+# primitive (e.g. Mikolov et al. 2013's phrase pass uses the same counts).
+#
+# Determinism: all counts are exact ints; the ratio is built from three
+# exact-int IEEE divisions multiplied in a fixed left-assoc order, and the
+# single ln() is rounded to 6 digits on both engines.
+#
+# Plan: one explode feeds the pair counts (shuffle keyed by pair) and one
+# feeds the unigram counts (keyed by token); the pair→unigram joins carry
+# VOCABULARY-sized tables (never corpus²) and the totals row is a 1-row
+# broadcast. The ≥5 frequency filter sits under both join inputs.
+# ---------------------------------------------------------------------------
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    occ = docs.select(F.explode(X.word_grams("text", 2)).alias("bg"))
+    uni = docs.select(F.explode(X.tokens("text")).alias("tok"))
+    c2 = occ.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = (
+        c1.agg(F.sum("c").cast("long").alias("n1"))
+        .crossJoin(c2.agg(F.sum("n_pair").cast("long").alias("n2")))
+    )
+    pairs = c2.filter(F.col("n_pair") >= 5).select(
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+        "n_pair",
+    )
+    j = (
+        pairs.join(c1.select(F.col("tok").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(c1.select(F.col("tok").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    ratio = (
+        (F.col("n_pair") / F.col("c_a"))
+        * (F.col("n1") / F.col("n2"))
+        * (F.col("n1") / F.col("c_b"))
+    )
+    return j.select("w1", "w2", "n_pair", F.round(F.log(ratio), 6).alias("pmi"))
+
+
+register(
+    "text_pmi_collocations",
+    text_pmi_collocations,
+    f"""
+WITH toks AS (SELECT {sql_tokens('text')} AS t FROM documents),
+occ AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> array_to_string(t[i:i+1], ' '))) AS bg
+  FROM toks
+),
+uni AS (SELECT unnest(t) AS tok FROM toks),
+c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_pair FROM occ GROUP BY bg),
+c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+totals AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM c1) AS n1,
+         (SELECT CAST(sum(n_pair) AS BIGINT) FROM c2) AS n2
+)
+SELECT string_split(p.bg, ' ')[1] AS w1,
+       string_split(p.bg, ' ')[2] AS w2,
+       p.n_pair,
+       round(ln((p.n_pair / a.c) * (t.n1 / t.n2) * (t.n1 / b.c)), 6) AS pmi
+FROM c2 p
+JOIN c1 a ON string_split(p.bg, ' ')[1] = a.tok
+JOIN c1 b ON string_split(p.bg, ' ')[2] = b.tok
+CROSS JOIN totals t
+WHERE p.n_pair >= 5
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_dup_ngram_fraction — per-document fraction of word-8-gram
+# occurrences that appear in MORE THAN ONE document of the corpus (the
+# RefinedWeb/MassiveText "duplicated n-gram" signal, cross-document
+# variant; within-document repetition is text_repetition's job). Runs over
+# the planted-duplicate corpus so exact/near copies surface with
+# fraction ≈ 1.
+#
+# Plan: explode → (doc, gram) counts → gram document-frequency → join back
+# → per-doc agg. Three shuffles, each carrying gram-level rows (corpus
+# token volume, never corpus²); no windows, no driver collect.
+# ---------------------------------------------------------------------------
+def dedup_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = corpus(spark, sf_dir).select(
+        "doc_id", F.explode(X.word_grams("text", 8)).alias("g")
+    )
+    per = occ.groupBy("doc_id", "g").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    df_gram = per.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        per.join(df_gram, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_docs") > 1, F.col("n_occ"))), F.lit(0)
+            ).cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
+        )
+    )
+
+
+register(
+    "dedup_dup_ngram_fraction",
+    dedup_dup_ngram_fraction,
+    f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM corpus),
+occ AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 7, 0)),
+           i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks
+),
+per AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n_occ FROM occ GROUP BY doc_id, g),
+dfg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs FROM per GROUP BY g)
+SELECT p.doc_id,
+       CAST(sum(p.n_occ) AS BIGINT) AS n_grams,
+       CAST(coalesce(sum(CASE WHEN d.n_docs > 1 THEN p.n_occ END), 0) AS BIGINT) AS n_dup_grams,
+       round(coalesce(sum(CASE WHEN d.n_docs > 1 THEN p.n_occ END), 0)
+             / sum(p.n_occ), 6) AS dup_fraction
+FROM per p JOIN dfg d ON p.g = d.g
+GROUP BY p.doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_domain_mix — deterministic mixture resampling: given per-source
+# target weights (here w_s = (source index mod 3) + 1, normalized over the
+# sources present), downsample each source so the kept corpus hits the
+# target proportions exactly — the largest total T with w̄_s·T ≤ n_s for
+# every source, then k_s = ⌊w_s·T/W⌋ docs per source, selected as the k_s
+# smallest content-free id hashes (stable under corpus growth, like
+# dataset_split). The data-mixing step every multi-source pretraining run
+# needs (cf. The Pile / DoReMi static mixture weights).
+#
+# Determinism: quota arithmetic is exact integer (div, never float);
+# selection ranks by (md5-hash(doc_id), doc_id).
+#
+# Plan: source counts and the T/W scalars are tiny aggregates joined back
+# broadcast; the only data-sized operation is ONE per-source window rank
+# (a shuffle keyed by source — with heavily skewed sources the rank can
+# be salted two-phase like scale_skew_profile, noted in the docstring).
+# Output is the per-source summary, sized to |sources|.
+# ---------------------------------------------------------------------------
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cyrela_etl_spark.functions.hashing import stable_hash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    w_s = (F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 3 + 1).alias("w")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"), F.first(w_s).alias("w")
+    )
+    tw = counts.agg(F.sum("w").cast("long").alias("bigw"))
+    caps = counts.crossJoin(F.broadcast(tw)).select(
+        "source", "n_total", "w", "bigw", F.expr("n_total * bigw div w").alias("cap")
+    )
+    t_row = caps.agg(F.min("cap").cast("long").alias("t"))
+    quota = caps.crossJoin(F.broadcast(t_row)).select(
+        "source", "n_total", F.expr("w * t div bigw").cast("long").alias("k")
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                stable_hash64(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    kept = (
+        ranked.join(F.broadcast(quota.select("source", "k")), "source")
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    total_kept = kept.agg(F.sum("n_kept").cast("long").alias("total_kept"))
+    return (
+        quota.join(kept, "source", "left")
+        .crossJoin(F.broadcast(total_kept))
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.expr("1000000 * coalesce(n_kept, 0) div total_kept")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
+register(
+    "corpus_domain_mix",
+    corpus_domain_mix,
+    """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3 + 1 AS w
+  FROM documents GROUP BY source
+),
+tw AS (SELECT CAST(sum(w) AS BIGINT) AS bigw FROM counts),
+caps AS (
+  SELECT c.source, c.n_total, c.w, t.bigw, c.n_total * t.bigw // c.w AS cap
+  FROM counts c CROSS JOIN tw t
+),
+tr AS (SELECT CAST(min(cap) AS BIGINT) AS t FROM caps),
+quota AS (
+  SELECT c.source, c.n_total, CAST(c.w * tr.t // c.bigw AS BIGINT) AS k
+  FROM caps c CROSS JOIN tr
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id) AS rn
+  FROM documents
+),
+kept AS (
+  SELECT r.source, CAST(count(*) AS BIGINT) AS n_kept
+  FROM ranked r JOIN quota q ON r.source = q.source
+  WHERE r.rn <= q.k
+  GROUP BY r.source
+),
+tk AS (SELECT CAST(sum(n_kept) AS BIGINT) AS total_kept FROM kept)
+SELECT q.source, q.n_total,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(1000000 * coalesce(k.n_kept, 0) // tk.total_kept AS BIGINT) AS share_ppm
+FROM quota q LEFT JOIN kept k ON q.source = k.source
+CROSS JOIN tk
+""",
+)

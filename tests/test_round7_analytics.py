@@ -129,3 +129,80 @@ def test_retention_sizes_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# dedup_dup_ngram_fraction
+# ---------------------------------------------------------------------------
+def test_dup_ngram_fraction_flags_planted_copies(spark):
+    from cyrela_etl_spark.queries.textq import dedup_dup_ngram_fraction
+
+    rows = {r["doc_id"]: r for r in dedup_dup_ngram_fraction(spark, SF).collect()}
+    copies = [d for d in rows if d >= 100000 and d < 200000]
+    assert copies, "planted exact copies must appear"
+    for d in copies:
+        # an exact copy shares every 8-gram with its original
+        assert rows[d]["dup_fraction"] == 1.0
+        assert rows[d - 100000]["dup_fraction"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+        assert r["n_dup_grams"] <= r["n_grams"]
+
+
+# ---------------------------------------------------------------------------
+# corpus_domain_mix
+# ---------------------------------------------------------------------------
+def test_domain_mix_quota_arithmetic(spark):
+    from cyrela_etl_spark.queries.textq import corpus_domain_mix
+
+    rows = corpus_domain_mix(spark, SF).collect()
+    assert rows
+    total_kept = sum(r["n_kept"] for r in rows)
+    assert total_kept > 0
+    weights = {
+        r["source"]: int(r["source"].lstrip("src")) % 3 + 1 for r in rows
+    }
+    bigw = sum(weights.values())
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        # achieved share matches target share up to the floor-rounding of
+        # one document: |n_kept/total - w/W| * total <= 1
+        target = weights[r["source"]] / bigw
+        assert abs(r["n_kept"] - target * total_kept) <= 1.0 + 1e-9
+        assert r["share_ppm"] == 1000000 * r["n_kept"] // total_kept
+
+
+def test_domain_mix_binding_source_fully_kept_or_floored(spark):
+    """T = min_s(n_s*W/w_s): at least one source's quota is within one doc
+    of its full population (the binding constraint)."""
+    from cyrela_etl_spark.queries.textq import corpus_domain_mix
+
+    rows = corpus_domain_mix(spark, SF).collect()
+    assert any(r["n_total"] - r["n_kept"] <= 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# text_pmi_collocations
+# ---------------------------------------------------------------------------
+def test_pmi_min_count_and_finiteness(spark):
+    import math
+
+    from cyrela_etl_spark.queries.textq import text_pmi_collocations
+
+    rows = text_pmi_collocations(spark, SF).collect()
+    assert rows, "sf0.001 corpus must yield ≥1 frequent pair"
+    for r in rows:
+        assert r["n_pair"] >= 5
+        assert math.isfinite(r["pmi"])
+
+
+def test_pmi_plan_only_benign_nested_loops(spark):
+    """The unigram joins must be hash joins; the only nested-loop joins
+    allowed are the 1-row totals assembly (n1 × n2) and its broadcast
+    into the pair table."""
+    from cyrela_etl_spark.queries.textq import text_pmi_collocations
+
+    plan = _plan(text_pmi_collocations(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("BroadcastHashJoin") >= 2
