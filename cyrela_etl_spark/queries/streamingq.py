@@ -506,3 +506,66 @@ FROM events, m
 WHERE event_id % 7 = 0 AND ts + INTERVAL 150 MINUTE < mx
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_window_topk — incrementally-maintained top-k ranking view: the
+# per-hour top-3 event types by count, kept current across micro-batches by
+# a foreachBatch additive-count MERGE (streaming/ops.py
+# run_foreach_batch_topk_view). Structured Streaming cannot rank on a
+# streaming frame; the streaming-native answer is additive state + rank
+# over state, and THAT is what this verifies: after draining the events
+# split across ~2 incremental batches, the maintained view must equal the
+# batch rank-≤-3 relation.
+# ---------------------------------------------------------------------------
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cyrela_etl_spark.sources.parquet import read_events
+    from cyrela_etl_spark.streaming.ops import run_foreach_batch_topk_view
+
+    work = tempfile.mkdtemp(prefix="topk_view_")
+    try:
+        src = f"{work}/in"
+        read_events(spark, sf_dir).repartition(4).write.parquet(src)
+        stream = read_file_stream(
+            spark, src, spark.read.parquet(src).schema, max_files_per_trigger=2
+        )
+        projected = stream.select(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        view = _drain(
+            spark,
+            run_foreach_batch_topk_view,
+            projected,
+            state_dir=f"{work}/state",
+            group_cols=["bucket", "event_type"],
+            partition_cols=["bucket"],
+            k=3,
+        )
+        out = view.select("bucket", "event_type", "n_events", "rank")
+        # detach from the on-disk state snapshot (O(windows × types) rows)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+register(
+    "stream_window_topk",
+    stream_window_topk,
+    """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT bucket, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY bucket
+                                 ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+  FROM c
+)
+SELECT bucket, event_type, n_events, rank FROM r WHERE rank <= 3
+""",
+)

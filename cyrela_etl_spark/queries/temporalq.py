@@ -649,3 +649,77 @@ SELECT user_id, n_events,
 FROM seq
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_scd2_intervals — slowly-changing-dimension type-2 compression of
+# a change log: collapse each user's consecutive run of equal event_type
+# into one [valid_from, valid_to) validity interval (valid_to = next run's
+# start, NULL for the current open interval). The gaps-and-islands pattern
+# every CDC→dimension pipeline needs to turn an event stream into an SCD2
+# dimension table.
+#
+# Plan: run boundaries and run ids come from ONE per-user window pass
+# (lag + running sum over the same (user_id; ts, event_id) sort — one
+# shuffle, one sort); the run-level agg and the lead() for valid_to reuse
+# the user_id partitioning. No joins, no driver collect.
+# ---------------------------------------------------------------------------
+def temporal_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = (
+        ev.withColumn("run_id", F.sum(changed).over(w))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    w_runs = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        F.col("run_id").cast("long").alias("run_id"),
+        F.col("event_type").alias("attr_value"),
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        "n_events",
+    )
+
+
+register(
+    "temporal_scd2_intervals",
+    temporal_scd2_intervals,
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id,
+         CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS run_id,
+         ts, event_type
+  FROM marked
+),
+agg AS (
+  SELECT user_id, run_id, event_type AS attr_value,
+         min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, run_id, attr_value, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+       n_events
+FROM agg
+""",
+)

@@ -449,3 +449,83 @@ def run_foreach_batch_upsert(
     if not versions:
         raise RuntimeError("foreachBatch upsert produced no state snapshot")
     return spark.read.parquet(os.path.join(state_dir, versions[-1]))
+
+
+def run_foreach_batch_topk_view(
+    sdf: DataFrame,
+    state_dir: str,
+    group_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    k: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain a stream through a ``foreachBatch`` sink that maintains an
+    incrementally-updated TOP-K MATERIALIZED VIEW — the streaming answer
+    to "rank inside a window", which Structured Streaming cannot express
+    natively (no rank() on a streaming DataFrame): keep an ADDITIVE count
+    state per ``group_cols`` and derive the rank from state, never from
+    history.
+
+    Per micro-batch: aggregate the batch to partial counts, SUM-merge
+    them into the current state snapshot, write snapshot ``v_{epoch}``.
+    Epoch-versioned snapshots make retries idempotent (a replayed epoch N
+    re-merges the same batch into snapshot N-1, not into its own
+    output). State is O(groups); each micro-batch shuffles O(batch +
+    groups), never history — the plan shape that survives an unbounded
+    stream. The final ranking (row_number ≤ k per ``partition_cols``,
+    ordered by count desc with the group key as deterministic tiebreak)
+    runs over the O(groups)-sized state table.
+
+    Returns the ranked top-k view as a batch DataFrame with columns
+    ``*group_cols, n_events, rank``.
+    """
+    import os
+    import shutil
+
+    spark = sdf.sparkSession
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        versions = sorted(
+            d for d in os.listdir(state_dir) if d.startswith("v_")
+        ) if os.path.isdir(state_dir) else []
+        part = batch.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events")
+        )
+        if versions:
+            cur = spark.read.parquet(os.path.join(state_dir, versions[-1]))
+            part = (
+                cur.unionByName(part)
+                .groupBy(*group_cols)
+                .agg(F.sum("n_events").cast("long").alias("n_events"))
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v_{epoch_id:08d}")
+        )
+
+    made_checkpoint = checkpoint_dir is None
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_topk_")
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.streams.resetTerminated()
+        if made_checkpoint:
+            shutil.rmtree(checkpoint, ignore_errors=True)
+    versions = sorted(d for d in os.listdir(state_dir) if d.startswith("v_"))
+    if not versions:
+        raise RuntimeError("foreachBatch topk produced no state snapshot")
+    state = spark.read.parquet(os.path.join(state_dir, versions[-1]))
+    tiebreak = [c for c in group_cols if c not in partition_cols]
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col("n_events").desc(), *[F.col(c) for c in tiebreak]
+    )
+    return (
+        state.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

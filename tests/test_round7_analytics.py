@@ -206,3 +206,104 @@ def test_pmi_plan_only_benign_nested_loops(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+# ---------------------------------------------------------------------------
+# temporal_scd2_intervals
+# ---------------------------------------------------------------------------
+def test_scd2_runs_hand_computed(spark, monkeypatch):
+    from cyrela_etl_spark.queries import temporalq
+
+    log = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "bronze"),
+            (1, _ts(1), 2, "bronze"),
+            (1, _ts(2), 3, "gold"),
+            (1, _ts(3), 4, "bronze"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    monkeypatch.setattr(temporalq, "_events", lambda spark, sf_dir: log)
+    rows = sorted(
+        temporalq.temporal_scd2_intervals(spark, SF).collect(),
+        key=lambda r: r["run_id"],
+    )
+    assert [(r["attr_value"], r["n_events"]) for r in rows] == [
+        ("bronze", 2),
+        ("gold", 1),
+        ("bronze", 1),
+    ]
+    # intervals tile the timeline: each valid_to is the next valid_from
+    assert rows[0]["valid_from"] == _ts(0)
+    assert rows[0]["valid_to"] == rows[1]["valid_from"] == _ts(2)
+    assert rows[1]["valid_to"] == rows[2]["valid_from"] == _ts(3)
+    assert rows[2]["valid_to"] is None  # current open interval
+
+
+def test_scd2_single_user_shuffle(spark):
+    """Both window passes and the run agg must share ONE user_id exchange."""
+    from cyrela_etl_spark.queries.temporalq import temporal_scd2_intervals
+
+    plan = _plan(temporal_scd2_intervals(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# stream_window_topk
+# ---------------------------------------------------------------------------
+def test_stream_window_topk_is_true_topk(spark):
+    from collections import defaultdict
+
+    from cyrela_etl_spark.queries.streamingq import stream_window_topk
+
+    rows = stream_window_topk(spark, SF).collect()
+    assert rows
+    per_bucket = defaultdict(list)
+    for r in rows:
+        per_bucket[r["bucket"]].append(r)
+    for bucket, rs in per_bucket.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # counts are non-increasing in rank
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["n_events"] >= b["n_events"]
+
+
+def test_topk_view_merges_across_batches(spark, tmp_path):
+    """Two single-file micro-batches counting the same group must SUM in
+    the maintained view (additive merge, not last-writer-wins)."""
+    import os
+    import time
+
+    from cyrela_etl_spark.streaming.ops import (
+        read_file_stream,
+        run_foreach_batch_topk_view,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    one = spark.createDataFrame([("x", 1)], "k string, v int")
+    for i, mtime in [(0, 1_000_000_000), (1, 1_000_000_100)]:
+        d = tmp_path / f"__b{i}"
+        one.coalesce(1).write.parquet(str(d))
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = src / f"b{i}.parquet"
+        (d / part).rename(dst)
+        os.utime(dst, (mtime, mtime))
+    stream = read_file_stream(
+        spark, str(src), "k string, v int", max_files_per_trigger=1
+    )
+    out = run_foreach_batch_topk_view(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        group_cols=["k"],
+        partition_cols=[],
+        k=3,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 2  # 1 + 1 across two epochs
+    versions = sorted(os.listdir(tmp_path / "state"))
+    assert len(versions) >= 2, "state must be epoch-versioned"
