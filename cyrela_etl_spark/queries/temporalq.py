@@ -723,3 +723,109 @@ SELECT user_id, run_id, attr_value, valid_from,
 FROM agg
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_interpolate — gap-fill with LINEAR INTERPOLATION (the
+# hypertable `interpolate()` analogue, where temporal_gap_fill is the
+# zero-fill one): per event_type, the hourly mean of `value` with missing
+# buckets linearly interpolated between the nearest observed neighbors.
+#
+# Determinism: observed means are exact-decimal sums ÷ counts; the
+# interpolation pv + (nv − pv)·frac uses a fixed operation order and frac
+# is one division of exact epoch-second ints; everything rounds to 6 on
+# both engines. Every missing bucket has both neighbors because the spine
+# spans each key's own [min, max] (temporal.gap_fill's construction).
+#
+# Plan: counts agg + per-key spine explode + left join (all keyed by
+# event_type), then ONE window pass computing both the
+# last-non-null-preceding and first-non-null-following carries. No global
+# calendar, no driver loop.
+# ---------------------------------------------------------------------------
+def temporal_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    vals = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    spine = (
+        vals.groupBy("event_type")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("b0"), F.col("b1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    g = spine.join(vals, ["event_type", "bucket"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked_t = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pt = F.last(marked_t, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nt = F.first(marked_t, ignorenulls=True).over(wn)
+    frac = (F.col("bucket").cast("long") - pt.cast("long")) / (
+        nt.cast("long") - pt.cast("long")
+    )
+    filled = F.when(F.col("v").isNotNull(), F.round(F.col("v"), 6)).otherwise(
+        F.round(pv + (nv - pv) * frac, 6)
+    )
+    return g.select(
+        "event_type",
+        "bucket",
+        F.col("v").isNull().alias("interpolated"),
+        filled.alias("value"),
+    )
+
+
+register(
+    "temporal_interpolate",
+    temporal_interpolate,
+    """
+WITH vals AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM vals GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket FROM r
+),
+g AS (
+  SELECT s.event_type, s.bucket, v.v
+  FROM spine s LEFT JOIN vals v ON s.event_type = v.event_type AND s.bucket = v.bucket
+),
+f AS (
+  SELECT event_type, bucket, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pt,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS nt
+  FROM g
+  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket, v IS NULL AS interpolated,
+       CASE WHEN v IS NOT NULL THEN round(v, 6)
+            ELSE round(pv + (nv - pv)
+                       * ((epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))), 6)
+       END AS value
+FROM f
+""",
+)

@@ -1949,3 +1949,91 @@ FROM quota q LEFT JOIN kept k ON q.source = k.source
 CROSS JOIN tk
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# quality_perplexity_buckets — CCNet-style head/middle/tail split (Wenzek
+# et al. 2020): per language, rank documents by the corpus-trained bigram
+# LM score (text_lm_score's exact-integer ppm) and cut into 3 ntile
+# buckets; report each bucket's size and score envelope. Pretraining
+# pipelines keep "head", resample "middle", drop "tail" — this is the
+# bucketing that drives that decision.
+#
+# Determinism: ordering is (avg_prob_ppm DESC, doc_id) — the score is one
+# IEEE division of exact ints, ties broken by id; the bucket mean rounds
+# scores to 6 digits and sums in DECIMAL so aggregation order can't leak.
+#
+# Plan: the LM subplan is text_lm_score's (audited); on top sit one
+# doc_id equi-join for lang, ONE per-lang window pass for ntile, and a
+# |langs|×3-row aggregate. ntile is cast to long (Spark int32 vs DuckDB
+# int64).
+# ---------------------------------------------------------------------------
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = X.bigram_lm_scores(docs)
+    j = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("avg_prob_ppm").desc(), F.col("doc_id"))
+    b = j.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("avg_prob_ppm"), 6).cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ppm"),
+        F.min("avg_prob_ppm").alias("min_ppm"),
+        F.max("avg_prob_ppm").alias("max_ppm"),
+    )
+
+
+register(
+    "quality_perplexity_buckets",
+    quality_perplexity_buckets,
+    f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+occ AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> array_to_string(t[i:i+1], ' '))) AS bg
+  FROM toks
+),
+c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY bg),
+c1t AS (
+  SELECT string_split(bg, ' ')[1] AS w1, CAST(count(*) AS BIGINT) AS c1
+  FROM occ GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+  FROM (SELECT unnest(t) AS tok FROM toks)
+),
+model AS (
+  SELECT c2.bg, c2.c2, c1t.c1
+  FROM c2 JOIN c1t ON string_split(c2.bg, ' ')[1] = c1t.w1
+),
+ppm AS (
+  SELECT o.doc_id, (1000000 * (m.c2 + 1)) // (m.c1 + v.vocab) AS ppm
+  FROM occ o JOIN model m USING (bg) CROSS JOIN v
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(ppm) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_prob_ppm
+  FROM ppm GROUP BY doc_id
+),
+bucketed AS (
+  SELECT d.lang, s.avg_prob_ppm,
+         CAST(ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY s.avg_prob_ppm DESC, s.doc_id) AS BIGINT) AS bucket
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(round(avg_prob_ppm, 6) AS DECIMAL(20,6))) AS DOUBLE)
+             / count(*), 6) AS mean_ppm,
+       min(avg_prob_ppm) AS min_ppm,
+       max(avg_prob_ppm) AS max_ppm
+FROM bucketed
+GROUP BY lang, bucket
+""",
+)

@@ -420,3 +420,70 @@ pairs AS (
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {_SEM_T}
 """
 register("vector_semdedup_pairs", vector_semdedup_pairs, ORACLE_SEMDEDUP)
+
+
+# ---------------------------------------------------------------------------
+# vector_kmeans_clusters — 2 full Lloyd iterations from the md5-ordered
+# seed sample, profiled per final cluster (operators/clustering.py). The
+# oracle unrolls BOTH iterations in SQL: the nearest-centroid argmin, the
+# exact-decimal elementwise means, and the decimal inertia sums are
+# replayed operation-for-operation, making this the strongest available
+# cross-check of a distributed iterative algorithm (not just its output
+# schema). Distances are the same three-dot expansion as vector_l2_topk;
+# means round elements to 6 digits and sum in DECIMAL(18,6) so neither
+# engine's aggregation arrival order can leak into the result.
+# ---------------------------------------------------------------------------
+_KM_K, _KM_ITERS = 8, 2
+
+_SQL_D2 = (
+    "round(greatest(list_dot_product({v}, {v})"
+    " - 2.0 * list_dot_product({v}, {c})"
+    " + list_dot_product({c}, {c}), 0.0), 6)"
+)
+
+
+def vector_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.clustering import kmeans_cluster_profile
+
+    return kmeans_cluster_profile(_emb(spark, sf_dir), k=_KM_K, iterations=_KM_ITERS)
+
+
+ORACLE_KMEANS = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent1 AS (SELECT vec_id AS cid, v AS cv FROM base
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KM_K}),
+a1p AS (
+  SELECT b.vec_id, b.v, c.cid, {_SQL_D2.format(v='b.v', c='c.cv')} AS dist2
+  FROM base b CROSS JOIN cent1 c
+),
+a1 AS (
+  SELECT vec_id, v, cid, dist2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS crank
+    FROM a1p)
+  WHERE crank = 1
+),
+mexp AS (
+  SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM a1
+),
+m AS (
+  SELECT cid, pos,
+         CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mval
+  FROM mexp GROUP BY cid, pos
+),
+cent2 AS (SELECT cid, list(mval ORDER BY pos) AS cv FROM m GROUP BY cid),
+a2p AS (
+  SELECT b.vec_id, c.cid, {_SQL_D2.format(v='b.v', c='c.cv')} AS dist2
+  FROM base b CROSS JOIN cent2 c
+),
+a2 AS (
+  SELECT vec_id, cid, dist2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS crank
+    FROM a2p)
+  WHERE crank = 1
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CAST(dist2 AS DECIMAL(20,6))) AS DOUBLE) AS inertia,
+       round(CAST(sum(CAST(dist2 AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_dist2
+FROM a2 GROUP BY cid
+"""
+register("vector_kmeans_clusters", vector_kmeans_clusters, ORACLE_KMEANS)

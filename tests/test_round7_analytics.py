@@ -307,3 +307,109 @@ def test_topk_view_merges_across_batches(spark, tmp_path):
     assert out[0]["n_events"] == 2  # 1 + 1 across two epochs
     versions = sorted(os.listdir(tmp_path / "state"))
     assert len(versions) >= 2, "state must be epoch-versioned"
+
+
+# ---------------------------------------------------------------------------
+# vector_kmeans_clusters
+# ---------------------------------------------------------------------------
+def test_kmeans_partitions_all_points(spark):
+    from cyrela_etl_spark.queries.vectorq import vector_kmeans_clusters
+
+    rows = vector_kmeans_clusters(spark, SF).collect()
+    n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert 1 <= len(rows) <= 8
+    assert sum(r["n_points"] for r in rows) == n_emb
+    for r in rows:
+        assert r["inertia"] >= 0
+        assert abs(r["mean_dist2"] - round(r["inertia"] / r["n_points"], 6)) < 1e-9
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark):
+    """Lloyd's algorithm is monotone: total inertia after the mean-update
+    iteration must be <= the seed assignment's inertia."""
+    from cyrela_etl_spark.operators.clustering import kmeans_cluster_profile
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    i1 = sum(
+        r["inertia"] for r in kmeans_cluster_profile(emb, k=8, iterations=1).collect()
+    )
+    i2 = sum(
+        r["inertia"] for r in kmeans_cluster_profile(emb, k=8, iterations=2).collect()
+    )
+    # rounding each dist2 to 6 digits bounds the comparison noise far
+    # below any real assignment change
+    assert i2 <= i1 + 1e-3
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    from cyrela_etl_spark.queries.vectorq import vector_kmeans_clusters
+
+    plan = _plan(vector_kmeans_clusters(spark, SF))
+    assert "CartesianProduct" not in plan
+    # every centroid side (k rows) must ride a broadcast, and the base
+    # relation must be persisted once for reuse across iterations
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "InMemoryTableScan" in plan
+
+
+# ---------------------------------------------------------------------------
+# quality_perplexity_buckets
+# ---------------------------------------------------------------------------
+def test_perplexity_buckets_are_ordered_tertiles(spark):
+    from collections import defaultdict
+
+    from cyrela_etl_spark.queries.textq import quality_perplexity_buckets
+
+    rows = quality_perplexity_buckets(spark, SF).collect()
+    assert rows
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {1, 2, 3}
+        # bucket 1 = head (highest LM score); envelopes must not overlap
+        # out of order: min of head >= max of tail
+        if 1 in buckets and 3 in buckets:
+            assert buckets[1]["min_ppm"] >= buckets[3]["max_ppm"]
+        # ntile balance: sizes differ by at most 1
+        sizes = [b["n_docs"] for b in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1
+
+
+# ---------------------------------------------------------------------------
+# temporal_interpolate
+# ---------------------------------------------------------------------------
+def test_interpolate_hand_computed(spark, monkeypatch):
+    import datetime
+
+    from cyrela_etl_spark.queries import temporalq
+
+    def hour(h):
+        return datetime.datetime(2026, 1, 5, h)
+
+    # one key, values at hours 0 and 3 -> hours 1 and 2 interpolated
+    ev = spark.createDataFrame(
+        [
+            (1, hour(0), 1, "m", 3.0),
+            (2, hour(0), 1, "m", 9.0),   # hour-0 mean = 6.0
+            (3, hour(3), 1, "m", 12.0),  # hour-3 mean = 12.0
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    monkeypatch.setattr(temporalq, "_events", lambda spark, sf_dir: ev)
+    rows = {
+        r["bucket"].hour: r for r in temporalq.temporal_interpolate(spark, SF).collect()
+    }
+    assert len(rows) == 4
+    assert rows[0]["value"] == 6.0 and not rows[0]["interpolated"]
+    assert rows[1]["value"] == 8.0 and rows[1]["interpolated"]   # 6 + (12-6)*1/3
+    assert rows[2]["value"] == 10.0 and rows[2]["interpolated"]  # 6 + (12-6)*2/3
+    assert rows[3]["value"] == 12.0 and not rows[3]["interpolated"]
+
+
+def test_interpolate_no_gaps_left(spark):
+    from cyrela_etl_spark.queries.temporalq import temporal_interpolate
+
+    rows = temporal_interpolate(spark, SF).collect()
+    assert rows
+    assert all(r["value"] is not None for r in rows)
