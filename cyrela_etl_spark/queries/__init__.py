@@ -43,10 +43,11 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 #     rows describe the old implementation;
 #   block B (30): the stale tail VERDICT r6 item 3 enumerates — 19 whose
 #     last driver row is r3 (func/fuzzy/sql/join/window/storage singles)
-#     and the 11-query r4 TPC-H battery. After r7 no registry query's
-#     latest row should predate r5;
+#     and the 11-query r4 TPC-H battery, r3 rows FIRST so that the
+#     ~52-slot cap's overflow (22+6+30 = 58 candidates) lands on the
+#     freshest of the stale (late r4-battery rows), not the r3 ones;
 #   block C (7): r5-scored heavy representatives (LSH/vector/curation) —
-#     freshest-of-the-stale, fills the ~50th slot.
+#     past the cap this round by arithmetic; kept for ordering stability.
 #   tail (unlisted): everything green in r5/r6 over files unchanged in
 #     round 7 — the safest tail to leave unscored.
 _PRIORITY: list[str] = [

@@ -1873,8 +1873,14 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_total", "w", "bigw", F.expr("n_total * bigw div w").alias("cap")
     )
     t_row = caps.agg(F.min("cap").cast("long").alias("t"))
-    quota = caps.crossJoin(F.broadcast(t_row)).select(
-        "source", "n_total", F.expr("w * t div bigw").cast("long").alias("k")
+    # quota is O(|sources|) rows but its subtree rescans documents; persist
+    # it once so the three consumers (selection join, kept join, output)
+    # don't each recompute the counts→caps→T chain (the triangle-census
+    # lesson from VERDICT r6: materialize tiny fan-out subtrees).
+    quota = (
+        caps.crossJoin(F.broadcast(t_row))
+        .select("source", "n_total", F.expr("w * t div bigw").cast("long").alias("k"))
+        .persist()
     )
     ranked = docs.select(
         "doc_id",
