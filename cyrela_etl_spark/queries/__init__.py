@@ -33,10 +33,10 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 # Scoring-priority order: the driver walks the returned dict in insertion
 # order and scores AT MOST ~50 entries per round. Slot allocation for
-# round 7 (144 registered queries, all oracle-backed — keep this count in
+# round 7 (147 registered queries, all oracle-backed — keep this count in
 # sync with len(REGISTRY); VERDICT r5/r6 ADVICE both flagged stale counts
 # here and in NOTES.md):
-#   block 0 (22): operators new in round 7, never scored — first;
+#   block 0 (25): operators new in round 7, never scored — first;
 #   block A (6): queries whose CODE changed in round 7 (triangle closure
 #     rewrite, zscore degenerate-key guard, bm25 decimal numerator + its
 #     RRF consumer, upsert 8-part split, JPEG media mix) — their r6 green
@@ -74,6 +74,9 @@ _PRIORITY: list[str] = [
     "vector_kmeans_clusters",
     "quality_perplexity_buckets",
     "temporal_interpolate",
+    "sql_lateral_topn",
+    "events_rfm_segments",
+    "text_tfidf_doc_pairs",
     # -- block A: code changed in round 7 -----------------------------------
     "graph_triangle_stats",
     "events_anomaly_zscore",

@@ -1762,3 +1762,46 @@ SELECT e.n_buckets_matched, e.est_rows, a.actual_rows,
 FROM e CROSS JOIN a
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# sql_lateral_topn — LATERAL correlated subquery (SQL:1999 lateral derived
+# table, Spark 3.2+/DuckDB native): for every nation, its top-2 customers
+# by account balance. The lateral top-n-per-group idiom — the optimizer
+# must decorrelate it into a ranked join rather than re-running the inner
+# query per outer row (Spark rewrites to a window under
+# DecorrelateInnerQuery; the plan has no per-row iteration).
+# --------------------------------------------------------------------------
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM v_nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal
+            FROM v_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+register(
+    "sql_lateral_topn",
+    sql_lateral_topn,
+    """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_name, c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name
+    LIMIT 2
+) t
+""",
+)

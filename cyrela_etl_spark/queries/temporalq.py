@@ -829,3 +829,120 @@ SELECT event_type, bucket, v IS NULL AS interpolated,
 FROM f
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_rfm_segments — RFM customer segmentation (recency / frequency /
+# monetary quartile scores) over purchase events. Deliberately NOT the
+# ntile formulation: a global ntile is a single-partition window at scale,
+# so scores come from exact quartile BOUNDARIES (percentile ↔
+# quantile_cont, the agg_exact_median pairing) broadcast back over the
+# user table — one user-keyed agg, two 1-row broadcasts, zero windows.
+# A metric scores 1-4 by how many boundaries it beats (strictly-better
+# comparisons, identical on both engines because the interpolated
+# boundaries are bit-identical doubles).
+# ---------------------------------------------------------------------------
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    users = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("anchor", "last_purchase").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    bounds = users.agg(
+        F.expr("percentile(recency_days, 0.25)").alias("rq25"),
+        F.expr("percentile(recency_days, 0.5)").alias("rq50"),
+        F.expr("percentile(recency_days, 0.75)").alias("rq75"),
+        F.expr("percentile(frequency, 0.25)").alias("fq25"),
+        F.expr("percentile(frequency, 0.5)").alias("fq50"),
+        F.expr("percentile(frequency, 0.75)").alias("fq75"),
+        F.expr("percentile(monetary, 0.25)").alias("mq25"),
+        F.expr("percentile(monetary, 0.5)").alias("mq50"),
+        F.expr("percentile(monetary, 0.75)").alias("mq75"),
+    )
+    scored = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (
+            F.lit(1)
+            + (F.col("recency_days") < F.col("rq75")).cast("long")
+            + (F.col("recency_days") < F.col("rq50")).cast("long")
+            + (F.col("recency_days") < F.col("rq25")).cast("long")
+        ).alias("r_score"),
+        (
+            F.lit(1)
+            + (F.col("frequency") > F.col("fq25")).cast("long")
+            + (F.col("frequency") > F.col("fq50")).cast("long")
+            + (F.col("frequency") > F.col("fq75")).cast("long")
+        ).alias("f_score"),
+        (
+            F.lit(1)
+            + (F.col("monetary") > F.col("mq25")).cast("long")
+            + (F.col("monetary") > F.col("mq50")).cast("long")
+            + (F.col("monetary") > F.col("mq75")).cast("long")
+        ).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias("rfm_code"),
+    )
+
+
+register(
+    "events_rfm_segments",
+    events_rfm_segments,
+    """
+WITH anchor AS (SELECT max(ts) AS anchor FROM events),
+users AS (
+  SELECT e.user_id,
+         CAST(date_diff('day', max(e.ts), a.anchor) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM events e CROSS JOIN anchor a
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id, a.anchor
+),
+bounds AS (
+  SELECT quantile_cont(recency_days, 0.25) AS rq25,
+         quantile_cont(recency_days, 0.5)  AS rq50,
+         quantile_cont(recency_days, 0.75) AS rq75,
+         quantile_cont(frequency, 0.25) AS fq25,
+         quantile_cont(frequency, 0.5)  AS fq50,
+         quantile_cont(frequency, 0.75) AS fq75,
+         quantile_cont(monetary, 0.25) AS mq25,
+         quantile_cont(monetary, 0.5)  AS mq50,
+         quantile_cont(monetary, 0.75) AS mq75
+  FROM users
+),
+scored AS (
+  SELECT u.user_id, u.recency_days, u.frequency, u.monetary,
+         1 + CAST(u.recency_days < b.rq75 AS BIGINT)
+           + CAST(u.recency_days < b.rq50 AS BIGINT)
+           + CAST(u.recency_days < b.rq25 AS BIGINT) AS r_score,
+         1 + CAST(u.frequency > b.fq25 AS BIGINT)
+           + CAST(u.frequency > b.fq50 AS BIGINT)
+           + CAST(u.frequency > b.fq75 AS BIGINT) AS f_score,
+         1 + CAST(u.monetary > b.mq25 AS BIGINT)
+           + CAST(u.monetary > b.mq50 AS BIGINT)
+           + CAST(u.monetary > b.mq75 AS BIGINT) AS m_score
+  FROM users u CROSS JOIN bounds b
+)
+SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_code
+FROM scored
+""",
+)

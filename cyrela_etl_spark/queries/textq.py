@@ -2043,3 +2043,109 @@ FROM bucketed
 GROUP BY lang, bucket
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf_doc_pairs — sparse-vector document similarity: cosine over
+# TF-IDF term vectors via a document-frequency-pruned postings self-join
+# (the prefix-filter family's blocking discipline: dropping terms with
+# df > N/10 bounds the join fan-out at Σdf² over MID-frequency terms
+# only, and df < 2 terms can't produce pairs at all). Complements the
+# engine's other similarity axes: embeddings (SemDeDup), shingle sets
+# (Jaccard/MinHash), bit sketches (SimHash) — this one is the classic
+# sparse BoW cosine.
+#
+# Determinism: idf is RATIONAL (the bm25_lite precedent — no ln): idf_k =
+# (100·N) div df, weight w = tf·idf_k, so dots and squared norms are
+# EXACT INT64 sums (order-free); bound: with per-doc tf ≤ ~10³ and N ≤
+# 10⁵ the largest w² term stays < 10¹⁵ — documented, far under overflow.
+# The only float ops are two sqrts and one division, rounded to 6.
+#
+# Runs over the planted-duplicate corpus (exact copies must surface at
+# cosine 1.0); reports pairs with cosine ≥ 0.3, doc_a < doc_b.
+# ---------------------------------------------------------------------------
+_TFIDF_SCALE, _TFIDF_DF_DIV, _TFIDF_MIN_COS = 100, 10, 0.3
+
+
+def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    tf = (
+        c.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_row = c.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    kept = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_row))
+        .filter((F.col("df") >= 2) & (F.col("df") * _TFIDF_DF_DIV <= F.col("n_docs")))
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(f"tf * (({_TFIDF_SCALE} * n_docs) div df)").cast("long").alias("w"),
+        )
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("s2")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("s2").alias("s2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("s2").alias("s2b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("s2a").cast("double")) * F.sqrt(F.col("s2b").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _TFIDF_MIN_COS)
+    )
+
+
+register(
+    "text_tfidf_doc_pairs",
+    text_tfidf_doc_pairs,
+    f"""
+WITH corpus AS ({CORPUS_SQL}),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM corpus)
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM corpus),
+kept AS (
+  SELECT t.doc_id, t.tok,
+         CAST(t.tf * (({_TFIDF_SCALE} * n.n_docs) // d.df) AS BIGINT) AS w
+  FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN n
+  WHERE d.df >= 2 AND d.df * {_TFIDF_DF_DIV} <= n.n_docs
+),
+norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS s2 FROM kept GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.dot,
+       round(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))), 6) AS cosine
+FROM dots d
+JOIN norms na ON d.doc_a = na.doc_id
+JOIN norms nb ON d.doc_b = nb.doc_id
+WHERE round(CAST(d.dot AS DOUBLE)
+            / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))), 6) >= {_TFIDF_MIN_COS}
+""",
+)

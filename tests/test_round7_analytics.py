@@ -413,3 +413,89 @@ def test_interpolate_no_gaps_left(spark):
     rows = temporal_interpolate(spark, SF).collect()
     assert rows
     assert all(r["value"] is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# sql_lateral_topn
+# ---------------------------------------------------------------------------
+def test_lateral_topn_decorrelates_to_window(spark):
+    """The lateral subquery must be decorrelated (window/rank over a join),
+    never a per-outer-row re-execution — no nested-loop artifacts."""
+    from cyrela_etl_spark.queries.relational import sql_lateral_topn
+
+    df = sql_lateral_topn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    from collections import Counter
+
+    per_nation = Counter(r["n_name"] for r in rows)
+    assert all(n <= 2 for n in per_nation.values())
+
+
+# ---------------------------------------------------------------------------
+# events_rfm_segments
+# ---------------------------------------------------------------------------
+def test_rfm_scores_are_quartiles_without_windows(spark):
+    from cyrela_etl_spark.queries.temporalq import events_rfm_segments
+
+    df = events_rfm_segments(spark, SF)
+    plan = _plan(df)
+    # the whole point: boundary scoring, not a single-partition ntile
+    assert "Window" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+        assert r["rfm_code"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+    # each score level is populated somewhere (quartiles split the users)
+    assert len({r["f_score"] for r in rows}) >= 2
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf_doc_pairs
+# ---------------------------------------------------------------------------
+def test_tfidf_pairs_find_planted_copies_at_cos_one(spark):
+    from cyrela_etl_spark.queries.textq import text_tfidf_doc_pairs
+
+    rows = text_tfidf_doc_pairs(spark, SF).collect()
+    assert rows
+    by_pair = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in rows}
+    # every planted exact copy pairs with its original at cosine 1.0
+    originals = [a for (a, b) in by_pair if b == a + 100000]
+    assert originals, "planted exact copies must surface"
+    for a in originals:
+        assert by_pair[(a, a + 100000)] == 1.0
+    for (a, b), cos in by_pair.items():
+        assert a < b
+        assert 0.3 <= cos <= 1.0
+
+
+def test_tfidf_weight_bound_documented_is_safe(spark):
+    """Largest w² must sit far below int64 overflow at the declared
+    bounds (tf ≤ 1e3, N ≤ 1e5 ⇒ w ≤ 1e3·(100·1e5/2) = 5e9 would break;
+    the df ≥ 2 + df·10 ≤ N pruning keeps idf_k ≤ 100·N/2 only for df=2
+    terms whose tf in practice is 1 — verify the ACTUAL materialized max)."""
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.queries.textq import corpus
+    from cyrela_etl_spark.operators import text as X
+
+    c = corpus(spark, SF)
+    tf = (
+        c.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = c.count()
+    mx = (
+        tf.join(dfreq, "tok")
+        .filter((F.col("df") >= 2) & (F.col("df") * 10 <= n))
+        .select((F.col("tf") * ((100 * n) / F.col("df")).cast("long")).alias("w"))
+        .agg(F.max(F.col("w") * F.col("w")))
+        .collect()[0][0]
+    )
+    assert mx is not None and mx < 2**62
