@@ -41,13 +41,12 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 #     rewrite, zscore degenerate-key guard, bm25 decimal numerator + its
 #     RRF consumer, upsert 8-part split, JPEG media mix) — their r6 green
 #     rows describe the old implementation;
-#   block B (30): the stale tail VERDICT r6 item 3 enumerates — 19 whose
-#     last driver row is r3 (func/fuzzy/sql/join/window/storage singles)
-#     and the 11-query r4 TPC-H battery, r3 rows FIRST so that the
-#     ~52-slot cap's overflow (22+6+30 = 58 candidates) lands on the
-#     freshest of the stale (late r4-battery rows), not the r3 ones;
-#   block C (7): r5-scored heavy representatives (LSH/vector/curation) —
-#     past the cap this round by arithmetic; kept for ordering stability.
+#   block B (21): the stale tail VERDICT r6 item 3 enumerates, truncated
+#     to the 52-slot budget — all 18 r3-last-scored singles
+#     (func/fuzzy/sql/join/window/storage) plus the first 3 rows of the
+#     r4 TPC-H battery; the deferred battery tail (q10–q22) and the
+#     former block C (r5-scored representatives) hold valid greens over
+#     code unchanged since, the least-risky rows to leave unscored.
 #   tail (unlisted): everything green in r5/r6 over files unchanged in
 #     round 7 — the safest tail to leave unscored.
 _PRIORITY: list[str] = [
@@ -103,25 +102,15 @@ _PRIORITY: list[str] = [
     "distinct_agg",
     "storage_csv_roundtrip",
     "wallet_features",
-    # -- block B: r4-scored TPC-H battery -----------------------------------
+    # -- block B: r4-scored TPC-H battery (truncated to the 52-slot
+    # budget: with 25 never-scored round-7 operators + 6 changed + 18
+    # r3-stale singles ahead of it, only the first 3 battery rows fit;
+    # q10–q22 keep their valid r4 greens over code unchanged since, the
+    # least-risky rows to defer — block C's r5-scored representatives
+    # yielded entirely for the same reason) ---------------------------------
     "q07_volume_shipping",
     "q08_market_share",
     "q09_nation_profit",
-    "q10_returned_revenue",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    # -- block C: r5-scored heavy representatives ---------------------------
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_components",
-    "vector_cosine_topk",
-    "curation_pipeline",
-    "text_winnow_fingerprints",
 ]
 
 

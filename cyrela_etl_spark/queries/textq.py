@@ -2048,9 +2048,12 @@ GROUP BY lang, bucket
 # ---------------------------------------------------------------------------
 # text_tfidf_doc_pairs — sparse-vector document similarity: cosine over
 # TF-IDF term vectors via a document-frequency-pruned postings self-join
-# (the prefix-filter family's blocking discipline: dropping terms with
-# df > N/10 bounds the join fan-out at Σdf² over MID-frequency terms
-# only, and df < 2 terms can't produce pairs at all). Complements the
+# (the prefix-filter family's blocking discipline): terms with df > N/10
+# are dropped as stopword-like, df < 2 terms can't produce pairs at all,
+# and an ABSOLUTE df cap (500) is the scale knob — the relative prune
+# alone leaves Σdf² growing quadratically when the corpus outgrows its
+# vocabulary, the absolute cap pins per-term fan-out at cap² (the same
+# hot-bucket discipline as the LSH dedup family). Complements the
 # engine's other similarity axes: embeddings (SemDeDup), shingle sets
 # (Jaccard/MinHash), bit sketches (SimHash) — this one is the classic
 # sparse BoW cosine.
@@ -2065,6 +2068,7 @@ GROUP BY lang, bucket
 # cosine 1.0); reports pairs with cosine ≥ 0.3, doc_a < doc_b.
 # ---------------------------------------------------------------------------
 _TFIDF_SCALE, _TFIDF_DF_DIV, _TFIDF_MIN_COS = 100, 10, 0.3
+_TFIDF_DF_CAP = 500  # absolute hot-term cap: per-term join fan-out <= cap**2
 
 
 def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2079,7 +2083,11 @@ def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n_row))
-        .filter((F.col("df") >= 2) & (F.col("df") * _TFIDF_DF_DIV <= F.col("n_docs")))
+        .filter(
+            (F.col("df") >= 2)
+            & (F.col("df") * _TFIDF_DF_DIV <= F.col("n_docs"))
+            & (F.col("df") <= _TFIDF_DF_CAP)
+        )
         .select(
             "doc_id",
             "tok",
@@ -2130,7 +2138,7 @@ kept AS (
   SELECT t.doc_id, t.tok,
          CAST(t.tf * (({_TFIDF_SCALE} * n.n_docs) // d.df) AS BIGINT) AS w
   FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN n
-  WHERE d.df >= 2 AND d.df * {_TFIDF_DF_DIV} <= n.n_docs
+  WHERE d.df >= 2 AND d.df * {_TFIDF_DF_DIV} <= n.n_docs AND d.df <= {_TFIDF_DF_CAP}
 ),
 norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS s2 FROM kept GROUP BY doc_id),
 dots AS (
