@@ -83,6 +83,12 @@ HEADLINE = [
     "storage_forget_user",
     "graph_triangle_stats",
     "dedup_keep_best",
+    # second-wave round-7 representatives (kept to 4 so the compact
+    # contract line stays ~1.7 KB, inside the driver's ~2 KB capture)
+    "vector_kmeans_clusters",
+    "text_tfidf_doc_pairs",
+    "dedup_dup_ngram_fraction",
+    "stream_window_topk",
 ]
 
 

@@ -104,3 +104,61 @@ def triangle_stats(
         "n_triangles",
         (F.col("n_triangles") / F.col("n_wedges")).alias("closure_ratio"),
     )
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 2,
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank (Page et al. 1999) over an undirected edge list in EXACT
+    INTEGER arithmetic — the engine's rational-variant discipline (bm25 /
+    DSIR / bigram-LM precedents): ranks are parts-per-billion int64s,
+    every contribution is an integer division, so the result is
+    bit-reproducible by any engine and the oracle can unroll the power
+    iterations in plain SQL. Float PageRank sums per-node contributions
+    in aggregation arrival order — unreplayable across engines.
+
+    r⁰(v) = scale/N;  rᵗ⁺¹(v) = (15·(scale/N))/100 + (85·Σ_{u→v} rᵗ(u)/deg(u))/100
+    (all divisions truncating; truncation leaks ≤1 ppb per term — the
+    documented price of exactness, monotone-rank-preserving in practice).
+
+    Scale shape: each iteration is ONE vertex-keyed equi-join (directed
+    edges ⋈ ranks) plus one destination-keyed sum — the standard
+    synchronous Pregel step as DataFrame ops; the directed edge list and
+    degree table are persisted once and reused by every iteration; N
+    rides a 1-row broadcast. Undirected input means no dangling nodes
+    (every vertex in the edge set has degree ≥ 1).
+    """
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    directed = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg")).persist()
+    n_row = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = F.expr(f"({100 - damping_pct} * ({scale} div n)) div 100")
+    ranks = deg.crossJoin(F.broadcast(n_row)).select(
+        F.col("src").alias("v"), F.expr(f"{scale} div n").cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            directed.join(ranks, directed["src"] == ranks["v"])
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").cast("long").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
+        ranks = sums.crossJoin(F.broadcast(n_row)).select(
+            F.col("dst").alias("v"),
+            (base + F.expr(f"({damping_pct} * s) div 100")).cast("long").alias("r"),
+        )
+    out = ranks.join(deg, ranks["v"] == deg["src"]).select(
+        F.col("v").alias("node"),
+        F.col("deg").alias("degree"),
+        F.col("r").alias("rank_ppb"),
+    )
+    return out

@@ -3,8 +3,8 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct. The Spark-side machinery — schema, Arrow batch shape, partitioning,
 ``mapInPandas`` signatures — is real and tested. The decode step parses
-REAL container headers for formats that need no codec library — BMP and
-PNG (dimensions), JPEG (dimensions via the SOFn marker walk), and
+REAL container headers for formats that need no codec library — BMP, PNG
+and GIF (dimensions), JPEG (dimensions via the SOFn marker walk), and
 RIFF/WAV (sample rate, channel count, frame count, duration) — as
 pure-Python byte parsing; payloads in any other container fall back to a
 deterministic hash-derived stub (this environment ships no image/av
@@ -108,6 +108,35 @@ def make_jpeg(width: int, height: int, entropy_len: int) -> bytes:
 # SOI(2)+APP0(18)+DQT(69)+SOF0(19)+DHT(22*2)+SOS(14)+EOI(2); pinned by test
 JPEG_OVERHEAD_BYTES = 2 + 18 + 69 + 19 + 44 + 14 + 2
 
+
+def make_gif(width: int, height: int) -> bytes:
+    """A minimal valid GIF89a: 6-byte signature, logical-screen
+    descriptor carrying the real dimensions (little-endian u16s), no
+    global color table, one image descriptor with a 2-entry local table
+    and a 1-byte LZW stub, then the 0x3B trailer. Header-reading tools
+    get the dimensions; there is no real LZW stream (no codec shipped).
+    Total size = GIF_OVERHEAD_BYTES, dimension-independent."""
+    screen = struct.pack("<HH", width, height) + bytes([0x00, 0x00, 0x00])
+    img = (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + bytes([0x80])
+        + bytes([0, 0, 0, 255, 255, 255])  # 2-entry local color table
+        + bytes([0x02, 0x01, 0x44, 0x00])  # LZW min code size + 1-byte stub
+    )
+    return b"GIF89a" + screen + img + b"\x3b"
+
+
+# sig(6)+screen(7)+imgdesc(10)+lct(6)+lzw stub(4)+trailer(1); pinned by test
+GIF_OVERHEAD_BYTES = 6 + 7 + 10 + 6 + 4 + 1
+
+
+def parse_gif_header(b: bytes) -> dict | None:
+    """(width, height) from a GIF87a/GIF89a logical screen descriptor
+    (little-endian u16s at offsets 6/8 per the spec), None if not a GIF."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack_from("<HH", b, 6)
+    return {"width": w, "height": h}
+
 # SOF0..SOF15 carry frame dimensions; C4/C8/CC are DHT/JPG/DAC, not SOFs.
 _SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 
@@ -195,12 +224,12 @@ def binarize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic real-container test media keyed on ``doc_id % 3``:
-    0 → 24-bpp BMP, 1 → 16-bit mono PCM WAV, 2 → baseline JFIF/JPEG —
-    all parameters (dimensions, sample rate, entropy length) derived from
-    the id. Every byte is a container an external header parser could
-    open — this is the generator the media-decode oracle predicts
-    arithmetically."""
+    """Deterministic real-container test media keyed on ``doc_id % 4``:
+    0 → 24-bpp BMP, 1 → 16-bit mono PCM WAV, 2 → baseline JFIF/JPEG,
+    3 → GIF89a — all parameters (dimensions, sample rate, entropy
+    length) derived from the id. Every byte is a container an external
+    header parser could open — this is the generator the media-decode
+    oracle predicts arithmetically."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -208,16 +237,19 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads, kinds = [], []
             for i in ids:
                 i = int(i)
-                if i % 3 == 0:
+                if i % 4 == 0:
                     payloads.append(make_bmp(1 + i % 64, 1 + (i // 64) % 64))
                     kinds.append("image/bmp")
-                elif i % 3 == 1:
+                elif i % 4 == 1:
                     payloads.append(make_wav(8000 + (i % 8) * 1000, 1 + i % 1000))
                     kinds.append("audio/wav")
-                else:
+                elif i % 4 == 2:
                     w, h = 1 + i % 200, 1 + (i // 200) % 200
                     payloads.append(make_jpeg(w, h, entropy_len=w * h // 8))
                     kinds.append("image/jpeg")
+                else:
+                    payloads.append(make_gif(1 + i % 320, 1 + (i // 320) % 320))
+                    kinds.append("image/gif")
             yield pd.DataFrame({"doc_id": ids, "payload": payloads, "media_type": kinds})
 
     return df.select(id_col).mapInPandas(
@@ -257,6 +289,8 @@ def extract_media_meta(binary_df: DataFrame, strict: bool = False) -> DataFrame:
                     row.update(media_kind="png", n_frames=1, **png)
                 elif (jpg := parse_jpeg_header(p)) is not None:
                     row.update(media_kind="jpeg", n_frames=1, **jpg)
+                elif (gif := parse_gif_header(p)) is not None:
+                    row.update(media_kind="gif", n_frames=1, **gif)
                 elif (wav := parse_wav_header(p)) is not None:
                     row.update(
                         media_kind="wav",

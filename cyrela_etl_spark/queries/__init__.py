@@ -33,10 +33,10 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 # Scoring-priority order: the driver walks the returned dict in insertion
 # order and scores AT MOST ~50 entries per round. Slot allocation for
-# round 7 (147 registered queries, all oracle-backed — keep this count in
+# round 7 (149 registered queries, all oracle-backed — keep this count in
 # sync with len(REGISTRY); VERDICT r5/r6 ADVICE both flagged stale counts
 # here and in NOTES.md):
-#   block 0 (25): operators new in round 7, never scored — first;
+#   block 0 (27): operators new in round 7, never scored — first;
 #   block A (6): queries whose CODE changed in round 7 (triangle closure
 #     rewrite, zscore degenerate-key guard, bm25 decimal numerator + its
 #     RRF consumer, upsert 8-part split, JPEG media mix) — their r6 green
@@ -76,6 +76,8 @@ _PRIORITY: list[str] = [
     "sql_lateral_topn",
     "events_rfm_segments",
     "text_tfidf_doc_pairs",
+    "graph_pagerank",
+    "events_rolling_active_users",
     # -- block A: code changed in round 7 -----------------------------------
     "graph_triangle_stats",
     "events_anomaly_zscore",
@@ -103,14 +105,12 @@ _PRIORITY: list[str] = [
     "storage_csv_roundtrip",
     "wallet_features",
     # -- block B: r4-scored TPC-H battery (truncated to the 52-slot
-    # budget: with 25 never-scored round-7 operators + 6 changed + 18
-    # r3-stale singles ahead of it, only the first 3 battery rows fit;
-    # q10–q22 keep their valid r4 greens over code unchanged since, the
+    # budget: with 27 never-scored round-7 operators + 6 changed + 18
+    # r3-stale singles ahead of it, only the first battery row fits;
+    # q08–q22 keep their valid r4 greens over code unchanged since, the
     # least-risky rows to defer — block C's r5-scored representatives
     # yielded entirely for the same reason) ---------------------------------
     "q07_volume_shipping",
-    "q08_market_share",
-    "q09_nation_profit",
 ]
 
 

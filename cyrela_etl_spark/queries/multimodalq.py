@@ -32,8 +32,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # multimodal_media_meta — REAL container decode: synthesize_media builds a
-# valid 24-bpp BMP (doc_id%3=0), PCM WAV (doc_id%3=1) or baseline JFIF
-# JPEG (doc_id%3=2) per document with id-derived parameters,
+# valid 24-bpp BMP (doc_id%4=0), PCM WAV (%4=1), baseline JFIF JPEG
+# (%4=2) or GIF89a (%4=3) per document with id-derived parameters,
 # extract_media_meta parses the actual container headers back
 # (pure-Python byte parse, operators/multimodal.py — JPEG dims come from
 # the SOF0 marker walk), and the oracle predicts every decoded field
@@ -41,7 +41,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # or parse side breaks the hash. BMP size = 54 + 4-aligned 24-bpp rows;
 # WAV size = 44-byte RIFF header + 2 bytes per 16-bit mono sample; JPEG
 # size = 168 fixed segment bytes + w*h//8 entropy filler
-# (JPEG_OVERHEAD_BYTES, pinned by test_operators.py).
+# (JPEG_OVERHEAD_BYTES, pinned by test_operators.py); GIF size = the
+# fixed 34-byte minimal container (GIF_OVERHEAD_BYTES, also pinned).
 # ---------------------------------------------------------------------------
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(_docs(spark, sf_dir))
@@ -64,22 +65,25 @@ register(
     """
 WITH p AS (
   SELECT doc_id,
-         doc_id % 3 AS kind,
+         doc_id % 4 AS kind,
          1 + doc_id % 64 AS w,
          1 + (doc_id // 64) % 64 AS h,
          8000 + (doc_id % 8) * 1000 AS sr,
          1 + doc_id % 1000 AS ns,
          1 + doc_id % 200 AS wj,
-         1 + (doc_id // 200) % 200 AS hj
+         1 + (doc_id // 200) % 200 AS hj,
+         1 + doc_id % 320 AS wg,
+         1 + (doc_id // 320) % 320 AS hg
   FROM documents
 )
 SELECT doc_id,
        CAST(CASE kind WHEN 0 THEN 54 + ((w * 3 + 3) // 4 * 4) * h
                       WHEN 1 THEN 44 + ns * 2
-                      ELSE 168 + (wj * hj) // 8 END AS BIGINT) AS n_bytes,
-       CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS media_kind,
-       CAST(CASE kind WHEN 0 THEN w WHEN 2 THEN wj END AS BIGINT) AS width,
-       CAST(CASE kind WHEN 0 THEN h WHEN 2 THEN hj END AS BIGINT) AS height,
+                      WHEN 2 THEN 168 + (wj * hj) // 8
+                      ELSE 34 END AS BIGINT) AS n_bytes,
+       CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'jpeg' ELSE 'gif' END AS media_kind,
+       CAST(CASE kind WHEN 0 THEN w WHEN 2 THEN wj WHEN 3 THEN wg END AS BIGINT) AS width,
+       CAST(CASE kind WHEN 0 THEN h WHEN 2 THEN hj WHEN 3 THEN hg END AS BIGINT) AS height,
        CAST(CASE kind WHEN 1 THEN ns ELSE 1 END AS BIGINT) AS n_frames,
        CAST(CASE kind WHEN 1 THEN sr END AS BIGINT) AS sample_rate,
        CAST(CASE kind WHEN 1 THEN ns * 1000 // sr END AS BIGINT) AS duration_ms

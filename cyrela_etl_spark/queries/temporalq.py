@@ -946,3 +946,57 @@ SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
 FROM scored
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_active_users — sliding-window DISTINCT counting: per
+# event_type and hour, the count of distinct users active in the trailing
+# 24 hours (the dashboard "rolling DAU" primitive). Spark has no
+# count(DISTINCT) window function; the spelling is size(collect_set())
+# over a RANGE frame keyed on epoch seconds — per-window state is the
+# distinct-user set of one key's trailing day, bounded by the user
+# dimension (the 100 TB-safe alternative is the precomputed HLL-sketch
+# union; this is the exact variant). DuckDB's native windowed
+# count(DISTINCT ...) is the oracle — a genuinely different algorithm
+# computing the same relation.
+#
+# Plan: one (type, hour, user) distinct agg, ONE per-type range-frame
+# window pass, one final distinct projection. The pre-dedup to hourly
+# triples is what keeps window state user-sets, not raw events.
+# ---------------------------------------------------------------------------
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    triples = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket"), "user_id"
+    ).distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bucket").cast("long"))
+        .rangeBetween(-82800, 0)  # 23 trailing hours + the current one
+    )
+    rolled = triples.withColumn(
+        "n_users_24h", F.size(F.collect_set("user_id").over(w)).cast("long")
+    )
+    return rolled.select("event_type", "bucket", "n_users_24h").distinct()
+
+
+register(
+    "events_rolling_active_users",
+    events_rolling_active_users,
+    """
+WITH triples AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS bucket, user_id
+  FROM events
+),
+rolled AS (
+  SELECT event_type, bucket,
+         CAST(count(DISTINCT user_id) OVER (
+           PARTITION BY event_type ORDER BY epoch(bucket)
+           RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_users_24h
+  FROM triples
+)
+SELECT DISTINCT event_type, bucket, n_users_24h FROM rolled
+""",
+)

@@ -2157,3 +2157,72 @@ WHERE round(CAST(d.dot AS DOUBLE)
             / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))), 6) >= {_TFIDF_MIN_COS}
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank — integer-exact PageRank over the SAME dedup pair graph
+# connected-components and the triangle census run on (operators/graph.py
+# integer_pagerank): 2 power iterations unrolled by the oracle in plain
+# SQL. Ranks are parts-per-billion int64s (the rational-variant
+# discipline), so both engines agree bit-for-bit with no float sums.
+# Centrality over the duplicate graph ranks the most-connected documents
+# — the natural "canonical representative" signal complementing
+# dedup_keep_best's longest-text policy.
+# ---------------------------------------------------------------------------
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.graph import integer_pagerank
+
+    c = corpus(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    keyed = c.select(
+        F.col("doc_id").alias("id"),
+        F.md5(norm).alias("k_exact"),
+        F.md5(F.concat_ws(" ", F.slice(X.tokens(F.col("text")), 1, 6))).alias("k_prefix"),
+    )
+
+    def _pairs(key: str) -> DataFrame:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return a.join(
+            b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.id") < F.col("b.id"))
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    edges = _pairs("k_exact").unionByName(_pairs("k_prefix"))
+    return integer_pagerank(edges, iterations=2)
+
+
+register(
+    "graph_pagerank",
+    graph_pagerank,
+    f"""
+WITH corpus AS ({CORPUS_SQL}),
+{_COMPONENTS_EDGES_SQL.strip()},
+e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+d AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY src),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+s1 AS (
+  SELECT dd.dst AS v,
+         CAST(sum((1000000000 // n.n) // dg.deg) AS BIGINT) AS s,
+         n.n AS n
+  FROM d dd JOIN deg dg ON dd.src = dg.src CROSS JOIN n
+  GROUP BY dd.dst, n.n
+),
+r1 AS (
+  SELECT v, CAST((15 * (1000000000 // n)) // 100 + (85 * s) // 100 AS BIGINT) AS r
+  FROM s1
+),
+s2 AS (
+  SELECT dd.dst AS v,
+         CAST(sum(r1.r // dg.deg) AS BIGINT) AS s,
+         n.n AS n
+  FROM d dd JOIN r1 ON dd.src = r1.v JOIN deg dg ON dd.src = dg.src CROSS JOIN n
+  GROUP BY dd.dst, n.n
+),
+r2 AS (
+  SELECT v, CAST((15 * (1000000000 // n)) // 100 + (85 * s) // 100 AS BIGINT) AS r
+  FROM s2
+)
+SELECT r2.v AS node, deg.deg AS degree, r2.r AS rank_ppb
+FROM r2 JOIN deg ON r2.v = deg.src
+""",
+)

@@ -298,18 +298,23 @@ def test_media_decode_real_headers_via_spark(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
     meta = {r["doc_id"]: r for r in extract_media_meta(synthesize_media(docs), strict=True).collect()}
     for i, r in meta.items():
-        if i % 3 == 0:
+        if i % 4 == 0:
             assert r["media_kind"] == "bmp"
             assert r["width"] == 1 + i % 64 and r["height"] == 1 + (i // 64) % 64
             assert r["sample_rate"] is None
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             assert r["media_kind"] == "wav"
             assert r["sample_rate"] == 8000 + (i % 8) * 1000
             assert r["n_frames"] == 1 + i % 1000
             assert r["width"] is None
-        else:
+        elif i % 4 == 2:
             assert r["media_kind"] == "jpeg"
             assert r["width"] == 1 + i % 200 and r["height"] == 1 + (i // 200) % 200
+            assert r["sample_rate"] is None and r["n_frames"] == 1
+        else:
+            assert r["media_kind"] == "gif"
+            assert r["width"] == 1 + i % 320 and r["height"] == 1 + (i // 320) % 320
+            assert r["n_bytes"] == 34
             assert r["sample_rate"] is None and r["n_frames"] == 1
 
 
@@ -414,3 +419,21 @@ def test_jpeg_build_parse_roundtrip():
     # SOS before any SOF → no dimensions, not a crash
     nos = b"\xff\xd8" + b"\xff\xda" + _s.pack(">H", 4) + b"\x00\x00"
     assert parse_jpeg_header(nos) is None
+
+
+def test_gif_header_parse():
+    from cyrela_etl_spark.operators.multimodal import (
+        GIF_OVERHEAD_BYTES,
+        make_gif,
+        parse_bmp_header,
+        parse_gif_header,
+    )
+
+    g = make_gif(320, 1)
+    assert len(g) == GIF_OVERHEAD_BYTES
+    assert parse_gif_header(g) == {"width": 320, "height": 1}
+    # GIF87a variant parses too
+    assert parse_gif_header(b"GIF87a" + g[6:]) == {"width": 320, "height": 1}
+    assert parse_gif_header(b"GIF89") is None  # truncated signature
+    assert parse_gif_header(b"\x00" * 100) is None
+    assert parse_bmp_header(g) is None

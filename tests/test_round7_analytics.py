@@ -499,3 +499,94 @@ def test_tfidf_weight_bound_documented_is_safe(spark):
         .collect()[0][0]
     )
     assert mx is not None and mx < 2**62
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank
+# ---------------------------------------------------------------------------
+def test_pagerank_mass_and_hub_ordering(spark):
+    from cyrela_etl_spark.queries.textq import graph_pagerank
+
+    rows = graph_pagerank(spark, SF).collect()
+    assert rows
+    total = sum(r["rank_ppb"] for r in rows)
+    # integer truncation only LEAKS mass; it can never create it
+    assert total <= 1_000_000_000
+    assert total >= 900_000_000  # leak stays ppb-scale per node/term
+    # every node keeps at least the teleport base term
+    n = len(rows)
+    base = (15 * (1_000_000_000 // n)) // 100
+    assert all(r["rank_ppb"] >= base for r in rows)
+    # the dedup graph's components are cliques: members of the same
+    # clique (same degree, symmetric) concentrate more rank per node in
+    # SMALL cliques — a 2-clique member must outrank a larger-clique one
+    by_deg = {}
+    for r in rows:
+        by_deg.setdefault(r["degree"], set()).add(r["rank_ppb"])
+    if 1 in by_deg and max(by_deg) > 1:
+        assert min(by_deg[1]) >= max(by_deg[max(by_deg)])
+
+
+def test_pagerank_hand_computed_path(spark):
+    """P3 path a-b-c, 1 iteration: center gets base + 85% of both leaf
+    contributions; leaves split the center's rank."""
+    from cyrela_etl_spark.operators.graph import integer_pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = {
+        r["node"]: r for r in integer_pagerank(edges, iterations=1).collect()
+    }
+    S = 1_000_000_000
+    r0 = S // 3
+    base = (15 * (S // 3)) // 100
+    # node 2 (degree 2): both leaves contribute r0/1 each
+    assert rows[2]["rank_ppb"] == base + (85 * (r0 + r0)) // 100
+    # nodes 1, 3 (degree 1): the center contributes r0/2
+    assert rows[1]["rank_ppb"] == base + (85 * (r0 // 2)) // 100
+    assert rows[3]["rank_ppb"] == rows[1]["rank_ppb"]
+    assert rows[2]["degree"] == 2 and rows[1]["degree"] == 1
+
+
+def test_pagerank_plan_reuses_persisted_edges(spark):
+    from cyrela_etl_spark.queries.textq import graph_pagerank
+
+    plan = _plan(graph_pagerank(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # directed edges + degrees cached
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_active_users
+# ---------------------------------------------------------------------------
+def test_rolling_actives_hand_computed(spark, monkeypatch):
+    import datetime
+
+    from cyrela_etl_spark.queries import temporalq
+
+    def at(h, u):
+        return (u * 100 + h, datetime.datetime(2026, 1, 5, h), u, "view", 1.0)
+
+    # users 1,2 at hour 0; user 1 again at hour 1; user 3 at hour 25
+    # (outside the 24h window of hours 0-1)
+    ev = spark.createDataFrame(
+        [at(0, 1), at(0, 2), at(1, 1), (2503, datetime.datetime(2026, 1, 6, 1), 3, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    monkeypatch.setattr(temporalq, "_events", lambda spark, sf_dir: ev)
+    rows = {
+        r["bucket"]: r["n_users_24h"]
+        for r in temporalq.events_rolling_active_users(spark, SF).collect()
+    }
+    d = datetime.datetime
+    assert rows[d(2026, 1, 5, 0)] == 2   # users 1,2
+    assert rows[d(2026, 1, 5, 1)] == 2   # users 1,2 still inside window
+    assert rows[d(2026, 1, 6, 1)] == 1   # 25h later: only user 3 remains
+
+
+def test_rolling_actives_monotone_bounds(spark):
+    from cyrela_etl_spark.queries.temporalq import events_rolling_active_users
+
+    rows = events_rolling_active_users(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_users_24h"] >= 1
