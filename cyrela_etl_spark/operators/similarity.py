@@ -741,3 +741,64 @@ def semdedup_pairs(
         block_col="list_id",
         round_digits=round_digits,
     )
+
+
+def matryoshka_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    coarse_dim: int = 16,
+    refine_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN via MATRYOSHKA truncation (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): rank ALL rows by cosine over
+    only the first ``coarse_dim`` dimensions (the MRL nesting property —
+    prefix dims carry most of the signal), keep the per-query top
+    ``k·refine_factor`` candidates, then re-rank those exactly at full
+    dimensionality. Completes the engine's vector-compression ladder
+    (int8 → PQ/ADC → SemDeDup → MRL truncation).
+
+    Both stages share the deterministic contract: scores rounded to 6
+    before ranking, ties on vec_id. The coarse stage reuses the
+    broadcast + two-phase-rank plan (no per-query reducer funnel); the
+    refine stage's exact cosine touches only candidates — a
+    dim/coarse_dim compute reduction. Deployment note: the parquet scan
+    still reads whole arrays; at 100 TB store the head ``coarse_dim``
+    dims as their OWN column so column pruning turns the compute
+    reduction into an IO reduction too.
+    """
+    d = data.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    q = queries.select(F.col("query_id"), to_double_array(vec_col).alias("qv"))
+    head = F.slice(F.col("v"), 1, coarse_dim)
+    qhead = F.slice(F.col("qv"), 1, coarse_dim)
+    coarse = F.round(cosine_similarity(qhead, head), 6)
+    scored = d.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", "v", "qv", coarse.alias("coarse_cos")
+    )
+    m = k * refine_factor
+    local_w = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("coarse_cos").desc(), F.col("vec_id").asc()
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_cos").desc(), F.col("vec_id").asc()
+    )
+    candidates = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(local_w))
+        .filter(F.col("__lrank") <= m)
+        .withColumn("__crank", F.row_number().over(cand_w))
+        .filter(F.col("__crank") <= m)
+        .drop("__pid", "__lrank", "__crank")
+    )
+    exact = F.round(cosine_similarity(F.col("qv"), F.col("v")), 6)
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        candidates.select("query_id", "vec_id", exact.alias("cosine"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

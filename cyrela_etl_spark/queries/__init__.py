@@ -33,20 +33,18 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 # Scoring-priority order: the driver walks the returned dict in insertion
 # order and scores AT MOST ~50 entries per round. Slot allocation for
-# round 7 (149 registered queries, all oracle-backed — keep this count in
+# round 7 (151 registered queries, all oracle-backed — keep this count in
 # sync with len(REGISTRY); VERDICT r5/r6 ADVICE both flagged stale counts
 # here and in NOTES.md):
-#   block 0 (27): operators new in round 7, never scored — first;
+#   block 0 (29): operators new in round 7, never scored — first;
 #   block A (6): queries whose CODE changed in round 7 (triangle closure
 #     rewrite, zscore degenerate-key guard, bm25 decimal numerator + its
 #     RRF consumer, upsert 8-part split, JPEG media mix) — their r6 green
 #     rows describe the old implementation;
-#   block B (21): the stale tail VERDICT r6 item 3 enumerates, truncated
-#     to the 52-slot budget — all 18 r3-last-scored singles
-#     (func/fuzzy/sql/join/window/storage) plus the first 3 rows of the
-#     r4 TPC-H battery; the deferred battery tail (q10–q22) and the
-#     former block C (r5-scored representatives) hold valid greens over
-#     code unchanged since, the least-risky rows to leave unscored.
+#   block B (17): the stale tail VERDICT r6 item 3 enumerates, truncated
+#     to the 52-slot budget — the r3-last-scored singles
+#     (func/fuzzy/sql/join/window); see the arithmetic note below the
+#     list for what yielded.
 #   tail (unlisted): everything green in r5/r6 over files unchanged in
 #     round 7 — the safest tail to leave unscored.
 _PRIORITY: list[str] = [
@@ -78,6 +76,8 @@ _PRIORITY: list[str] = [
     "text_tfidf_doc_pairs",
     "graph_pagerank",
     "events_rolling_active_users",
+    "vector_matryoshka_topk",
+    "agg_mode",
     # -- block A: code changed in round 7 -----------------------------------
     "graph_triangle_stats",
     "events_anomaly_zscore",
@@ -102,16 +102,13 @@ _PRIORITY: list[str] = [
     "window_analytics",
     "vector_l2_topk",
     "distinct_agg",
-    "storage_csv_roundtrip",
     "wallet_features",
-    # -- block B: r4-scored TPC-H battery (truncated to the 52-slot
-    # budget: with 27 never-scored round-7 operators + 6 changed + 18
-    # r3-stale singles ahead of it, only the first battery row fits;
-    # q08–q22 keep their valid r4 greens over code unchanged since, the
-    # least-risky rows to defer — block C's r5-scored representatives
-    # yielded entirely for the same reason) ---------------------------------
-    "q07_volume_shipping",
 ]
+# 52-slot budget arithmetic: 29 never-scored round-7 operators + 6
+# changed + 17 r3-stale singles = 52 exactly. The whole r4 TPC-H battery
+# (q07–q22), storage_csv_roundtrip (r4 green) and block C's r5-scored
+# representatives yielded their slots — all hold valid greens over code
+# unchanged since, the least-risky rows to defer to round 8.
 
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:

@@ -1805,3 +1805,49 @@ LATERAL (
 ) t
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# agg_mode — deterministic per-group MODE (most frequent value): the modal
+# o_orderpriority per order status. Native mode() aggregates leave ties
+# implementation-defined on both engines; the struct-max spelling pins
+# them — Spark folds max(struct(cnt, value)) (count first, then value,
+# lexicographic), the oracle ranks (cnt DESC, value DESC) — the same
+# total order. Two hash aggregates with map-side combine, no window over
+# data, no sort.
+# --------------------------------------------------------------------------
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        counts.groupBy("o_orderstatus")
+        .agg(F.max(F.struct("cnt", "o_orderpriority")).alias("m"))
+        .select(
+            "o_orderstatus",
+            F.col("m.o_orderpriority").alias("mode_priority"),
+            F.col("m.cnt").alias("n_orders"),
+        )
+    )
+
+
+register(
+    "agg_mode",
+    agg_mode,
+    """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderstatus, o_orderpriority, cnt,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n_orders
+FROM ranked WHERE rn = 1
+""",
+)

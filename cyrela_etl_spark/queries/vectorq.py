@@ -487,3 +487,58 @@ SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
 FROM a2 GROUP BY cid
 """
 register("vector_kmeans_clusters", vector_kmeans_clusters, ORACLE_KMEANS)
+
+
+# ---------------------------------------------------------------------------
+# vector_matryoshka_topk — MRL truncated-prefix ANN (Kusupati et al. 2022):
+# coarse-rank every row on the first 16 of 64 dims, exact-rerank the
+# per-query top-50 candidates. The oracle replays the slice, both ranked
+# stages, and the tie discipline. Completes the compression ladder:
+# int8 scalar quantization → PQ/ADC codes → SemDeDup clusters → MRL
+# prefix truncation.
+# ---------------------------------------------------------------------------
+_MRL_COARSE_DIM, _MRL_REFINE = 16, 10
+
+
+def vector_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.similarity import matryoshka_topk
+
+    out = matryoshka_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=_K,
+        coarse_dim=_MRL_COARSE_DIM,
+        refine_factor=_MRL_REFINE,
+    )
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cosine")
+
+
+ORACLE_MRL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+coarse AS (
+  SELECT q.query_id, d.vec_id, d.v, q.qv,
+         round({_SQL_COS.format(a=f'q.qv[1:{_MRL_COARSE_DIM}]', b=f'd.v[1:{_MRL_COARSE_DIM}]')}, 6) AS coarse_cos
+  FROM d JOIN q ON d.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, vec_id, v, qv FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY coarse_cos DESC, vec_id) AS crank
+    FROM coarse)
+  WHERE crank <= {_K * _MRL_REFINE}
+),
+exact AS (
+  SELECT query_id, vec_id,
+         round({_SQL_COS.format(a='qv', b='v')}, 6) AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM exact
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {_K}
+"""
+register("vector_matryoshka_topk", vector_matryoshka_topk, ORACLE_MRL)

@@ -590,3 +590,83 @@ def test_rolling_actives_monotone_bounds(spark):
     assert rows
     for r in rows:
         assert r["n_users_24h"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# vector_matryoshka_topk
+# ---------------------------------------------------------------------------
+def test_matryoshka_recall_vs_exact(spark):
+    """MRL coarse-then-refine must recover most of the exact top-k (the
+    random test embeddings carry signal in every dim, so recall is the
+    floor case — structured MRL embeddings only do better)."""
+    from cyrela_etl_spark.queries.vectorq import (
+        vector_cosine_topk,
+        vector_matryoshka_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in vector_cosine_topk(spark, SF).collect()
+    }
+    mrl_rows = vector_matryoshka_topk(spark, SF).collect()
+    mrl = {(r["query_id"], r["vec_id"]) for r in mrl_rows}
+    assert len(mrl_rows) == len(exact)  # k results per query
+    recall = len(exact & mrl) / len(exact)
+    assert recall >= 0.5, f"coarse-refine recall collapsed: {recall}"
+    # the refine stage's scores are FULL-dim cosines: any overlap pair
+    # carries the identical score as the exact ranking
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in vector_cosine_topk(spark, SF).collect()
+    }
+    for r in mrl_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert r["cosine"] == exact_scores[key]
+
+
+def test_matryoshka_candidates_capped(spark):
+    from cyrela_etl_spark.operators.similarity import matryoshka_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = matryoshka_topk(emb, q, k=3, coarse_dim=8, refine_factor=2).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rows in per_q.values():
+        assert len(rows) <= 3
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+# ---------------------------------------------------------------------------
+# agg_mode
+# ---------------------------------------------------------------------------
+def test_agg_mode_matches_counter(spark):
+    from collections import Counter
+
+    from cyrela_etl_spark.queries.relational import agg_mode
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    by_status = {}
+    for r in orders:
+        by_status.setdefault(r["o_orderstatus"], Counter())[r["o_orderpriority"]] += 1
+    got = {r["o_orderstatus"]: r for r in agg_mode(spark, SF).collect()}
+    assert set(got) == set(by_status)
+    for status, counter in by_status.items():
+        top_n = max(counter.values())
+        # tie discipline: highest count, then lexicographically largest value
+        expect = max(v for v, n in counter.items() if n == top_n)
+        assert got[status]["mode_priority"] == expect
+        assert got[status]["n_orders"] == top_n
+
+
+def test_agg_mode_plan_has_no_window_or_sort(spark):
+    from cyrela_etl_spark.queries.relational import agg_mode
+
+    plan = _plan(agg_mode(spark, SF))
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
