@@ -2226,3 +2226,172 @@ SELECT r2.v AS node, deg.deg AS degree, r2.r AS rank_ppb
 FROM r2 JOIN deg ON r2.v = deg.src
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# quality_gopher_rules — the published Gopher quality-filter rule set
+# (Rae et al. 2022, appendix A1.1) in the engine's exact-integer
+# discipline: word-count bounds, mean-word-length band, minimum
+# alphabetic-word fraction, minimum stopword hits. Every rule is an
+# integer comparison (mean word length is millis via exact div; the 80%
+# alpha check is cross-multiplied, never a float ratio), so the verdict
+# column is bit-stable. Emits per-document rule diagnostics plus the
+# verdict and the FIRST failed rule (the triage column a curation run
+# actually reads). Zero shuffles — one projection over the scan.
+# ---------------------------------------------------------------------------
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = X.tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mwl_milli = F.expr("1000 * __sum_len div __n_words").cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    n_stop = X.stopword_count(F.col("text")).cast("long")
+    staged = docs.select(
+        "doc_id",
+        n_words.alias("__n_words"),
+        sum_len.alias("__sum_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopword_hits"),
+    )
+    rules = staged.select(
+        "doc_id",
+        F.col("__n_words").alias("n_words"),
+        mwl_milli.alias("mean_word_len_milli"),
+        "n_alpha_words",
+        "n_stopword_hits",
+        (F.col("__n_words") >= 50).alias("ok_min_words"),
+        (F.col("__n_words") <= 100000).alias("ok_max_words"),
+        ((mwl_milli >= 3000) & (mwl_milli <= 10000)).alias("ok_word_len"),
+        (F.col("n_alpha_words") * 10 >= F.col("__n_words") * 8).alias("ok_alpha"),
+        (F.col("n_stopword_hits") >= 2).alias("ok_stopwords"),
+    )
+    keep = (
+        F.col("ok_min_words")
+        & F.col("ok_max_words")
+        & F.col("ok_word_len")
+        & F.col("ok_alpha")
+        & F.col("ok_stopwords")
+    )
+    first_fail = (
+        F.when(~F.col("ok_min_words"), "min_words")
+        .when(~F.col("ok_max_words"), "max_words")
+        .when(~F.col("ok_word_len"), "word_len")
+        .when(~F.col("ok_alpha"), "alpha_frac")
+        .when(~F.col("ok_stopwords"), "stopwords")
+    )
+    return rules.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len_milli",
+        "n_alpha_words",
+        "n_stopword_hits",
+        keep.alias("keep"),
+        first_fail.alias("first_failed_rule"),
+    )
+
+
+_GOPHER_SW = ", ".join(f"'{w}'" for w in X.STOPWORDS_EN)
+
+register(
+    "quality_gopher_rules",
+    quality_gopher_rules,
+    f"""
+WITH staged AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(t, x -> list_contains([{_GOPHER_SW}], x))) AS BIGINT) AS n_stop
+  FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+),
+rules AS (
+  SELECT doc_id, n_words,
+         CAST(1000 * sum_len // n_words AS BIGINT) AS mwl,
+         n_alpha, n_stop,
+         n_words >= 50 AS ok_min_words,
+         n_words <= 100000 AS ok_max_words,
+         1000 * sum_len // n_words BETWEEN 3000 AND 10000 AS ok_word_len,
+         n_alpha * 10 >= n_words * 8 AS ok_alpha,
+         n_stop >= 2 AS ok_stopwords
+  FROM staged
+)
+SELECT doc_id, n_words, mwl AS mean_word_len_milli,
+       n_alpha AS n_alpha_words, n_stop AS n_stopword_hits,
+       ok_min_words AND ok_max_words AND ok_word_len AND ok_alpha AND ok_stopwords AS keep,
+       CASE WHEN NOT ok_min_words THEN 'min_words'
+            WHEN NOT ok_max_words THEN 'max_words'
+            WHEN NOT ok_word_len THEN 'word_len'
+            WHEN NOT ok_alpha THEN 'alpha_frac'
+            WHEN NOT ok_stopwords THEN 'stopwords'
+       END AS first_failed_rule
+FROM rules
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# text_url_extraction — URL mining over a planted corpus (the synthetic
+# documents carry no URLs, so every 3rd document gets a deterministic
+# id-derived URL appended — same construction both engines, the PII-redact
+# pattern): extract scheme+host with one regexp, aggregate per-host link
+# and document counts. The Common-Crawl-style domain-frequency table that
+# drives URL-level dedup and domain blocklists.
+# Plan: projection + regexp under one host-keyed agg; host table is
+# domain-sized, never corpus-sized.
+# ---------------------------------------------------------------------------
+_URL_RE = "https?://([a-z0-9.-]+)"
+
+
+def text_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" via https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/p/"),
+                (F.col("doc_id") % 13).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hosts = planted.select(
+        "doc_id", F.regexp_extract("text", _URL_RE, 1).alias("host")
+    ).filter(F.col("host") != "")
+    return hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+register(
+    "text_url_extraction",
+    text_url_extraction,
+    f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' via https://site' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com/p/' || CAST(doc_id % 13 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+hosts AS (
+  SELECT doc_id, regexp_extract(text, '{_URL_RE}', 1) AS host FROM planted
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hosts WHERE host <> ''
+GROUP BY host
+""",
+)

@@ -670,3 +670,51 @@ def test_agg_mode_plan_has_no_window_or_sort(spark):
     plan = _plan(agg_mode(spark, SF))
     assert "Window" not in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+# ---------------------------------------------------------------------------
+# quality_gopher_rules
+# ---------------------------------------------------------------------------
+def test_gopher_rules_hand_computed(spark, monkeypatch):
+    from cyrela_etl_spark.queries import textq
+
+    good = "the quick brown fox jumps over the lazy dog and " * 8  # 80 words
+    short = "too short"
+    symbols = " ".join(["@@@@"] * 60)  # no alphabetic words, no stopwords
+    tiny = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    # route the query's documents read to the fixture frame
+    monkeypatch.setattr(spark.read.__class__, "parquet", lambda self, path: tiny)
+    rows = {r["doc_id"]: r for r in textq.quality_gopher_rules(spark, SF).collect()}
+    assert rows[1]["keep"] is True and rows[1]["first_failed_rule"] is None
+    assert rows[2]["keep"] is False and rows[2]["first_failed_rule"] == "min_words"
+    assert rows[3]["keep"] is False and rows[3]["first_failed_rule"] in (
+        "word_len", "alpha_frac",
+    )
+    assert rows[1]["n_words"] == 80
+
+
+def test_gopher_rules_zero_shuffle_plan(spark):
+    from cyrela_etl_spark.queries.textq import quality_gopher_rules
+
+    plan = _plan(quality_gopher_rules(spark, SF))
+    assert "Exchange" not in plan  # pure projection over the scan
+
+
+# ---------------------------------------------------------------------------
+# text_url_extraction
+# ---------------------------------------------------------------------------
+def test_url_extraction_host_arithmetic(spark):
+    from cyrela_etl_spark.queries.textq import text_url_extraction
+
+    rows = {r["host"]: r for r in text_url_extraction(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").collect()
+    planted = [r["doc_id"] for r in docs if r["doc_id"] % 3 == 0]
+    assert sum(r["n_urls"] for r in rows.values()) == len(planted)
+    for host, r in rows.items():
+        assert host.startswith("site") and host.endswith(".example.com")
+        expect = len([d for d in planted if f"site{d % 7}." in f"site{d % 7}."
+                      and d % 7 == int(host[4:].split(".")[0])])
+        assert r["n_urls"] == expect
+        assert r["n_docs"] == r["n_urls"]  # one planted URL per document
