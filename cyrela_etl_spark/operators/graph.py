@@ -133,7 +133,10 @@ def integer_pagerank(
     rides a 1-row broadcast. Undirected input means no dangling nodes
     (every vertex in the edge set has degree ≥ 1).
     """
-    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    # persist the undirected edge set FIRST: the symmetrizing union reads
+    # it twice, and with pair-graph inputs each read would otherwise
+    # recompute the corpus self-joins that produced the edges
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct().persist()
     directed = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))

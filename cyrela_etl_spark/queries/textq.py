@@ -2093,6 +2093,9 @@ def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             F.expr(f"tf * (({_TFIDF_SCALE} * n_docs) div df)").cast("long").alias("w"),
         )
+        # three consumers (norms, both join sides) — persist so the
+        # corpus scan + tf/df aggregates run once, not per consumer
+        .persist()
     )
     norms = kept.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("s2")
