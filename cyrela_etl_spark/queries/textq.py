@@ -2254,13 +2254,16 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     mwl_milli = F.expr("1000 * __sum_len div __n_words").cast("long")
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
     n_stop = X.stopword_count(F.col("text")).cast("long")
+    # tokenless documents (whitespace-only text) would zero-divide the
+    # mean-word-length rule (and error DuckDB's //); they trivially fail
+    # min_words anyway, so both engines exclude them up front
     staged = docs.select(
         "doc_id",
         n_words.alias("__n_words"),
         sum_len.alias("__sum_len"),
         n_alpha.alias("n_alpha_words"),
         n_stop.alias("n_stopword_hits"),
-    )
+    ).filter(F.col("__n_words") > 0)
     rules = staged.select(
         "doc_id",
         F.col("__n_words").alias("n_words"),
@@ -2311,6 +2314,7 @@ WITH staged AS (
          CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
          CAST(len(list_filter(t, x -> list_contains([{_GOPHER_SW}], x))) AS BIGINT) AS n_stop
   FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+  WHERE len(t) > 0
 ),
 rules AS (
   SELECT doc_id, n_words,
