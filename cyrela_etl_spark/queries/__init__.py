@@ -33,15 +33,15 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 # Scoring-priority order: the driver walks the returned dict in insertion
 # order and scores AT MOST ~50 entries per round. Slot allocation for
-# round 7 (153 registered queries, all oracle-backed — keep this count in
+# round 7 (154 registered queries, all oracle-backed — keep this count in
 # sync with len(REGISTRY); VERDICT r5/r6 ADVICE both flagged stale counts
 # here and in NOTES.md):
-#   block 0 (31): operators new in round 7, never scored — first;
+#   block 0 (32): operators new in round 7, never scored — first;
 #   block A (6): queries whose CODE changed in round 7 (triangle closure
 #     rewrite, zscore degenerate-key guard, bm25 decimal numerator + its
 #     RRF consumer, upsert 8-part split, JPEG media mix) — their r6 green
 #     rows describe the old implementation;
-#   block B (15): the stale tail VERDICT r6 item 3 enumerates, truncated
+#   block B (14): the stale tail VERDICT r6 item 3 enumerates, truncated
 #     to the 52-slot budget — the r3-last-scored singles
 #     (func/fuzzy/sql/join/window); see the arithmetic note below the
 #     list for what yielded.
@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "agg_mode",
     "quality_gopher_rules",
     "text_url_extraction",
+    "events_ab_test",
     # -- block A: code changed in round 7 -----------------------------------
     "graph_triangle_stats",
     "events_anomaly_zscore",
@@ -100,12 +101,13 @@ _PRIORITY: list[str] = [
     "sql_correlated_subquery",
     "sql_q04_exists",
     "join_salted",
-    "join_bucketed",
     "window_analytics",
     "wallet_features",
 ]
-# 52-slot budget arithmetic: 31 never-scored round-7 operators + 6
-# changed + 15 r3-stale singles = 52 exactly. The whole r4 TPC-H battery
+# 52-slot budget arithmetic: 32 never-scored round-7 operators + 6
+# changed + 14 r3-stale singles = 52 exactly. join_bucketed also
+# yielded: its no-exchange plan shape is re-asserted by pytest every
+# round, the least information gained from a driver row. The whole r4 TPC-H battery
 # (q07–q22), storage_csv_roundtrip (r4 green), vector_l2_topk and
 # distinct_agg (r3 greens whose code paths are exercised by freshly
 # scored siblings: the two-phase-rank family and the r6 agg_* block) and

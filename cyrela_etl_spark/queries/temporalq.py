@@ -1000,3 +1000,102 @@ rolled AS (
 SELECT DISTINCT event_type, bucket, n_users_24h FROM rolled
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_test — two-proportion z-test on conversion: clicks are split
+# into variants A/B by campaign-id parity (props.k % 2), a click converts
+# if the same user purchases within 30 minutes, and the output row is the
+# full test summary (counts, rates, pooled z statistic). The experiment
+# readout every growth team runs.
+#
+# Determinism: counts are exact ints; rates are single divisions; the z
+# statistic is a FIXED-ORDER float expression over those exact inputs —
+# (p_a − p_b) / sqrt( p·(1−p) · (1/n_a + 1/n_b) ) with explicit
+# parenthesization mirrored in the oracle — rounded to 6.
+#
+# Plan: conversion detection is a LEFT SEMI join keyed on user_id with
+# the 30-minute band as a join-side filter (never a time-cross product);
+# both variant aggregates come from ONE conditional agg over the tagged
+# clicks; the final row is scalar arithmetic. No windows.
+# ---------------------------------------------------------------------------
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.get_json_object("props", "$.k").cast("long") % 2).alias("variant"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") < F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    ).select("event_id")
+    tagged = clicks.join(
+        converted.withColumn("__conv", F.lit(1)), "event_id", "left"
+    ).select("variant", F.coalesce("__conv", F.lit(0)).alias("conv"))
+    agg = tagged.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).cast("long").alias("x_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).cast("long").alias("x_b"),
+    )
+    p_a = F.col("x_a") / F.col("n_a")
+    p_b = F.col("x_b") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.sqrt(
+        (pool * (F.lit(1.0) - pool)) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+register(
+    "events_ab_test",
+    events_ab_test,
+    """
+WITH clicks AS (
+  SELECT event_id, user_id, ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS variant
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (SELECT user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT c.event_id FROM clicks c
+  WHERE EXISTS (SELECT 1 FROM purchases p
+                WHERE p.p_user = c.user_id
+                  AND p.p_ts >= c.ts AND p.p_ts < c.ts + INTERVAL 30 MINUTE)
+),
+tagged AS (
+  SELECT c.variant, CASE WHEN v.event_id IS NULL THEN 0 ELSE 1 END AS conv
+  FROM clicks c LEFT JOIN conv v ON c.event_id = v.event_id
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+  FROM tagged
+)
+SELECT n_a, x_a, n_b, x_b,
+       round(x_a / n_a, 6) AS rate_a,
+       round(x_b / n_b, 6) AS rate_b,
+       round((x_a / n_a - x_b / n_b)
+             / sqrt((((x_a + x_b) / (n_a + n_b)) * (1.0 - (x_a + x_b) / (n_a + n_b)))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+FROM agg
+""",
+)

@@ -718,3 +718,48 @@ def test_url_extraction_host_arithmetic(spark):
                       and d % 7 == int(host[4:].split(".")[0])])
         assert r["n_urls"] == expect
         assert r["n_docs"] == r["n_urls"]  # one planted URL per document
+
+
+# ---------------------------------------------------------------------------
+# events_ab_test
+# ---------------------------------------------------------------------------
+def test_ab_test_hand_computed(spark, monkeypatch):
+    import math
+
+    from cyrela_etl_spark.queries import temporalq
+
+    def click(eid, u, minute, k):
+        return (eid, _ts(minute), u, "click", 1.0, '{"k": %d}' % k)
+
+    def buy(eid, u, minute):
+        return (eid, _ts(minute), u, "purchase", 9.0, "{}")
+
+    # variant A (k even): 2 clicks, 1 converts; variant B (k odd): 2
+    # clicks, 2 convert (user 3's click at min 5 converts via the min 20
+    # purchase; user 4 converts; user 1's second A-click at min 40 does
+    # NOT convert — its purchase window is empty)
+    ev = spark.createDataFrame(
+        [
+            click(1, 1, 0, 2), buy(2, 1, 10),      # A converts
+            click(3, 1, 40, 4),                     # A no purchase after
+            click(4, 3, 5, 1), buy(5, 3, 20),       # B converts
+            click(6, 4, 0, 3), buy(7, 4, 29),       # B converts (inside 30m)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(temporalq, "_events", lambda spark, sf_dir: ev)
+    [row] = temporalq.events_ab_test(spark, SF).collect()
+    assert (row["n_a"], row["x_a"], row["n_b"], row["x_b"]) == (2, 1, 2, 2)
+    assert row["rate_a"] == 0.5 and row["rate_b"] == 1.0
+    p = 3 / 4
+    z = (0.5 - 1.0) / math.sqrt((p * (1 - p)) * (1 / 2 + 1 / 2))
+    assert row["z_score"] == round(z, 6)
+
+
+def test_ab_test_semi_join_keyed_on_user(spark):
+    from cyrela_etl_spark.queries.temporalq import events_ab_test
+
+    plan = _plan(events_ab_test(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "Window" not in plan
