@@ -1864,7 +1864,14 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.functions.hashing import stable_hash64
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
-    w_s = (F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 3 + 1).alias("w")
+    # a source with no trailing digits gets index 0 → weight 1 on BOTH
+    # engines (unguarded, Spark's '' cast yields NULL — silently dropping
+    # the source from the quota min — while DuckDB's CAST('') errors)
+    idx = F.coalesce(
+        F.nullif(F.regexp_extract("source", r"([0-9]+)$", 1), F.lit("")).cast("long"),
+        F.lit(0),
+    )
+    w_s = (idx % 3 + 1).alias("w")
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_total"), F.first(w_s).alias("w")
     )
@@ -1920,7 +1927,7 @@ register(
     """
 WITH counts AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_total,
-         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3 + 1 AS w
+         CAST(COALESCE(NULLIF(regexp_extract(source, '([0-9]+)$', 1), ''), '0') AS BIGINT) % 3 + 1 AS w
   FROM documents GROUP BY source
 ),
 tw AS (SELECT CAST(sum(w) AS BIGINT) AS bigw FROM counts),
@@ -2059,10 +2066,13 @@ GROUP BY lang, bucket
 # sparse BoW cosine.
 #
 # Determinism: idf is RATIONAL (the bm25_lite precedent — no ln): idf_k =
-# (100·N) div df, weight w = tf·idf_k, so dots and squared norms are
-# EXACT INT64 sums (order-free); bound: with per-doc tf ≤ ~10³ and N ≤
-# 10⁵ the largest w² term stays < 10¹⁵ — documented, far under overflow.
-# The only float ops are two sqrts and one division, rounded to 6.
+# (100·N) div df, weight w = tf·idf_k fits int64 (w ≤ tf·50·N), but w²
+# does NOT in general (a df=2 term at N=10⁵, tf=10³ gives w² = 2.5·10¹⁹
+# > int64), so dots and squared norms are summed in DECIMAL(38,0) —
+# exact, order-free, overflow-proof to 10³⁸ — and cast to double only
+# for the sqrt/division (deterministic rounding of the same exact
+# value). The only float ops are two sqrts and one division, rounded
+# to 6.
 #
 # Runs over the planted-duplicate corpus (exact copies must surface at
 # cosine 1.0); reports pairs with cosine ≥ 0.3, doc_a < doc_b.
@@ -2097,14 +2107,19 @@ def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus scan + tf/df aggregates run once, not per consumer
         .persist()
     )
+    wd = F.col("w").cast("decimal(19,0)")
     norms = kept.groupBy("doc_id").agg(
-        F.sum(F.col("w") * F.col("w")).cast("long").alias("s2")
+        F.sum(wd * wd).cast("decimal(38,0)").alias("s2")
     )
     a, b = kept.alias("a"), kept.alias("b")
     dots = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"))
+        .agg(
+            F.sum(F.col("a.w").cast("decimal(19,0)") * F.col("b.w").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("__dot")
+        )
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("s2").alias("s2a"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("s2").alias("s2b"))
@@ -2114,9 +2129,9 @@ def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            "dot",
+            F.col("__dot").cast("double").alias("dot"),
             F.round(
-                F.col("dot").cast("double")
+                F.col("__dot").cast("double")
                 / (F.sqrt(F.col("s2a").cast("double")) * F.sqrt(F.col("s2b").cast("double"))),
                 6,
             ).alias("cosine"),
@@ -2143,14 +2158,18 @@ kept AS (
   FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN n
   WHERE d.df >= 2 AND d.df * {_TFIDF_DF_DIV} <= n.n_docs AND d.df <= {_TFIDF_DF_CAP}
 ),
-norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS s2 FROM kept GROUP BY doc_id),
+norms AS (
+  SELECT doc_id,
+         CAST(sum(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
+  FROM kept GROUP BY doc_id
+),
 dots AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         CAST(sum(CAST(a.w AS DECIMAL(19,0)) * CAST(b.w AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS dot
   FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT d.doc_a, d.doc_b, d.dot,
+SELECT d.doc_a, d.doc_b, CAST(d.dot AS DOUBLE) AS dot,
        round(CAST(d.dot AS DOUBLE)
              / (sqrt(CAST(na.s2 AS DOUBLE)) * sqrt(CAST(nb.s2 AS DOUBLE))), 6) AS cosine
 FROM dots d

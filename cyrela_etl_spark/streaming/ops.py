@@ -451,6 +451,24 @@ def run_foreach_batch_upsert(
     return spark.read.parquet(os.path.join(state_dir, versions[-1]))
 
 
+def _latest_snapshot_below(state_dir: str, epoch_id: int) -> str | None:
+    """Newest ``v_*`` snapshot STRICTLY below this epoch's own version.
+
+    Replay safety for ADDITIVE foreachBatch merges: if epoch N crashed
+    after writing ``v_N`` but before its checkpoint committed, the
+    redelivered batch must merge into N-1's state again — reading
+    ``versions[-1]`` would re-add the same counts into epoch N's own
+    output. (The upsert sink's max-merge is idempotent and immune; a
+    SUM-merge is not.)"""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None
+    own = f"v_{epoch_id:08d}"
+    versions = sorted(d for d in os.listdir(state_dir) if d.startswith("v_") and d < own)
+    return versions[-1] if versions else None
+
+
 def run_foreach_batch_topk_view(
     sdf: DataFrame,
     state_dir: str,
@@ -485,14 +503,12 @@ def run_foreach_batch_topk_view(
     spark = sdf.sparkSession
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
-        versions = sorted(
-            d for d in os.listdir(state_dir) if d.startswith("v_")
-        ) if os.path.isdir(state_dir) else []
+        prev = _latest_snapshot_below(state_dir, epoch_id)
         part = batch.groupBy(*group_cols).agg(
             F.count(F.lit(1)).cast("long").alias("n_events")
         )
-        if versions:
-            cur = spark.read.parquet(os.path.join(state_dir, versions[-1]))
+        if prev is not None:
+            cur = spark.read.parquet(os.path.join(state_dir, prev))
             part = (
                 cur.unionByName(part)
                 .groupBy(*group_cols)

@@ -763,3 +763,23 @@ def test_ab_test_semi_join_keyed_on_user(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "Window" not in plan
+
+
+def test_topk_view_replayed_epoch_does_not_double_count(spark, tmp_path):
+    """An additive merge must read the snapshot strictly BELOW the
+    replayed epoch's own version (crash-after-write, redeliver case)."""
+    import os
+
+    from cyrela_etl_spark.streaming.ops import _latest_snapshot_below
+
+    state = tmp_path / "state"
+    state.mkdir()
+    for v in (3, 5):
+        d = state / f"v_{v:08d}"
+        d.mkdir()
+    assert _latest_snapshot_below(str(state), 5) == "v_00000003"
+    assert _latest_snapshot_below(str(state), 6) == "v_00000005"
+    assert _latest_snapshot_below(str(state), 3) is None
+    assert _latest_snapshot_below(str(tmp_path / "nope"), 9) is None
+    os.rmdir(state / "v_00000003")
+    assert _latest_snapshot_below(str(state), 9) == "v_00000005"
