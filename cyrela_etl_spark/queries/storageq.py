@@ -593,3 +593,245 @@ FROM nn e JOIN b USING (event_type)
 GROUP BY e.event_type
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_schema_evolution — schema-on-read evolution: a v1 batch lands
+# WITHOUT o_orderpriority, a later v2 batch adds the column; the reader
+# reconciles both footers with ``mergeSchema`` and v1 rows surface the
+# evolved column as NULL. This is the lakehouse contract every long-lived
+# 100 TB table depends on (columns only ever widen; old files are never
+# rewritten). The oracle replays the same two-generation split straight
+# off orders with a CASE. A reader that drops the evolved column (schema
+# from a single random footer — Spark's default without mergeSchema) or
+# defaults it to anything but NULL breaks the group keys.
+#
+# Plan: two parquet writes + ONE merged scan + one hash agg; the scan
+# prunes to the 3 referenced columns (ReadSchema), evolution is
+# footer-metadata work, not a data rewrite.
+# ---------------------------------------------------------------------------
+def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    root = tempfile.mkdtemp(prefix="schema_evo_") + "/orders_evolving"
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.parquet(f"{root}/gen=1")
+    v2.write.parquet(f"{root}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+register(
+    "storage_schema_evolution",
+    storage_schema_evolution,
+    """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE '<pre-evolution>' END AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY 1
+""",
+)
+
+
+def sql_hex64_storage(expr: str) -> str:
+    """DuckDB twin of hashing.hex_prefix_long (60-bit md5 prefix) — same
+    spelling as queries/textq.py's sql_hex64, local to avoid a cross-module
+    import at register time."""
+    return f"CAST(CONCAT('0x', SUBSTR(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# storage_integrity_checksum — order-insensitive row-level fingerprint per
+# partition group: XOR-fold of a portable 60-bit row hash (md5 of the
+# canonical '|'-joined row rendering; functions/hashing.py) plus row
+# count and key range. The audit primitive for cross-system reconciliation
+# at 100 TB — two engines (or two replicas of a zone table) agree iff
+# every ROW agrees, verified without moving either side's data: each side
+# reduces to one 8-byte digest per group, and XOR is commutative/
+# associative so the fold is partition-order-free (safe under any shuffle
+# or file ordering). Floats are rendered through DECIMAL(12,2) so both
+# engines hash identical strings.
+#
+# Plan: zero joins — one projection (md5 is JVM codegen) + one hash agg
+# with map-side partial XOR; shuffle carries |groups| rows of 8-byte
+# digests, never data.
+# ---------------------------------------------------------------------------
+def storage_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.functions.hashing import hex_prefix_long
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    return (
+        orders.select("o_orderstatus", hex_prefix_long(row_repr).alias("h"), "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("xor_digest"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+register(
+    "storage_integrity_checksum",
+    storage_integrity_checksum,
+    f"""
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       bit_xor({sql_hex64_storage("concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), o_orderpriority)")}) AS xor_digest,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# storage_correlation_profile — Pearson correlation matrix over lineitem's
+# numeric measures, computed from EXACT decimal co-moment sums (n, Σx, Σy,
+# Σx², Σy², Σxy — each a DECIMAL(38,8) sum of decimal-cast inputs, so the
+# single-pass accumulation is association-free and engine-identical);
+# corr falls out as a fixed-form IEEE expression over the six exact sums
+# (two correctly-rounded sqrts + one division — bit-identical everywhere,
+# then the defensive round). The textbook one-pass formula's
+# catastrophic-cancellation hazard doesn't apply: the sums are EXACT
+# decimals, cancellation happens once in binary64 at the end instead of
+# accumulating per-row. Feature-correlation audits are standard corpus
+# profiling; native corr() is float-accumulation-order-dependent and
+# could never hash-match across engines.
+#
+# Plan: ONE full-scan agg producing a single 10-sum row (map-side partial
+# combine; shuffle carries one row), then a 3-row explode of the pair
+# matrix — no joins, no second scan.
+# ---------------------------------------------------------------------------
+def storage_correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_quantity").cast("decimal(12,2)").alias("q"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("p"),
+        F.col("l_discount").cast("decimal(12,4)").alias("d"),
+    )
+
+    def s(col):  # exact co-moment sum
+        return F.sum(col.cast("decimal(38,8)"))
+
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        s(F.col("q")).alias("sq"),
+        s(F.col("p")).alias("sp"),
+        s(F.col("d")).alias("sd"),
+        s(F.col("q") * F.col("q")).alias("sqq"),
+        s(F.col("p") * F.col("p")).alias("spp"),
+        s(F.col("d") * F.col("d")).alias("sdd"),
+        s(F.col("q") * F.col("p")).alias("sqp"),
+        s(F.col("q") * F.col("d")).alias("sqd"),
+        s(F.col("p") * F.col("d")).alias("spd"),
+    )
+    pairs = sums.select(
+        F.col("n").cast("double").alias("n"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_quantity").alias("col_x"),
+                    F.lit("l_extendedprice").alias("col_y"),
+                    F.col("sq").cast("double").alias("sx"),
+                    F.col("sp").cast("double").alias("sy"),
+                    F.col("sqq").cast("double").alias("sxx"),
+                    F.col("spp").cast("double").alias("syy"),
+                    F.col("sqp").cast("double").alias("sxy"),
+                ),
+                F.struct(
+                    F.lit("l_quantity").alias("col_x"),
+                    F.lit("l_discount").alias("col_y"),
+                    F.col("sq").cast("double").alias("sx"),
+                    F.col("sd").cast("double").alias("sy"),
+                    F.col("sqq").cast("double").alias("sxx"),
+                    F.col("sdd").cast("double").alias("syy"),
+                    F.col("sqd").cast("double").alias("sxy"),
+                ),
+                F.struct(
+                    F.lit("l_extendedprice").alias("col_x"),
+                    F.lit("l_discount").alias("col_y"),
+                    F.col("sp").cast("double").alias("sx"),
+                    F.col("sd").cast("double").alias("sy"),
+                    F.col("spp").cast("double").alias("sxx"),
+                    F.col("sdd").cast("double").alias("syy"),
+                    F.col("spd").cast("double").alias("sxy"),
+                ),
+            )
+        ).alias("m"),
+    )
+    corr = (F.col("m.n") * F.col("m.sxy") - F.col("m.sx") * F.col("m.sy")) / (
+        F.sqrt(F.col("m.n") * F.col("m.sxx") - F.col("m.sx") * F.col("m.sx"))
+        * F.sqrt(F.col("m.n") * F.col("m.syy") - F.col("m.sy") * F.col("m.sy"))
+    )
+    return pairs.select(
+        F.struct(
+            F.col("m.col_x").alias("col_x"),
+            F.col("m.col_y").alias("col_y"),
+            F.col("n").alias("n"),
+            F.col("m.sx").alias("sx"),
+            F.col("m.sy").alias("sy"),
+            F.col("m.sxx").alias("sxx"),
+            F.col("m.syy").alias("syy"),
+            F.col("m.sxy").alias("sxy"),
+        ).alias("m")
+    ).select(
+        F.col("m.col_x").alias("col_x"),
+        F.col("m.col_y").alias("col_y"),
+        F.col("m.n").cast("long").alias("n_rows"),
+        F.round(corr, 6).alias("pearson_corr"),
+    )
+
+
+def _corr_oracle() -> str:
+    sums = """
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(q AS DECIMAL(38,8))) AS DOUBLE) AS sq,
+         CAST(sum(CAST(p AS DECIMAL(38,8))) AS DOUBLE) AS sp,
+         CAST(sum(CAST(d AS DECIMAL(38,8))) AS DOUBLE) AS sd,
+         CAST(sum(CAST(q * q AS DECIMAL(38,8))) AS DOUBLE) AS sqq,
+         CAST(sum(CAST(p * p AS DECIMAL(38,8))) AS DOUBLE) AS spp,
+         CAST(sum(CAST(d * d AS DECIMAL(38,8))) AS DOUBLE) AS sdd,
+         CAST(sum(CAST(q * p AS DECIMAL(38,8))) AS DOUBLE) AS sqp,
+         CAST(sum(CAST(q * d AS DECIMAL(38,8))) AS DOUBLE) AS sqd,
+         CAST(sum(CAST(p * d AS DECIMAL(38,8))) AS DOUBLE) AS spd
+  FROM (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS q,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+               CAST(l_discount AS DECIMAL(12,4)) AS d
+        FROM lineitem)
+"""
+    pair = (
+        "SELECT '{x}' AS col_x, '{y}' AS col_y, CAST(n AS BIGINT) AS n_rows,\n"
+        "       round((n * {sxy} - {sx} * {sy})\n"
+        "             / (sqrt(n * {sxx} - {sx} * {sx})\n"
+        "                * sqrt(n * {syy} - {sy} * {sy})), 6) AS pearson_corr\n"
+        "FROM s"
+    )
+    legs = [
+        pair.format(x="l_quantity", y="l_extendedprice", sx="sq", sy="sp", sxx="sqq", syy="spp", sxy="sqp"),
+        pair.format(x="l_quantity", y="l_discount", sx="sq", sy="sd", sxx="sqq", syy="sdd", sxy="sqd"),
+        pair.format(x="l_extendedprice", y="l_discount", sx="sp", sy="sd", sxx="spp", syy="sdd", sxy="spd"),
+    ]
+    return f"WITH s AS ({sums})\n" + "\nUNION ALL\n".join(legs)
+
+
+register("storage_correlation_profile", storage_correlation_profile, _corr_oracle())
