@@ -165,3 +165,64 @@ def integer_pagerank(
         F.col("r").alias("rank_ppb"),
     )
     return out
+
+
+def link_prediction(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    top_n: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Neighborhood-based link prediction over an undirected edge list:
+    for every NON-edge pair with at least one common neighbor, the
+    common-neighbor count and the Resource Allocation index
+    (Zhou, Lü & Zhang 2009, "Predicting missing links via local
+    information" — RA = Σ_{z ∈ Γ(x)∩Γ(y)} 1/deg(z), the best-performing
+    simple local index in that study). RA is carried as an EXACT
+    parts-per-million integer sum (each term one truncating integer
+    division — the engine's rational-variant discipline; a float 1/deg
+    sum would be accumulation-order-dependent and unreplayable), so an
+    external engine reproduces it bit-for-bit.
+
+    Returns the ``top_n`` candidates ranked by (ra_ppm, n_common, lo, hi)
+    descending on the scores — a total, deterministic order.
+
+    Plan: distinct canonical edge set → symmetrized directed list +
+    degree table (both persisted once) → wedge self-join on the middle
+    vertex (each unordered candidate pair emitted once per common
+    neighbor via dst<dst ordering) → per-pair hash agg → LEFT ANTI
+    equi-join against the canonical edge set (two-key, hash/SMJ — the
+    same canonicalization discipline as triangle_stats; no
+    BroadcastNestedLoopJoin) → TakeOrdered top_n. The wedge fan-out is
+    Σ deg(z)² — the documented hub knob; for hub-skewed graphs cap or
+    re-orient as triangle_stats does.
+    """
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct().persist()
+    directed = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    mid = directed.join(deg, "src")
+    l, r = mid.alias("l"), mid.alias("r")
+    wedges = l.join(
+        r, (F.col("l.src") == F.col("r.src")) & (F.col("l.dst") < F.col("r.dst"))
+    ).select(
+        F.col("l.dst").alias("lo"),
+        F.col("r.dst").alias("hi"),
+        F.expr(f"{scale} div l.deg").cast("long").alias("ra_term"),
+    )
+    scored = wedges.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("ra_term").cast("long").alias("ra_ppm"),
+    )
+    canon = e.select(
+        F.least(F.col("a"), F.col("b")).alias("lo"),
+        F.greatest(F.col("a"), F.col("b")).alias("hi"),
+    )
+    candidates = scored.join(canon, ["lo", "hi"], "left_anti")
+    return candidates.orderBy(
+        F.desc("ra_ppm"), F.desc("n_common"), F.asc("lo"), F.asc("hi")
+    ).limit(top_n)

@@ -121,6 +121,7 @@ def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
     the merged registry, priority entries first."""
     from cyrela_etl_spark.queries import (  # noqa: F401
         functionsq,
+        mlprepq,
         multimodalq,
         relational,
         storageq,

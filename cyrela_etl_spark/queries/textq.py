@@ -2421,3 +2421,84 @@ FROM hosts WHERE host <> ''
 GROUP BY host
 """,
 )
+
+
+# graph_link_prediction — Resource-Allocation link prediction (Zhou, Lü &
+# Zhang 2009) over a rare-shingle co-occurrence graph: documents are
+# linked when they share a RARE 3-gram shingle (2 ≤ df ≤ 5 — the df
+# window both bounds the per-gram clique at 10 pairs and drops hapax
+# noise, the same fan-out discipline as text_tfidf_doc_pairs' df cap).
+# Unlike the dedup pair graph (a union of per-key cliques — transitively
+# closed, so no non-edge ever has a common neighbor), shingle cliques
+# OVERLAP through multi-shingle documents, so the operator has real
+# candidates to rank: for non-edge pairs sharing neighbors,
+# common-neighbor count + RA index as an exact ppm integer
+# (Σ 1'000'000 div deg(z) — rational-variant discipline, no float sums),
+# top-20 by (ra_ppm, n_common, lo, hi). In a curation pipeline these are
+# transitively-related documents the pairwise keys missed — candidates
+# for a second verification pass before clustering.
+# ---------------------------------------------------------------------------
+_LP_DF_MIN, _LP_DF_MAX = 2, 5
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.graph import link_prediction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    posting = docs.select(
+        F.col("doc_id"), F.explode(D.word_shingles(F.col("text"), n=3)).alias("g")
+    )
+    df_ok = (
+        posting.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= _LP_DF_MIN) & (F.col("df") <= _LP_DF_MAX))
+        .select("g")
+    )
+    # persist the df-filtered postings before the self-join (the tfidf
+    # precedent): both join sides read `kept`, and without the persist
+    # each side would re-run the shingle explode + df agg over the corpus
+    kept = posting.join(df_ok, "g").persist()
+    a, b = kept.alias("a"), kept.alias("b")
+    edges = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return link_prediction(edges, top_n=20)
+
+
+register(
+    "graph_link_prediction",
+    graph_link_prediction,
+    f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+posting AS (
+  SELECT doc_id, unnest({sql_shingles('t', 3)}) AS g FROM toks
+),
+df_ok AS (
+  SELECT g FROM posting GROUP BY g
+  HAVING count(*) BETWEEN {_LP_DF_MIN} AND {_LP_DF_MAX}
+),
+kept AS (SELECT p.g, p.doc_id FROM posting p JOIN df_ok USING (g)),
+e AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+d AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY src),
+mid AS (SELECT d.src, d.dst, deg.deg FROM d JOIN deg USING (src)),
+w AS (
+  SELECT l.dst AS lo, r.dst AS hi, 1000000 // l.deg AS ra_term
+  FROM mid l JOIN mid r ON l.src = r.src AND l.dst < r.dst
+),
+scored AS (
+  SELECT lo, hi,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(ra_term) AS BIGINT) AS ra_ppm
+  FROM w GROUP BY lo, hi
+),
+canon AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi FROM e)
+SELECT s.lo, s.hi, s.n_common, s.ra_ppm
+FROM scored s ANTI JOIN canon c ON s.lo = c.lo AND s.hi = c.hi
+ORDER BY s.ra_ppm DESC, s.n_common DESC, s.lo ASC, s.hi ASC
+LIMIT 20
+""",
+)
