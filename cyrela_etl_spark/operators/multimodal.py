@@ -4,8 +4,9 @@ Images/audio/video are carried as ``binary`` columns with a metadata
 struct. The Spark-side machinery — schema, Arrow batch shape, partitioning,
 ``mapInPandas`` signatures — is real and tested. The decode step parses
 REAL container headers for formats that need no codec library — BMP, PNG
-and GIF (dimensions), JPEG (dimensions via the SOFn marker walk), and
-RIFF/WAV (sample rate, channel count, frame count, duration) — as
+and GIF (dimensions), JPEG (dimensions via the SOFn marker walk),
+RIFF/WAV (sample rate, channel count, frame count, duration), and
+MPEG-1 Layer III / MP3 (ID3v2 skip + frame-chain walk) — as
 pure-Python byte parsing; payloads in any other container fall back to a
 deterministic hash-derived stub (this environment ships no image/av
 codecs), or ``NotImplementedError`` in strict mode.
@@ -186,6 +187,76 @@ def parse_png_header(b: bytes) -> dict | None:
     return {"width": width, "height": height}
 
 
+# MPEG-1 Layer III side tables (ISO/IEC 11172-3): bitrate index 1..14 in
+# kbps and sample-rate index 0..2 in Hz. Index 0/15 bitrates are
+# free/forbidden and never synthesized.
+MP3_BITRATES_KBPS = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+MP3_SAMPLE_RATES = [44100, 48000, 32000]
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III granule pair
+
+
+def make_mp3(sr_idx: int, br_idx: int, n_frames: int, tag_size: int = 0) -> bytes:
+    """A structurally-valid MPEG-1 Layer III stream: an ID3v2.3 tag of
+    ``tag_size`` payload bytes (syncsafe length, as real encoders write),
+    then ``n_frames`` frames each with a spec-correct 4-byte header
+    (sync, version=MPEG1, layer=III, bitrate/sample-rate indices, mono)
+    and 0xFF-free deterministic filler to the exact frame length
+    144·bitrate/sample_rate (padding bit 0). Header walkers (and this
+    module's parser) read it; there is no real Huffman data (no codec
+    shipped)."""
+    assert 1 <= br_idx <= 14 and 0 <= sr_idx <= 2 and tag_size < 128
+    tag = b"ID3" + bytes([3, 0, 0, 0, 0, 0, tag_size])
+    tag += bytes((i * 17 + 1) % 255 for i in range(tag_size))  # never 0xFF
+    sr = MP3_SAMPLE_RATES[sr_idx]
+    frame_len = 144 * MP3_BITRATES_KBPS[br_idx] * 1000 // sr
+    header = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC4]  # mono, original
+    )
+    body = bytes((i * 29 + 7) % 255 for i in range(frame_len - 4))  # never 0xFF
+    return tag + (header + body) * n_frames
+
+
+def parse_mp3_header(b: bytes) -> dict | None:
+    """(sample_rate, bitrate_kbps, n_frames, duration_ms) from an MPEG-1
+    Layer III stream: skip a leading ID3v2 tag (syncsafe 28-bit length),
+    validate the first frame header's sync/version/layer bits, read the
+    bitrate and sample-rate indices from the side tables, then WALK the
+    frame chain (each header re-validated, length recomputed with its own
+    padding bit) counting frames — the honest parse, not size division.
+    None if the bytes are not an MPEG-1 Layer III stream."""
+    pos = 0
+    if len(b) >= 10 and b[:3] == b"ID3":
+        syncsafe = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        pos = 10 + syncsafe
+    first = None
+    n_frames = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+            return None  # desynced mid-chain (or no frame at all)
+        version = (b[pos + 1] >> 3) & 0x3
+        layer = (b[pos + 1] >> 1) & 0x3
+        if version != 0x3 or layer != 0x1:  # MPEG-1, Layer III only
+            return None
+        br_idx = (b[pos + 2] >> 4) & 0xF
+        sr_idx = (b[pos + 2] >> 2) & 0x3
+        padding = (b[pos + 2] >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None
+        sr = MP3_SAMPLE_RATES[sr_idx]
+        if first is None:
+            first = (sr, MP3_BITRATES_KBPS[br_idx])
+        n_frames += 1
+        pos += 144 * MP3_BITRATES_KBPS[br_idx] * 1000 // sr + padding
+    if first is None or pos != len(b):
+        return None  # trailing garbage is not a clean frame chain
+    return {
+        "sample_rate": first[0],
+        "bitrate_kbps": first[1],
+        "n_frames": n_frames,
+        "duration_ms": n_frames * MP3_SAMPLES_PER_FRAME * 1000 // first[0],
+    }
+
+
 def parse_wav_header(b: bytes) -> dict | None:
     """(sample_rate, channels, n_frames, duration_ms) from a RIFF/WAVE
     file by walking its chunk list, None if not a WAV."""
@@ -257,6 +328,34 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthesize_mp3(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MP3 test audio keyed on ``doc_id``: sample-rate index
+    id%3, bitrate index 1+id%14, 1+id%8 frames, ID3v2 tag of id%128
+    payload bytes — every stream a frame chain an external MP3 tool could
+    walk (no Huffman data; no codec shipped). The mp3-decode oracle
+    predicts every parsed field arithmetically from the id."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                make_mp3(
+                    sr_idx=int(i) % 3,
+                    br_idx=1 + int(i) % 14,
+                    n_frames=1 + int(i) % 8,
+                    tag_size=int(i) % 128,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "media_type": ["audio/mpeg"] * len(ids)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        synth, schema="doc_id long, payload binary, media_type string"
+    )
+
+
 def extract_media_meta(binary_df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode / feature-extract media payloads via Arrow-batched
     ``mapInPandas``.
@@ -297,6 +396,13 @@ def extract_media_meta(binary_df: DataFrame, strict: bool = False) -> DataFrame:
                         sample_rate=wav["sample_rate"],
                         n_frames=wav["n_frames"],
                         duration_ms=wav["duration_ms"],
+                    )
+                elif (mp3 := parse_mp3_header(p)) is not None:
+                    row.update(
+                        media_kind="mp3",
+                        sample_rate=mp3["sample_rate"],
+                        n_frames=mp3["n_frames"],
+                        duration_ms=mp3["duration_ms"],
                     )
                 elif not FAKE_DECODE or strict:
                     raise NotImplementedError(

@@ -161,3 +161,54 @@ SELECT doc_id,
 FROM idx
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_mp3_meta — REAL MPEG-1 Layer III parse: synthesize_mp3 builds
+# a valid ID3v2 + frame-chain stream per document (sample-rate index
+# id%3, bitrate index 1+id%14, 1+id%8 frames, tag payload id%128 bytes),
+# extract_media_meta walks the actual frame chain back (ID3 syncsafe
+# skip, per-frame header re-validation — operators/multimodal.py
+# parse_mp3_header), and the oracle predicts every decoded field
+# arithmetically from doc_id: frame length = 144·br·1000 // sr, total
+# bytes = 10 + tag + frames·frame_len, duration = frames·1152·1000 // sr.
+# A bit-layout bug on either the build or parse side (syncsafe math, the
+# bitrate/sample-rate index tables, frame-length rounding) breaks the
+# hash.
+# ---------------------------------------------------------------------------
+def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.multimodal import synthesize_mp3
+
+    media = synthesize_mp3(_docs(spark, sf_dir))
+    meta = extract_media_meta(media, strict=True)
+    return meta.select(
+        "doc_id",
+        "n_bytes",
+        "media_kind",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+register(
+    "multimodal_mp3_meta",
+    multimodal_mp3_meta,
+    """
+WITH p AS (
+  SELECT doc_id,
+         ([44100, 48000, 32000])[1 + doc_id % 3] AS sr,
+         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[1 + doc_id % 14] AS br,
+         1 + doc_id % 8 AS nf,
+         doc_id % 128 AS tag
+  FROM documents
+)
+SELECT doc_id,
+       CAST(10 + tag + nf * (144 * br * 1000 // sr) AS BIGINT) AS n_bytes,
+       'mp3' AS media_kind,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+FROM p
+""",
+)

@@ -1099,3 +1099,56 @@ SELECT n_a, x_a, n_b, x_b,
 FROM agg
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_sequence_trigrams — frequent 3-step behavior paths: for each
+# user's (ts, event_id)-ordered event stream, every consecutive
+# event-type trigram, counted corpus-wide; top-10 by (count, path) with a
+# full lexicographic tiebreak (a total, deterministic order). The
+# sequential-pattern primitive behind funnel discovery — where
+# events_funnel CHECKS a known path, this MINES the paths worth checking
+# (the classic n-gram shortcut to frequent-sequence mining: exact for
+# consecutive patterns, no candidate generation).
+#
+# Plan: ONE per-user window shuffle carries both lead() steps (same
+# (user_id; ts, event_id) sort — one exchange, one sort), then a
+# (t1,t2,t3) hash agg with map-side combine and TakeOrdered top-10;
+# shuffle cardinality after the window is |event_type|³ at most.
+# ---------------------------------------------------------------------------
+def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(10)
+    )
+
+
+register(
+    "events_sequence_trigrams",
+    events_sequence_trigrams,
+    """
+WITH seq AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+  FROM events
+)
+SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+FROM seq
+WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT 10
+""",
+)

@@ -2502,3 +2502,63 @@ ORDER BY s.ra_ppm DESC, s.n_common DESC, s.lo ASC, s.hi ASC
 LIMIT 20
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# text_readability — Flesch Reading Ease (Flesch 1948; the formula Kincaid
+# et al. 1975 re-fit) with the standard no-dictionary syllable heuristic:
+# syllables ≈ vowel-group count ([aeiouy]+ runs in the lowercased text),
+# sentences = terminal-punctuation runs ([.!?]+, floored at 1 so
+# punctuation-free fragments don't divide by zero), words = the engine's
+# whitespace tokens. FRE = 206.835 − 1.015·(words/sentences) −
+# 84.6·(syllables/words) — counts are exact ints, each ratio a single
+# IEEE division, the combination fixed-form, so both engines agree
+# bit-for-bit before the defensive round. The classic quality-scoring
+# companion to text_quality's ratio features (readability-band filtering
+# is a standard corpus-curation gate).
+#
+# Plan: zero-shuffle projection over the scan (regexp_count + size are
+# JVM codegen); output is doc-sized.
+# ---------------------------------------------------------------------------
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.size(X.tokens(F.col("text")))
+    sentences = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.filter(words > 0).select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.round(fre, 6).alias("flesch_score"),
+    )
+
+
+register(
+    "text_readability",
+    text_readability,
+    f"""
+WITH c AS (
+  SELECT doc_id,
+         len({sql_tokens('text')}) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+           AS flesch_score
+FROM c
+WHERE n_words > 0
+""",
+)
