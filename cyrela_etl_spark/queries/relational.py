@@ -1851,3 +1851,114 @@ SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n_orders
 FROM ranked WHERE rn = 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# scale_countmin_estimate — Count-Min sketch frequency estimation
+# (Cormode & Muthukrishnan 2005, "An improved data stream summary: the
+# count-min sketch and its applications"): d=3 hash rows × w=32 counters
+# summarize the (event_type | user-bucket) key stream in 96 integers;
+# a key's estimate is the MIN over its d counters — always ≥ the true
+# count, over only by colliding mass. The sketch uses the portable
+# md5-derived hash family (salted per row, functions/hashing.py
+# discipline), so the oracle rebuilds the identical sketch in SQL and the
+# report verifies BOTH the estimates and the true counts side by side
+# (top-10 keys by true count; overestimate = est − true, never negative).
+# At 100 TB the sketch is the point: per-partition 96-int partial
+# sketches merge by elementwise ADD (count-min is a linear sketch), so
+# heavy-hitter frequency tracking costs O(d·w) memory regardless of key
+# cardinality — the same reason bloom prefiltering (operators/bloom.py)
+# ships explicit partial-combine plans.
+#
+# Plan: one (row, bucket) hash agg over the exploded 3-row stream (96-row
+# shuffle), one true-count key agg, a ≤|keys|×d join of keys to counters
+# on bucket, a per-key MIN, TakeOrdered top-10. No data-sized side ever
+# rides a broadcast.
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W = 3, 32
+
+
+def scale_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.functions.hashing import hex_prefix_long
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        F.concat(F.col("event_type"), F.lit("|"), (F.col("user_id") % 50).cast("string")).alias(
+            "key"
+        )
+    )
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    hashed = ev.select("key", rows).select(
+        "key",
+        "r",
+        (hex_prefix_long(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("key"))) % _CMS_W).alias(
+            "bucket"
+        ),
+    )
+    counters = hashed.groupBy("r", "bucket").agg(F.count(F.lit(1)).cast("long").alias("counter"))
+    keys = ev.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    keyed = keys.select(
+        "key",
+        "true_count",
+        F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r"),
+    ).select(
+        "key",
+        "true_count",
+        "r",
+        (hex_prefix_long(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit(":"), F.col("key"))) % _CMS_W).alias(
+            "bucket"
+        ),
+    )
+    est = (
+        keyed.join(counters, ["r", "bucket"])
+        .groupBy("key", "true_count")
+        .agg(F.min("counter").cast("long").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            "key",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), "key")
+        .limit(10)
+    )
+
+
+def _cms_oracle() -> str:
+    hx = "CAST(CONCAT('0x', SUBSTR(md5({e}), 1, 15)) AS BIGINT)"
+    bucket = hx.format(e="'cms' || CAST(r AS VARCHAR) || ':' || key") + f" % {_CMS_W}"
+    return f"""
+WITH ev AS (
+  SELECT event_type || '|' || CAST(user_id % 50 AS VARCHAR) AS key FROM events
+),
+hashed AS (
+  SELECT key, r, {bucket} AS bucket
+  FROM ev CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS r) rows
+),
+counters AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS counter
+  FROM hashed GROUP BY r, bucket
+),
+keys AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS true_count FROM ev GROUP BY key
+),
+keyed AS (
+  SELECT key, true_count, r, {bucket} AS bucket
+  FROM keys CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS r) rows
+),
+est AS (
+  SELECT k.key, k.true_count, CAST(min(c.counter) AS BIGINT) AS cms_estimate
+  FROM keyed k JOIN counters c ON k.r = c.r AND k.bucket = c.bucket
+  GROUP BY k.key, k.true_count
+)
+SELECT key, true_count, cms_estimate,
+       CAST(cms_estimate - true_count AS BIGINT) AS overestimate
+FROM est
+ORDER BY true_count DESC, key
+LIMIT 10
+"""
+
+
+register("scale_countmin_estimate", scale_countmin_estimate, _cms_oracle())

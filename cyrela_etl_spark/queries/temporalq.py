@@ -1152,3 +1152,84 @@ ORDER BY n_paths DESC, step1, step2, step3
 LIMIT 10
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_bot_regularity — automation detection via inter-event timing
+# regularity: humans produce bursty, high-variance gaps; scripted traffic
+# ticks metronomically (low coefficient of variation). Per user the
+# consecutive-event gaps (integer milliseconds) are reduced to EXACT
+# sums (n, Σg, Σg² — decimal, association-free), and the CV falls out as
+# a fixed-form IEEE expression: cv = sqrt(n·Σg² − (Σg)²) / Σg (the
+# population-variance identity scaled so only exact ints enter — one
+# sqrt, one division, engine-identical). Flag = cv < 0.3, the standard
+# screening threshold shape (the number is a named knob, not magic).
+#
+# Plan: ONE per-user window shuffle (lag over (user_id; ts, event_id))
+# + one per-user hash agg on the same partitioning — Catalyst reuses the
+# exchange; no joins, no driver collect. Output is user-sized.
+# ---------------------------------------------------------------------------
+_BOT_CV_THRESHOLD = 0.3
+_BOT_MIN_GAPS = 5
+
+
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    sums = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("gap_ms").cast("decimal(38,0)")).alias("sg"),
+        F.sum((F.col("gap_ms") * F.col("gap_ms")).cast("decimal(38,0)")).alias("sgg"),
+    )
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("sg").cast("double")
+    sgg = F.col("sgg").cast("double")
+    cv = F.sqrt(n * sgg - sg * sg) / sg
+    return (
+        sums.filter((F.col("n_gaps") >= _BOT_MIN_GAPS) & (F.col("sg") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(sg / n, 6).alias("mean_gap_ms"),
+            F.round(cv, 6).alias("gap_cv"),
+            (F.round(cv, 6) < _BOT_CV_THRESHOLD).alias("is_regular"),
+        )
+    )
+
+
+register(
+    "events_bot_regularity",
+    events_bot_regularity,
+    f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events
+),
+sums AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         sum(CAST(gap_ms AS DECIMAL(38,0))) AS sg,
+         sum(CAST(gap_ms * gap_ms AS DECIMAL(38,0))) AS sgg
+  FROM gaps WHERE gap_ms IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_ms,
+       round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+             / CAST(sg AS DOUBLE), 6) AS gap_cv,
+       round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+             / CAST(sg AS DOUBLE), 6) < {_BOT_CV_THRESHOLD} AS is_regular
+FROM sums
+WHERE n_gaps >= {_BOT_MIN_GAPS} AND sg > 0
+""",
+)

@@ -542,3 +542,67 @@ ranked AS (
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {_K}
 """
 register("vector_matryoshka_topk", vector_matryoshka_topk, ORACLE_MRL)
+
+
+# ---------------------------------------------------------------------------
+# vector_recall_report — the ANN quality harness: recall@k of the IVF
+# index against the exact brute-force ranking, per query. This is the
+# evaluation loop every production ANN deployment runs before trusting an
+# index (recall is THE accuracy metric in the ANN literature —
+# Jégou et al. 2011 report all results as recall@k curves); here it is a
+# first-class relational operator: exact top-k ⟕ IVF top-k on
+# (query_id, vec_id), hits counted, one exact division per query. A
+# recall regression (from a bad centroid seed, an nprobe misconfig, a
+# quantizer bug) surfaces as a changed fraction — and the oracle replays
+# BOTH rankings in SQL, so the report itself is verified, not just the
+# indexes it grades.
+#
+# Plan: reuses the audited two-phase top-k and IVF subplans; the report
+# join matches two ≤(queries·k)-row rank lists — broadcast-sized by
+# contract. Left join from exact keeps missed neighbors visible.
+# ---------------------------------------------------------------------------
+def vector_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=_K).select(
+        "query_id", "vec_id"
+    )
+    approx = ivf_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=_K,
+        n_centroids=_N_CENT,
+        nprobe=_NPROBE,
+    ).select("query_id", F.col("vec_id").alias("hit_id"))
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"]) & (exact["vec_id"] == approx["hit_id"]),
+        "left",
+    ).select(exact["query_id"].alias("qid"), "hit_id")
+    return (
+        joined.groupBy("qid")
+        .agg(F.count("hit_id").cast("long").alias("n_hits"))
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(_K)), 6).alias("recall_at_k"),
+        )
+    )
+
+
+def _recall_oracle() -> str:
+    return f"""
+WITH exact AS (
+  SELECT query_id, vec_id FROM ({ORACLE_TOPK}) t
+),
+approx AS (
+  SELECT query_id, vec_id AS hit_id FROM ({ORACLE_IVF}) t
+)
+SELECT e.query_id,
+       CAST(count(a.hit_id) AS BIGINT) AS n_hits,
+       round(count(a.hit_id) / CAST({_K} AS DOUBLE), 6) AS recall_at_k
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.vec_id = a.hit_id
+GROUP BY e.query_id
+"""
+
+
+register("vector_recall_report", vector_recall_report, _recall_oracle())
