@@ -167,6 +167,63 @@ def integer_pagerank(
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007,
+    "Near linear time algorithm to detect community structures") over an
+    undirected edge list, made DETERMINISTIC: every node starts labeled
+    with its own id; each round it adopts the label occurring most often
+    among its neighbors, ties broken by the SMALLEST label. Async LPA's
+    visit-order dependence is exactly what an oracle can't replay, so
+    this is the synchronous variant with a total tie order — the update
+    is a pure function of the previous round, and an external engine
+    unrolls the rounds in plain SQL.
+
+    Output: one row per node with its final ``community`` label and that
+    community's member count.
+
+    Scale shape (the PageRank template): distinct edge set symmetrized to
+    a directed list and persisted once; each round is ONE vertex-keyed
+    equi-join (directed ⋈ labels) + one (dst, label) hash count + one
+    dst-keyed argmax — the argmax is a struct-max aggregate
+    (max(struct(cnt, -label))), NOT a window, so every round keeps
+    map-side partial aggregation and no per-node sort. No driver-side
+    data, no broadcast of anything node-sized.
+    """
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    directed = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    labels = directed.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    for _ in range(iterations):
+        votes = (
+            directed.join(labels, directed["src"] == labels["v"])
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        # argmax(cnt) with min-label ties: max over (cnt, -lab) structs —
+        # lexicographic struct comparison IS the vote order.
+        labels = (
+            votes.groupBy("dst")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("lab")).alias("nl"))).alias("w"))
+            .select(F.col("dst").alias("v"), (-F.col("w.nl")).cast("long").alias("lab"))
+        )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).cast("long").alias("community_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("v").alias("node"),
+        F.col("lab").alias("community"),
+        "community_size",
+    )
+
+
 def link_prediction(
     edges: DataFrame,
     id_a: str = "id_a",

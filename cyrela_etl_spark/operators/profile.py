@@ -103,6 +103,62 @@ def zscore_anomalies(
     )
 
 
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    threshold: float = 3.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Robust per-key outliers via the median absolute deviation — the
+    modified z-score of Iglewicz & Hoaglin 1993 ("How to detect and
+    handle outliers"): Mz = 0.6745·(x − median)/MAD, flag |Mz| > 3.5.
+    The companion to zscore_anomalies for heavy-tailed values, where the
+    outliers themselves inflate mean/σ and mask each other; medians are
+    breakdown-resistant to 50% contamination.
+
+    Determinism: both medians are exact interpolating percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the agg_exact_median
+    parity); |x − med| is one IEEE subtraction, the modified z-score a
+    fixed three-op chain rounded before thresholding. Keys with MAD = 0
+    (≥ half the values identical) have no meaningful deviation scale and
+    are dropped, mirroring zscore_anomalies' degenerate-key guard.
+
+    Plan: per-key median agg → broadcast back over the scan (keys are
+    low-cardinality by contract) → per-key MAD agg over the deviations →
+    second broadcast → flag in a projection. Two hash aggs + two
+    broadcast joins, no window, output sized to the anomalies.
+    """
+    med = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    dev = df.join(F.broadcast(med), key_col).withColumn(
+        "__ad", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = (
+        dev.groupBy(key_col)
+        .agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+        .filter(F.col("__mad") > 0)
+    )
+    scored = dev.join(F.broadcast(mad), key_col)
+    mz = F.round(
+        F.lit(0.6745) * ((F.col(value_col) - F.col("__med")) / F.col("__mad")),
+        round_digits,
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col(key_col),
+            F.col(value_col),
+            F.round(F.col("__med"), round_digits).alias("key_median"),
+            F.round(F.col("__mad"), round_digits).alias("key_mad"),
+            mz.alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) > F.lit(threshold))
+    )
+
+
 def histogram_drift(
     baseline: DataFrame,
     current: DataFrame,

@@ -1420,6 +1420,74 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# agg_weighted_median — the weighted 0.5-quantile (lower weighted median:
+# the smallest value whose cumulative weight reaches half the total),
+# here price weighted by quantity per return flag. Neither engine ships
+# a weighted-percentile aggregate, so it's composed from primitives both
+# have EXACTLY: a RANGE-framed cumulative weight sum (the default frame
+# with ORDER BY on both engines, so equal prices share one cumulative
+# value), decimal weights end to end (the 2·cw ≥ total crossing test is
+# exact decimal arithmetic — no float ties), and min(value) past the
+# crossing. Plan: ONE per-key window exchange (cumulative + total weight
+# share it) + a per-key agg; the key-count base profile joins on a
+# key-sized table.
+# --------------------------------------------------------------------------
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(SQL_DEC.lower())
+    wc = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wt = Window.partitionBy("l_returnflag")
+    marked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(wc).alias("cw"),
+        F.sum(qty).over(wt).alias("tw"),
+    )
+    wm = (
+        marked.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+    )
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(qty).cast("double").alias("total_weight"),
+    )
+    return base.join(wm, "l_returnflag").select(
+        "l_returnflag", "weighted_median_price", "total_weight", "n_rows"
+    )
+
+
+register(
+    "agg_weighted_median",
+    agg_weighted_median,
+    f"""
+WITH marked AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS {SQL_DEC}))
+           OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw,
+         sum(CAST(l_quantity AS {SQL_DEC}))
+           OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+),
+wm AS (
+  SELECT l_returnflag, min(l_extendedprice) AS weighted_median_price
+  FROM marked WHERE 2 * cw >= tw GROUP BY l_returnflag
+),
+base AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(l_quantity AS {SQL_DEC})) AS DOUBLE) AS total_weight
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT b.l_returnflag, w.weighted_median_price, b.total_weight, b.n_rows
+FROM base b JOIN wm w USING (l_returnflag)
+""",
+)
+
+
 register(
     "agg_exact_median",
     agg_exact_median,

@@ -302,6 +302,53 @@ WHERE abs(round((e.value - m.mean) / m.std, 6)) > 2.0
 
 
 # ---------------------------------------------------------------------------
+# events_anomaly_mad — robust per-type outliers (operators/profile.py
+# mad_anomalies; Iglewicz & Hoaglin 1993 modified z-score): medians
+# instead of moments, so heavy-tailed spikes can't mask each other the
+# way they inflate zscore_anomalies' σ. Exact interpolating percentiles
+# on both engines (the agg_exact_median parity); MAD=0 keys dropped.
+# ---------------------------------------------------------------------------
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.profile import mad_anomalies
+
+    return mad_anomalies(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        value_col="value",
+        id_col="event_id",
+        threshold=3.5,
+    )
+
+
+register(
+    "events_anomaly_mad",
+    events_anomaly_mad,
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type
+  HAVING quantile_cont(ad, 0.5) > 0
+)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.med, 6) AS key_median,
+       round(m.mad, 6) AS key_mad,
+       round(0.6745 * ((d.value - d.med) / m.mad), 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE abs(round(0.6745 * ((d.value - d.med) / m.mad), 6)) > 3.5
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # events_funnel — ordered conversion funnel (view → click → purchase):
 # per user, the first view, the first click AT OR AFTER that view, and the
 # first purchase at or after that click; output is the stage-survival

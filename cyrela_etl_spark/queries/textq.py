@@ -2505,6 +2505,85 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# graph_lpa_communities — deterministic synchronous label propagation
+# (operators/graph.py label_propagation; Raghavan, Albert & Kumara 2007)
+# over the SAME rare-shingle co-occurrence graph link prediction ranks:
+# 2 synchronous rounds, majority neighbor label with min-label ties, so
+# the update is a pure function of the previous round and the oracle
+# unrolls both rounds in plain SQL (per-round argmax = row_number over
+# (cnt DESC, lab ASC) — exactly the engine's struct-max vote order).
+# Communities over the shingle graph group transitively-related
+# documents BEYOND the closed dedup cliques — the clustering view of the
+# same curation signal.
+# ---------------------------------------------------------------------------
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.graph import label_propagation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    posting = docs.select(
+        F.col("doc_id"), F.explode(D.word_shingles(F.col("text"), n=3)).alias("g")
+    )
+    df_ok = (
+        posting.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= _LP_DF_MIN) & (F.col("df") <= _LP_DF_MAX))
+        .select("g")
+    )
+    kept = posting.join(df_ok, "g").persist()
+    a, b = kept.alias("a"), kept.alias("b")
+    edges = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return label_propagation(edges, iterations=2)
+
+
+register(
+    "graph_lpa_communities",
+    graph_lpa_communities,
+    f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+posting AS (
+  SELECT doc_id, unnest({sql_shingles('t', 3)}) AS g FROM toks
+),
+df_ok AS (
+  SELECT g FROM posting GROUP BY g
+  HAVING count(*) BETWEEN {_LP_DF_MIN} AND {_LP_DF_MAX}
+),
+kept AS (SELECT p.g, p.doc_id FROM posting p JOIN df_ok USING (g)),
+e AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+d AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT src AS v, src AS lab FROM d),
+v1 AS (
+  SELECT d.dst AS v, l.lab, CAST(count(*) AS BIGINT) AS cnt
+  FROM d JOIN l0 l ON d.src = l.v GROUP BY d.dst, l.lab
+),
+l1 AS (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab ASC) AS rn
+    FROM v1) WHERE rn = 1
+),
+v2 AS (
+  SELECT d.dst AS v, l.lab, CAST(count(*) AS BIGINT) AS cnt
+  FROM d JOIN l1 l ON d.src = l.v GROUP BY d.dst, l.lab
+),
+l2 AS (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lab ASC) AS rn
+    FROM v2) WHERE rn = 1
+),
+sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size FROM l2 GROUP BY lab)
+SELECT l2.v AS node, l2.lab AS community, s.community_size
+FROM l2 JOIN sizes s USING (lab)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # text_readability — Flesch Reading Ease (Flesch 1948; the formula Kincaid
 # et al. 1975 re-fit) with the standard no-dictionary syllable heuristic:
 # syllables ≈ vowel-group count ([aeiouy]+ runs in the lowercased text),
