@@ -317,3 +317,67 @@ def winsorize_profile(
         .cast("double")
         .alias("inlier_total"),
     )
+
+
+def moments_profile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key distribution-shape profile: population variance, skewness
+    and excess kurtosis from EXACT decimal power sums (n, Σx, Σx², Σx³,
+    Σx⁴ — the one-pass raw-moment formulation every ANALYZE implements).
+    The third/fourth moments extend storage_numeric_profile's min/max and
+    the correlation profile's second-order sums: skew/kurtosis are the
+    drift signals a histogram's bin edges quantize away.
+
+    Determinism: the four power sums are decimal (association-free — any
+    aggregation order yields the same digits), cast to double ONCE; the
+    central-moment identities are then a fixed-form IEEE chain written
+    identically in the oracle (skew's denominator is m2·√m2, NOT
+    pow(m2,1.5) — sqrt is correctly rounded on every engine, libm pow is
+    not guaranteed to be). Keys with n < 2 or zero variance have no
+    defined shape and are dropped.
+
+    Plan: ONE hash agg with map-side combine (the value fits the
+    combiner: 5 scalars per key), then a key-sized projection. No joins,
+    no window, no second pass over the data.
+    """
+    dec = F.col(value_col).cast("decimal(7,2)")
+    x2 = dec * dec
+    sums = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(dec).cast("double").alias("__s1"),
+        F.sum(x2).cast("double").alias("__s2"),
+        F.sum(x2 * dec).cast("double").alias("__s3"),
+        F.sum(x2 * x2).cast("double").alias("__s4"),
+    )
+    n = F.col("n_rows").cast("double")
+    m = F.col("__s1") / n
+    r2 = F.col("__s2") / n
+    r3 = F.col("__s3") / n
+    r4 = F.col("__s4") / n
+    m2 = r2 - m * m
+    m3 = r3 - 3 * m * r2 + 2 * m * m * m
+    m4 = r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m
+    staged = sums.select(
+        key_col,
+        "n_rows",
+        m.alias("__m"),
+        m2.alias("__m2"),
+        m3.alias("__m3"),
+        m4.alias("__m4"),
+    ).filter((F.col("n_rows") >= 2) & (F.col("__m2") > 0))
+    return staged.select(
+        key_col,
+        "n_rows",
+        F.round(F.col("__m"), round_digits).alias("mean_value"),
+        F.round(F.col("__m2"), round_digits).alias("pop_variance"),
+        F.round(
+            F.col("__m3") / (F.col("__m2") * F.sqrt(F.col("__m2"))), round_digits
+        ).alias("skewness"),
+        F.round(
+            F.col("__m4") / (F.col("__m2") * F.col("__m2")) - 3, round_digits
+        ).alias("ex_kurtosis"),
+    )

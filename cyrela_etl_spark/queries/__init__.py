@@ -98,6 +98,9 @@ _PRIORITY: list[str] = [
     "events_anomaly_mad",
     "agg_weighted_median",
     "graph_lpa_communities",
+    "dedup_containment_pairs",
+    "temporal_cusum_drift",
+    "storage_moments_profile",
     # -- block A: code changed in round 7 (most-changed first) --------------
     "graph_triangle_stats",
     "events_anomaly_zscore",

@@ -301,6 +301,59 @@ register("storage_numeric_profile", storage_numeric_profile, _profile_oracle())
 
 
 # ---------------------------------------------------------------------------
+# storage_moments_profile — distribution-SHAPE profile (operators/
+# profile.py moments_profile): per-key population variance, skewness and
+# excess kurtosis from exact decimal power sums (n, Σx..Σx⁴) in ONE hash
+# agg. The drift signals histogram bin edges quantize away; skew's
+# denominator is m2·√m2 on both engines (libm pow is not guaranteed
+# correctly rounded; sqrt is).
+# ---------------------------------------------------------------------------
+def storage_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.profile import moments_profile
+
+    return moments_profile(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        key_col="l_returnflag",
+        value_col="l_quantity",
+    )
+
+
+register(
+    "storage_moments_profile",
+    storage_moments_profile,
+    """
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS s3,
+         CAST(sum((CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) * (CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)))) AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n_rows,
+         s1 / n_rows AS m1,
+         s2 / n_rows - (s1 / n_rows) * (s1 / n_rows) AS m2,
+         s3 / n_rows - 3 * (s1 / n_rows) * (s2 / n_rows)
+           + 2 * (s1 / n_rows) * (s1 / n_rows) * (s1 / n_rows) AS m3,
+         s4 / n_rows - 4 * (s1 / n_rows) * (s3 / n_rows)
+           + 6 * (s1 / n_rows) * (s1 / n_rows) * (s2 / n_rows)
+           - 3 * (s1 / n_rows) * (s1 / n_rows) * (s1 / n_rows) * (s1 / n_rows) AS m4
+  FROM sums
+)
+SELECT l_returnflag, n_rows,
+       round(m1, 6) AS mean_value,
+       round(m2, 6) AS pop_variance,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3, 6) AS ex_kurtosis
+FROM m
+WHERE n_rows >= 2 AND m2 > 0
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # storage_jsonl_roundtrip — orders → JSONL (engine writer) → explicit-
 # schema read-back → decimal-exact re-aggregation. A value mismatch means
 # the JSON path corrupted a type (the float→string→float hazard JSONL

@@ -349,6 +349,134 @@ WHERE abs(round(0.6745 * ((d.value - d.med) / m.mad), 6)) > 3.5
 
 
 # ---------------------------------------------------------------------------
+# temporal_cusum_drift — CUSUM drift detection (Page 1954, "Continuous
+# inspection schemes") over per-type DAILY event counts, in EXACT INTEGER
+# arithmetic end to end. The textbook recursive form
+# s_i = max(0, s_{i-1} + (x_i − target − k)) is replaced by its
+# closed-form window identity s_i = S_i − min(0, min_{j≤i} S_j) over the
+# prefix sums S of the slack-adjusted deviations — so the whole detector
+# is one cumulative sum + one running min per side, NO fold, and the
+# oracle replays it with the same two windows. Both one-sided detectors
+# (level-up, level-down) share the per-type window; target = integer
+# mean daily count, slack k = 5% of target (floored at 1), alarm
+# threshold h = 5k — the standard CUSUM parameterization, all named
+# knobs. Peaks are exact int64s; the alarm is an integer comparison.
+#
+# Plan: daily hash agg (1 shuffle) → per-type stats agg broadcast back →
+# ONE per-type window exchange carrying all four window columns → final
+# per-type agg. Output is type-sized.
+# ---------------------------------------------------------------------------
+def temporal_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    stats = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("x").cast("long").alias("total"),
+        )
+        .withColumn("target", F.expr("total div n_days").cast("long"))
+        .withColumn("k", F.greatest(F.expr("target div 20"), F.lit(1)).cast("long"))
+    )
+    d = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        "target",
+        "k",
+        (F.col("x") - F.col("target") - F.col("k")).alias("dh"),
+        (F.col("target") - F.col("x") - F.col("k")).alias("dl"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    c1 = d.select(
+        "event_type",
+        "day",
+        "n_days",
+        "target",
+        "k",
+        F.sum("dh").over(w).alias("sh"),
+        F.sum("dl").over(w).alias("sl"),
+    )
+    c2 = c1.select(
+        "event_type",
+        "n_days",
+        "target",
+        "k",
+        (F.col("sh") - F.least(F.min("sh").over(w), F.lit(0))).alias("cus_h"),
+        (F.col("sl") - F.least(F.min("sl").over(w), F.lit(0))).alias("cus_l"),
+    )
+    out = c2.groupBy("event_type", "n_days", "target", "k").agg(
+        F.max("cus_h").cast("long").alias("peak_high"),
+        F.max("cus_l").cast("long").alias("peak_low"),
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        F.col("target").alias("target_per_day"),
+        F.col("k").alias("slack_k"),
+        "peak_high",
+        "peak_low",
+        (
+            (F.col("peak_high") > 5 * F.col("k")) | (F.col("peak_low") > 5 * F.col("k"))
+        ).alias("drift_alarm"),
+    )
+
+
+register(
+    "temporal_cusum_drift",
+    temporal_cusum_drift,
+    """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(CAST(sum(x) AS BIGINT) // count(*) AS BIGINT) AS target
+  FROM daily GROUP BY event_type
+),
+keyed AS (
+  SELECT event_type, n_days, target,
+         greatest(target // 20, 1) AS k
+  FROM stats
+),
+d AS (
+  SELECT dd.event_type, dd.day, s.n_days, s.target, s.k,
+         dd.x - s.target - s.k AS dh,
+         s.target - dd.x - s.k AS dl
+  FROM daily dd JOIN keyed s USING (event_type)
+),
+c1 AS (
+  SELECT event_type, day, n_days, target, k,
+         CAST(sum(dh) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS sh,
+         CAST(sum(dl) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS sl
+  FROM d
+),
+c2 AS (
+  SELECT event_type, n_days, target, k,
+         sh - least(min(sh) OVER (PARTITION BY event_type ORDER BY day), 0) AS cus_h,
+         sl - least(min(sl) OVER (PARTITION BY event_type ORDER BY day), 0) AS cus_l
+  FROM c1
+)
+SELECT event_type, n_days,
+       target AS target_per_day,
+       k AS slack_k,
+       CAST(max(cus_h) AS BIGINT) AS peak_high,
+       CAST(max(cus_l) AS BIGINT) AS peak_low,
+       (CAST(max(cus_h) AS BIGINT) > 5 * k OR CAST(max(cus_l) AS BIGINT) > 5 * k) AS drift_alarm
+FROM c2
+GROUP BY event_type, n_days, target, k
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # events_funnel — ordered conversion funnel (view → click → purchase):
 # per user, the first view, the first click AT OR AFTER that view, and the
 # first purchase at or after that click; output is the stage-survival

@@ -264,6 +264,75 @@ WHERE len(list_intersect(a.shingles, b.shingles)) / len(list_distinct(list_conca
 
 
 # ---------------------------------------------------------------------------
+# dedup_containment_pairs — asymmetric shingle containment (operators/
+# dedup.py containment_pairs; Broder 1997's containment measure):
+# C(A→B) = |S(A)∩S(B)|/|S(A)| catches quote/subset/boilerplate-inclusion
+# duplicates that the Jaccard family structurally misses (short-in-long
+# pairs have high containment, low Jaccard). Candidates come from rare-
+# shingle co-occurrence (2 ≤ df ≤ 5 — the link-prediction generator:
+# position-independent, unlike prefix blocks, so mid-document quotes
+# still pair); containment is exact for every candidate.
+# ---------------------------------------------------------------------------
+_CONT_DF_MIN, _CONT_DF_MAX, _CONT_N, _CONT_THRESHOLD = 2, 5, 3, 0.5
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    posting = docs.select(
+        F.col("doc_id"), F.explode(D.word_shingles(F.col("text"), n=_CONT_N)).alias("g")
+    )
+    df_ok = (
+        posting.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= _CONT_DF_MIN) & (F.col("df") <= _CONT_DF_MAX))
+        .select("g")
+    )
+    kept = posting.join(df_ok, "g")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return D.containment_pairs(
+        docs, cand, n=_CONT_N, threshold=_CONT_THRESHOLD
+    )
+
+
+register(
+    "dedup_containment_pairs",
+    dedup_containment_pairs,
+    f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+sh AS (
+  SELECT doc_id AS id, {sql_shingles('t', _CONT_N)} AS shingles
+  FROM toks WHERE len(t) > 0
+),
+posting AS (SELECT id, unnest(shingles) AS g FROM sh),
+df_ok AS (
+  SELECT g FROM posting GROUP BY g
+  HAVING count(*) BETWEEN {_CONT_DF_MIN} AND {_CONT_DF_MAX}
+),
+kept AS (SELECT p.id, p.g FROM posting p JOIN df_ok USING (g)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_shared,
+         round(len(list_intersect(sa.shingles, sb.shingles)) / len(sa.shingles), 6) AS containment_a,
+         round(len(list_intersect(sa.shingles, sb.shingles)) / len(sb.shingles), 6) AS containment_b
+  FROM cand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id
+)
+SELECT id_a, id_b, n_shared, containment_a, containment_b
+FROM scored
+WHERE greatest(containment_a, containment_b) >= {_CONT_THRESHOLD}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # dedup_minhash_lsh — banded MinHash-LSH candidates + exact verification.
 # ---------------------------------------------------------------------------
 _NUM_HASHES, _BANDS, _SHINGLE_N, _MH_THRESHOLD = 16, 4, 3, 0.5
