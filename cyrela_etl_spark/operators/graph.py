@@ -283,3 +283,62 @@ def link_prediction(
     return candidates.orderBy(
         F.desc("ra_ppm"), F.desc("n_common"), F.asc("lo"), F.asc("hi")
     ).limit(top_n)
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative mixing
+    in networks"): the Pearson correlation of endpoint degrees over the
+    symmetrized directed edge list — one number telling whether hubs
+    attach to hubs (r>0, social-graph-like) or to leaves (r<0,
+    hub-and-spoke; dedup/shingle graphs trend here). The single-row
+    companion to triangle_stats' closure ratio.
+
+    Determinism: all six sufficient statistics (M, Σdx, Σdy, Σdx²,
+    Σdy², Σdx·dy) are exact DECIMAL sums of integer degree products;
+    the Pearson formula is then a fixed IEEE chain over those exact
+    endpoints (each √ correctly rounded), identical on any engine.
+    Degree-regular graphs (zero variance) emit NULL r rather than a
+    0/0 — the documented degenerate case.
+
+    Plan: distinct edge set → symmetrized directed list → degree hash
+    agg → two vertex-keyed equi-joins pin (dx, dy) onto each directed
+    edge → ONE global agg with map-side combine. No windows, no
+    broadcast of anything node-sized, 1-row output.
+    """
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    directed = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    )
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    dx = deg.select(F.col("src"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy"))
+    j = directed.join(dx, "src").join(dy, "dst")
+    dec = "decimal(38,0)"
+    sums = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("dx").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("dy").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(dec)).cast("double").alias("sxy"),
+    )
+    counts = e.select(F.explode(F.array("a", "b")).alias("v")).agg(
+        F.count_distinct("v").cast("long").alias("n_nodes"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+    )
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = md * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = md * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6),
+    )
+    return counts.crossJoin(F.broadcast(sums)).select(
+        "n_nodes", "n_edges", r.alias("assortativity")
+    )

@@ -101,6 +101,9 @@ _PRIORITY: list[str] = [
     "dedup_containment_pairs",
     "temporal_cusum_drift",
     "storage_moments_profile",
+    "text_rake_keywords",
+    "graph_assortativity",
+    "events_stickiness",
     # -- block A: code changed in round 7 (most-changed first) --------------
     "graph_triangle_stats",
     "events_anomaly_zscore",

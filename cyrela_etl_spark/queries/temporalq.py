@@ -1408,3 +1408,50 @@ FROM sums
 WHERE n_gaps >= {_BOT_MIN_GAPS} AND sg > 0
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_stickiness — the product-analytics DAU/MAU stickiness ratio per
+# calendar day: what fraction of the month's active users showed up that
+# day. Two exact distinct-count aggs (day grain, month grain) joined on
+# the month key — the MAU side is months-sized, so it rides a broadcast;
+# the ratio is one IEEE division of exact int64s, rounded. The retention
+# cohort's cheaper daily sibling — the first engagement KPI any events
+# warehouse serves.
+# ---------------------------------------------------------------------------
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    month = F.date_trunc("month", F.col("ts"))
+    day = F.date_trunc("day", F.col("ts"))
+    dau = ev.groupBy(month.alias("month"), day.alias("day")).agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    mau = ev.groupBy(month.alias("month")).agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    return dau.join(F.broadcast(mau), "month").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+register(
+    "events_stickiness",
+    events_stickiness,
+    """
+WITH d AS (
+  SELECT date_trunc('month', ts) AS month, date_trunc('day', ts) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY date_trunc('month', ts), date_trunc('day', ts)
+),
+m AS (
+  SELECT date_trunc('month', ts) AS month,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY date_trunc('month', ts)
+)
+SELECT d.day, d.dau, m.mau, round(d.dau / m.mau, 6) AS stickiness
+FROM d JOIN m USING (month)
+""",
+)

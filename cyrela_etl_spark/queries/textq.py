@@ -2710,3 +2710,209 @@ FROM c
 WHERE n_words > 0
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# text_rake_keywords — RAKE keyword extraction (Rose, Engel, Cramer &
+# Cowley 2010, "Automatic keyword extraction from individual documents"):
+# candidate phrases are maximal stopword-free token runs (capped at 4
+# tokens — the paper's practical phrase bound), each word is scored
+# deg(w)/freq(w) over the kept phrases (deg = Σ phrase length at each
+# occurrence — within-phrase co-occurrence incl. self; freq = occurrence
+# count), and a phrase scores the sum of its member word scores. Word
+# scores are EXACT ppm integers ((10⁶·deg) div freq — the rational-
+# variant discipline; int64-safe until a single word's deg exceeds
+# ~9.2e12, i.e. never in practice), so phrase sums are exact and the
+# top-20 is a total deterministic order (score, n_occurrences, phrase).
+# The corpus-level keyword inventory a curation pipeline tags topics by.
+#
+# Plan: posexplode → ONE per-doc window (running stopword count = phrase
+# id) → per-phrase hash agg (sorted-struct collect rebuilds the phrase
+# string) → word-keyed hash aggs for scores → vocabulary-sized join →
+# TakeOrdered 20. Shuffles carry token/phrase/vocab rows, never corpus².
+# ---------------------------------------------------------------------------
+_RAKE_MAX_PHRASE, _RAKE_TOP, _RAKE_SCALE = 4, 20, 1_000_000
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "w")
+    )
+    is_stop = F.col("w").isin(*X.STOPWORDS_EN)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum(is_stop.cast("int")).over(w_doc).alias("phrase_id"),
+        is_stop.alias("st"),
+    )
+    member = marked.filter(~F.col("st"))
+    phr = (
+        member.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    occ = member.join(phr.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
+    ws = occ.groupBy("w").agg(
+        F.expr(f"CAST(({_RAKE_SCALE} * sum(plen)) div count(1) AS BIGINT)").alias(
+            "wscore"
+        )
+    )
+    pagg = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pw = pagg.select(
+        "phrase", "n_occurrences", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    scored = (
+        pw.join(ws, "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("wscore").cast("long").alias("score_ppm"))
+    )
+    return scored.orderBy(
+        F.desc("score_ppm"), F.desc("n_occurrences"), F.asc("phrase")
+    ).limit(_RAKE_TOP)
+
+
+register(
+    "text_rake_keywords",
+    text_rake_keywords,
+    f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+tok AS (
+  SELECT doc_id, unnest(t) AS w,
+         unnest(generate_series(1, len(t))) AS pos
+  FROM toks
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         sum(CASE WHEN w IN ({_SW}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+         w IN ({_SW}) AS st
+  FROM tok
+),
+member AS (SELECT doc_id, phrase_id, pos, w FROM marked WHERE NOT st),
+phr AS (
+  SELECT doc_id, phrase_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM member GROUP BY doc_id, phrase_id
+  HAVING count(*) <= {_RAKE_MAX_PHRASE}
+),
+occ AS (
+  SELECT m.w, p.plen
+  FROM member m JOIN phr p USING (doc_id, phrase_id)
+),
+ws AS (
+  SELECT w, CAST(({_RAKE_SCALE} * sum(plen)) // count(*) AS BIGINT) AS wscore
+  FROM occ GROUP BY w
+),
+pagg AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM phr GROUP BY phrase
+),
+pw AS (
+  SELECT phrase, n_occurrences, unnest(string_split(phrase, ' ')) AS w
+  FROM pagg
+),
+scored AS (
+  SELECT phrase, n_occurrences, CAST(sum(wscore) AS BIGINT) AS score_ppm
+  FROM pw JOIN ws USING (w)
+  GROUP BY phrase, n_occurrences
+)
+SELECT phrase, n_occurrences, score_ppm
+FROM scored
+ORDER BY score_ppm DESC, n_occurrences DESC, phrase ASC
+LIMIT {_RAKE_TOP}
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity — Newman 2002 degree-assortativity coefficient
+# (operators/graph.py degree_assortativity) over the SAME rare-shingle
+# co-occurrence graph as link prediction / LPA: exact decimal sufficient
+# statistics, fixed IEEE Pearson chain, NULL on degree-regular graphs.
+# ---------------------------------------------------------------------------
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.graph import degree_assortativity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    posting = docs.select(
+        F.col("doc_id"), F.explode(D.word_shingles(F.col("text"), n=3)).alias("g")
+    )
+    df_ok = (
+        posting.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= _LP_DF_MIN) & (F.col("df") <= _LP_DF_MAX))
+        .select("g")
+    )
+    kept = posting.join(df_ok, "g").persist()
+    a, b = kept.alias("a"), kept.alias("b")
+    edges = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return degree_assortativity(edges)
+
+
+register(
+    "graph_assortativity",
+    graph_assortativity,
+    f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+posting AS (
+  SELECT doc_id, unnest({sql_shingles('t', 3)}) AS g FROM toks
+),
+df_ok AS (
+  SELECT g FROM posting GROUP BY g
+  HAVING count(*) BETWEEN {_LP_DF_MIN} AND {_LP_DF_MAX}
+),
+kept AS (SELECT p.id, p.g FROM (SELECT doc_id AS id, g FROM posting) p JOIN df_ok USING (g)),
+e AS (
+  SELECT DISTINCT a.id AS a, b.id AS b
+  FROM kept a JOIN kept b ON a.g = b.g AND a.id < b.id
+),
+d AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY src),
+j AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM d JOIN deg da ON d.src = da.src JOIN deg db ON d.dst = db.src
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM j
+),
+nodes AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+counts AS (
+  SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_nodes,
+         CAST(count(*) / 2 AS BIGINT) AS n_edges
+  FROM nodes
+)
+SELECT counts.n_nodes, counts.n_edges,
+       CASE WHEN CAST(m AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(m AS DOUBLE) * syy - sy * sy > 0
+            THEN round((CAST(m AS DOUBLE) * sxy - sx * sy)
+                       / (sqrt(CAST(m AS DOUBLE) * sxx - sx * sx)
+                          * sqrt(CAST(m AS DOUBLE) * syy - sy * sy)), 6)
+       END AS assortativity
+FROM counts, sums
+""",
+)
