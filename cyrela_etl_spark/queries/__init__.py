@@ -104,6 +104,9 @@ _PRIORITY: list[str] = [
     "text_rake_keywords",
     "graph_assortativity",
     "events_stickiness",
+    "agg_regression_slope",
+    "events_seasonality",
+    "func_bitwise",
     # -- block A: code changed in round 7 (most-changed first) --------------
     "graph_triangle_stats",
     "events_anomaly_zscore",

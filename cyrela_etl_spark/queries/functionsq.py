@@ -467,3 +467,42 @@ SELECT l_orderkey,
 FROM arrs
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# func_bitwise — the bitwise scalar + aggregate surface (&, |, xor, <<,
+# bit_count scalars; bit_or / bit_and / bit_xor aggregates) over order
+# keys, grouped by status. All pure int64 arithmetic — bit-identical by
+# construction on any engine. The building blocks behind the engine's
+# Bloom bitmap (scale_bloom_prefilter) and XOR table checksum
+# (storage_integrity_checksum), surfaced here as a declared battery in
+# their own right. The shifted-OR term masks the key to 6 bits before
+# shifting, so it can't overflow. One hash agg, status-sized output.
+# ---------------------------------------------------------------------------
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr("bit_or(o_orderkey & 4095)").cast("long").alias("or_low12"),
+        F.expr("bit_and(o_orderkey | 4095)").cast("long").alias("and_high"),
+        F.expr("bit_xor(o_orderkey)").cast("long").alias("xor_all"),
+        F.sum(F.bit_count("o_orderkey").cast("long")).cast("long").alias("total_bits"),
+        F.expr("bit_or(shiftleft(o_orderkey & 63, 8))").cast("long").alias("or_shifted"),
+    )
+
+
+register(
+    "func_bitwise",
+    func_bitwise,
+    """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(bit_or(o_orderkey & 4095) AS BIGINT) AS or_low12,
+       CAST(bit_and(o_orderkey | 4095) AS BIGINT) AS and_high,
+       CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_all,
+       CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS total_bits,
+       CAST(bit_or((o_orderkey & 63) << 8) AS BIGINT) AS or_shifted
+FROM orders
+GROUP BY o_orderstatus
+""",
+)

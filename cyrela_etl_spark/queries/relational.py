@@ -1407,6 +1407,78 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 
 # --------------------------------------------------------------------------
+# agg_regression_slope — per-group simple OLS (the REGR_SLOPE/REGR_
+# INTERCEPT/REGR_R2 SQL-standard aggregate family): price regressed on
+# quantity per return flag. Built from exact DECIMAL sufficient
+# statistics (n, Σx, Σy, Σx², Σxy, Σy² — association-free, any
+# aggregation order) rather than the engines' native float regr_*
+# aggregates, whose running sums are accumulation-order-dependent and
+# therefore unreplayable across engines. The closed forms are a fixed
+# IEEE chain over those exact endpoints, written identically in the
+# oracle. Zero-variance groups are dropped (undefined slope).
+# Plan: ONE hash agg with map-side combine + a key-sized projection.
+# --------------------------------------------------------------------------
+def agg_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(7,2)")
+    y = F.col("l_extendedprice").cast(SQL_DEC.lower())
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    nd = F.col("n_rows").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / varx
+    return (
+        sums.filter((varx > 0) & (vary > 0))
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.round(slope, 6).alias("slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("intercept"),
+            F.round(num * num / (varx * vary), 6).alias("r2"),
+        )
+    )
+
+
+register(
+    "agg_regression_slope",
+    agg_regression_slope,
+    f"""
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS {SQL_DEC})) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_extendedprice AS {SQL_DEC})) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_extendedprice AS {SQL_DEC}) * CAST(l_extendedprice AS {SQL_DEC})) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       round((CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_rows AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       round((sy - (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_rows AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n_rows AS DOUBLE), 6) AS intercept,
+       round((CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+             * (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+             / ((CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n_rows AS DOUBLE) * syy - sy * sy)), 6) AS r2
+FROM sums
+WHERE CAST(n_rows AS DOUBLE) * sxx - sx * sx > 0
+  AND CAST(n_rows AS DOUBLE) * syy - sy * sy > 0
+""",
+)
+
+
+# --------------------------------------------------------------------------
 # agg_exact_median — exact percentile aggregate (Spark `percentile`, DuckDB
 # `quantile_cont`): both engines define the 0.5 quantile as the same linear
 # interpolation between the two middle order statistics — one subtraction,

@@ -1455,3 +1455,53 @@ SELECT d.day, d.dau, m.mau, round(d.dau / m.mau, 6) AS stickiness
 FROM d JOIN m USING (month)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_seasonality — the (iso-weekday × hour-of-day) activity heatmap
+# per event type, with each cell's share of the type's total as an exact
+# ppm integer ((10⁶·n) div total — the rational-variant discipline). The
+# weekly/diurnal periodicity profile behind load forecasting and
+# anomaly-baseline construction; Spark's weekday()+1 is matched to
+# DuckDB's isodow() (both Monday=1..Sunday=7 — the engines' native
+# dayofweek() functions DISAGREE on Sunday's index, a documented trap).
+# Plan: one (type, dow, hour) hash agg + a type-sized broadcast of the
+# totals; output is at most |types|·168 rows.
+# ---------------------------------------------------------------------------
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        (F.weekday(F.col("ts")) + 1).cast("long").alias("iso_dow"),
+        F.hour(F.col("ts")).cast("long").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    totals = cells.groupBy("event_type").agg(F.sum("n_events").cast("long").alias("total"))
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "iso_dow",
+        "hour_of_day",
+        "n_events",
+        F.expr("CAST((1000000 * n_events) div total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+register(
+    "events_seasonality",
+    events_seasonality,
+    """
+WITH cells AS (
+  SELECT event_type,
+         CAST(isodow(ts) AS BIGINT) AS iso_dow,
+         CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, isodow(ts), hour(ts)
+),
+totals AS (
+  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total
+  FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.iso_dow, c.hour_of_day, c.n_events,
+       CAST((1000000 * c.n_events) // t.total AS BIGINT) AS share_ppm
+FROM cells c JOIN totals t USING (event_type)
+""",
+)
