@@ -36,15 +36,27 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, append the most recent right row's value columns
-    at or before the left timestamp, matching on ``on``. Left rows with no
-    prior right row get nulls.
+    """For each left row, append the nearest right row's value columns,
+    matching on ``on``: ``direction="backward"`` (default) takes the most
+    recent right row at-or-before the left timestamp; ``"forward"`` the
+    earliest right row at-or-after it (the pandas merge_asof directions;
+    DuckDB's ASOF JOIN expresses both via the inequality's sense). Left
+    rows with no match in the direction get nulls.
 
-    Ties: a right row with ts equal to the left ts IS visible (<=), and
-    among simultaneous right rows the last by union order wins — callers
-    needing stricter tie-breaks should pre-dedup the right side.
+    Ties: a right row with ts equal to the left ts IS visible (<= / >=),
+    and among simultaneous right rows the one nearest the left row in
+    union order wins — callers needing stricter tie-breaks should
+    pre-dedup the right side.
+
+    Plan (both directions): ONE key-partitioned window over the tagged
+    union — backward fills with last(ignorenulls) over an unbounded-
+    preceding frame, forward with first(ignorenulls) over an unbounded-
+    following frame; only the frame and the equal-ts sort of the tag flip.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     lcols = left.columns
     l_tagged = left.select(
         F.col(on).alias("__key"),
@@ -60,18 +72,31 @@ def asof_join(
         F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
         *[F.col(c).alias(f"__rv_{c}") for c in right_value_cols],
     )
-    # Right rows sort BEFORE left rows at equal ts (__is_left asc) so an
-    # equal-timestamp right row is visible to the left row (<= semantics).
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # Backward: right rows sort BEFORE left rows at equal ts (__is_left
+    # asc) so an equal-timestamp right row is visible to the left row
+    # (<= semantics), and last(ignorenulls) over the preceding frame
+    # picks the most recent. Forward mirrors both choices: left rows
+    # sort first at equal ts (>= semantics) and first(ignorenulls) over
+    # the following frame picks the earliest.
     merged = l_tagged.unionByName(r_tagged)
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = lambda c: F.last(F.col(c), ignorenulls=True)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(F.col(c), ignorenulls=True)  # noqa: E731
     filled = merged.select(
         "__is_left",
         "__left",
-        *[F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(f"__filled_{c}") for c in right_value_cols],
+        *[fill(f"__rv_{c}").over(w).alias(f"__filled_{c}") for c in right_value_cols],
     )
     return filled.filter(F.col("__is_left") == 1).select(
         *[F.col("__left")[c].alias(c) for c in lcols],

@@ -107,6 +107,9 @@ _PRIORITY: list[str] = [
     "agg_regression_slope",
     "events_seasonality",
     "func_bitwise",
+    "temporal_asof_forward",
+    "events_type_diversity",
+    "vector_knn_classify",
     # -- block A: code changed in round 7 (most-changed first) --------------
     "graph_triangle_stats",
     "events_anomaly_zscore",

@@ -1505,3 +1505,99 @@ SELECT c.event_type, c.iso_dow, c.hour_of_day, c.n_events,
 FROM cells c JOIN totals t USING (event_type)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_asof_forward — the forward as-of direction (pandas merge_asof
+# direction='forward'; operators/temporal.py asof_join): for each click,
+# the user's NEXT purchase value at-or-after the click — the
+# time-to-conversion primitive, checked against DuckDB's native forward
+# ASOF JOIN (inequality sense flipped — a genuinely different algorithm
+# computing the same relation, the strongest oracle available).
+# ---------------------------------------------------------------------------
+def temporal_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_value_cols=["p_value"],
+        suffix="",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", F.col("p_value").alias("next_purchase_value")
+    )
+
+
+register(
+    "temporal_asof_forward",
+    temporal_asof_forward,
+    """
+WITH clicks AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.ts, c.value, p.p_value AS next_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND p.p_ts >= c.ts
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# events_type_diversity — per-user behavioral diversity as Gini impurity
+# over the event-type mix: 1 − Σ p_t², carried as an EXACT ppm integer
+# ((10⁶·(N² − Σn_t²)) div N² — the rational-variant discipline; Shannon
+# entropy needs log, whose last bit is implementation-defined, so the
+# impurity form is the cross-engine-exact diversity measure). 0 = all
+# events one type (bot-like), → 10⁶·(1−1/T) = uniform over T types.
+# int64-safe while 10⁶·N² fits, i.e. per-user N ≤ ~3·10⁶ events.
+# Plan: (user, type) hash agg → per-user agg — two shuffles, the second
+# on a strictly coarser key; output user-sized.
+# ---------------------------------------------------------------------------
+def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr(
+            "CAST((1000000 * (n_events * n_events - s2)) div (n_events * n_events) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+register(
+    "events_type_diversity",
+    events_type_diversity,
+    """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM per_type GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       CAST((1000000 * (n_events * n_events - s2)) // (n_events * n_events) AS BIGINT) AS gini_ppm
+FROM per_user
+""",
+)

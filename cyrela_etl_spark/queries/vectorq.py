@@ -606,3 +606,85 @@ GROUP BY e.query_id
 
 
 register("vector_recall_report", vector_recall_report, _recall_oracle())
+
+
+# ---------------------------------------------------------------------------
+# vector_knn_classify — k-NN majority-vote classification (Fix & Hodges
+# 1951 / Cover & Hart 1967) over the embedding labels: each query vector
+# is labeled by the majority label among its exact top-k cosine
+# neighbors, ties broken by the SMALLEST label (a total order, so the
+# prediction is deterministic). Reports the vote count and agreement
+# with the query's own label — the standard label-consistency probe for
+# embedding quality (a low agreement rate flags label noise or a broken
+# embedding space).
+#
+# Plan: the audited two-phase exact top-k subplan (queries broadcast,
+# partition-local prune) → neighbor labels via ONE id-keyed join →
+# (query, label) hash count → struct-max argmax (no window over the
+# candidate set) → broadcast join back to the query's own label. Output
+# is query-sized.
+# ---------------------------------------------------------------------------
+def vector_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk = cosine_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=_K)
+    labels = _emb(spark, sf_dir).select("vec_id", F.col("label").cast("long").alias("label"))
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    best = (
+        votes.groupBy("query_id")
+        .agg(F.max(F.struct(F.col("votes"), (-F.col("label")).alias("nl"))).alias("w"))
+        .select(
+            "query_id",
+            (-F.col("w.nl")).cast("long").alias("predicted_label"),
+            F.col("w.votes").alias("votes"),
+        )
+    )
+    own = labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return best.join(F.broadcast(own), "query_id").select(
+        "query_id",
+        "predicted_label",
+        "votes",
+        "true_label",
+        (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+register(
+    "vector_knn_classify",
+    vector_knn_classify,
+    f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+         round({_SQL_COS.format(a='q.qv', b='d.v')}, 6) AS cosine
+  FROM d JOIN q ON d.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+),
+topk AS (SELECT query_id, vec_id FROM ranked WHERE rank <= {_K}),
+votes AS (
+  SELECT t.query_id, CAST(e.label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS votes
+  FROM topk t JOIN embeddings e USING (vec_id)
+  GROUP BY t.query_id, CAST(e.label AS BIGINT)
+),
+best AS (
+  SELECT query_id, label AS predicted_label, votes FROM (
+    SELECT query_id, label, votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, label ASC) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT b.query_id, b.predicted_label, b.votes,
+       CAST(e.label AS BIGINT) AS true_label,
+       b.predicted_label = CAST(e.label AS BIGINT) AS correct
+FROM best b JOIN embeddings e ON b.query_id = e.vec_id
+""",
+)
