@@ -2102,3 +2102,31 @@ LIMIT 10
 
 
 register("scale_countmin_estimate", scale_countmin_estimate, _cms_oracle())
+
+
+# --------------------------------------------------------------------------
+# agg_listagg — the LISTAGG / string_agg surface with a DETERMINISTIC
+# order contract: collect_list is arrival-ordered (unreplayable), so the
+# engine sorts the collected array before joining (array_join∘array_sort
+# ≡ DuckDB's string_agg(... ORDER BY ...)). Nations per region — the
+# classic dimension-denormalization shape; output region-sized.
+# --------------------------------------------------------------------------
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    return nation.groupBy(F.col("n_regionkey").cast("long").alias("region_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names_csv"),
+    )
+
+
+register(
+    "agg_listagg",
+    agg_listagg,
+    """
+SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS names_csv
+FROM nation
+GROUP BY CAST(n_regionkey AS BIGINT)
+""",
+)

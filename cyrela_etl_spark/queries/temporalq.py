@@ -1601,3 +1601,90 @@ SELECT user_id, n_events, n_types,
 FROM per_user
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_first_touch — FIRST-touch revenue attribution, the companion
+# policy to events_attribution's last-touch: each purchase credits the
+# EARLIEST click channel within the 7-day lookback (ties by event_id —
+# a total order), -1 when no click qualifies. Reuses the bucketized
+# range join (operators/temporal.py range_join_buckets — equi-join on
+# (user, time-bucket), never an unbounded inequality join) to pair each
+# purchase with its candidate clicks, then a struct-min argmin picks the
+# earliest; the oracle replays the same relation with a plain
+# inequality join + row_number. Channel totals ride exact decimal sums.
+# ---------------------------------------------------------------------------
+_FT_LOOKBACK_S = 7 * 24 * 3600
+
+
+def events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.temporal import range_join_buckets
+
+    ev = _events(spark, sf_dir)
+    channel = (F.get_json_object("props", "$.k").cast("long") % 10).alias("channel")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"), channel
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"), "value"
+    )
+    pairs = range_join_buckets(
+        clicks.withColumnRenamed("c_ts", "l_ts"),
+        purchases.withColumnRenamed("p_ts", "r_ts"),
+        on="user_id",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        window_seconds=_FT_LOOKBACK_S,
+    )
+    ft = (
+        pairs.select(
+            F.col("r.p_id").alias("p_id"),
+            F.struct(F.col("l.l_ts").alias("ts"), F.col("l.c_id").alias("cid"),
+                     F.col("l.channel").alias("ch")).alias("cand"),
+        )
+        .groupBy("p_id")
+        .agg(F.min("cand").alias("w"))
+        .select("p_id", F.col("w.ch").alias("channel"))
+    )
+    attributed = purchases.join(ft, purchases["p_id"] == ft["p_id"], "left").select(
+        F.coalesce(F.col("channel"), F.lit(-1)).alias("channel"), "value"
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"),
+    )
+
+
+register(
+    "events_first_touch",
+    events_first_touch,
+    f"""
+WITH clicks AS (
+  SELECT user_id, ts AS c_ts, event_id AS c_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS channel
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.p_id, c.c_ts, c.c_id, c.channel
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND p.p_ts >= c.c_ts
+   AND p.p_ts < c.c_ts + INTERVAL {_FT_LOOKBACK_S} SECONDS
+),
+ft AS (
+  SELECT p_id, channel FROM (
+    SELECT p_id, channel,
+           row_number() OVER (PARTITION BY p_id ORDER BY c_ts ASC, c_id ASC) AS rn
+    FROM pairs) WHERE rn = 1
+)
+SELECT coalesce(ft.channel, -1) AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM purchases p LEFT JOIN ft ON p.p_id = ft.p_id
+GROUP BY coalesce(ft.channel, -1)
+""",
+)

@@ -2916,3 +2916,65 @@ SELECT counts.n_nodes, counts.n_edges,
 FROM counts, sums
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — per-document novelty curve: the fraction of a
+# document's distinct 3-gram shingles whose FIRST corpus occurrence (by
+# doc_id order) is this document, as an exact ppm integer. The
+# dataset-diversity signal behind dedup-aware data valuation: replicas
+# and boilerplate-heavy docs score near 0, genuinely new content near
+# 10⁶; summing n_first over docs counts the corpus's distinct grams
+# exactly once (a conservation law the test pins).
+#
+# Plan: shingle explode → gram-keyed min(doc_id) hash agg → ONE gram-
+# keyed join back to the postings → per-doc agg. Shuffles carry gram
+# postings (linear in token volume), never corpus².
+# ---------------------------------------------------------------------------
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    posting = docs.select(
+        "doc_id", F.explode(D.word_shingles(F.col("text"), n=3)).alias("g")
+    )
+    first = posting.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        posting.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_first"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_first",
+            F.expr("CAST((1000000 * n_first) div n_grams AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
+register(
+    "text_ngram_novelty",
+    text_ngram_novelty,
+    f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+posting AS (
+  SELECT doc_id, unnest({sql_shingles('t', 3)}) AS g FROM toks
+),
+first AS (SELECT g, min(doc_id) AS first_doc FROM posting GROUP BY g),
+per_doc AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+  FROM posting p JOIN first f USING (g)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_grams, n_first,
+       CAST((1000000 * n_first) // n_grams AS BIGINT) AS novelty_ppm
+FROM per_doc
+""",
+)
