@@ -1688,3 +1688,107 @@ FROM purchases p LEFT JOIN ft ON p.p_id = ft.p_id
 GROUP BY coalesce(ft.channel, -1)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_calendar_dim — generate the warehouse date-dimension table
+# spanning the events table's day range: ISO weekday/week, month,
+# quarter, year, day-of-year, weekend flag. The standard star-schema
+# conformed dimension, derived (not loaded) so it can never drift from
+# the fact table's span. All columns are integer calendar functions both
+# engines define identically (ISO semantics throughout — weekofyear is
+# ISO on both; the native dayofweek()s disagree and are avoided, the
+# events_seasonality lesson).
+# Plan: 1-row min/max agg → sequence explode on the driver-free spine →
+# projection. Output is span-sized (days), never event-sized.
+# ---------------------------------------------------------------------------
+def temporal_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    iso_dow = (F.weekday(F.col("day")) + 1).cast("long")
+    return days.select(
+        "day",
+        iso_dow.alias("iso_dow"),
+        F.weekofyear(F.col("day")).cast("long").alias("iso_week"),
+        F.month(F.col("day")).cast("long").alias("month"),
+        F.quarter(F.col("day")).cast("long").alias("quarter"),
+        F.year(F.col("day")).cast("long").alias("year"),
+        F.dayofyear(F.col("day")).cast("long").alias("day_of_year"),
+        (iso_dow >= 6).alias("is_weekend"),
+    )
+
+
+register(
+    "temporal_calendar_dim",
+    temporal_calendar_dim,
+    """
+WITH span AS (
+  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+  FROM events
+),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span)
+SELECT day,
+       CAST(isodow(day) AS BIGINT) AS iso_dow,
+       CAST(weekofyear(day) AS BIGINT) AS iso_week,
+       CAST(month(day) AS BIGINT) AS month,
+       CAST(quarter(day) AS BIGINT) AS quarter,
+       CAST(year(day) AS BIGINT) AS year,
+       CAST(dayofyear(day) AS BIGINT) AS day_of_year,
+       isodow(day) >= 6 AS is_weekend
+FROM days
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# window_time_range_frame — time-based RANGE window frames (the SQL
+# RANGE BETWEEN INTERVAL surface): per event, the count and exact
+# decimal sum of the user's events in the TRAILING HOUR. Both engines
+# order by integer epoch seconds with a numeric RANGE frame — identical
+# peer semantics (same-second events share one frame) with none of the
+# interval-frame dialect drift. The time-decayed-feature primitive
+# (fraud velocity checks, rate features) at one window pass.
+# Plan: ONE per-user window exchange; both frame aggregates share it.
+# ---------------------------------------------------------------------------
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    epoch = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("value_trailing_1h"),
+    )
+
+
+register(
+    "window_time_range_frame",
+    window_time_range_frame,
+    """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS value_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)

@@ -2978,3 +2978,58 @@ SELECT doc_id, n_grams, n_first,
 FROM per_doc
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# quality_filter_agreement — the filter-ablation contingency matrix every
+# curation run reads before picking gates: Gopher rule verdicts ×
+# linear-classifier verdicts, cell counts + exact ppm shares. Disagreement
+# cells are where the corpora diverge — the documents one gate keeps and
+# the other kills are exactly the review set. Zero new filter logic on
+# either engine: the Spark side composes the two REGISTERED queries, the
+# oracle NESTS their registered SQL as derived tables (so the matrix can
+# never drift from the gates it audits).
+# Plan: both gate subplans are scan projections; one (bool,bool) hash agg
+# + a 1-row broadcast total. Output is 4 rows.
+# ---------------------------------------------------------------------------
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    c = quality_classifier_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("clf_keep")
+    )
+    cells = (
+        g.join(c, "doc_id")
+        .groupBy("gopher_keep", "clf_keep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    total = cells.agg(F.sum("n_docs").cast("long").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "gopher_keep",
+        "clf_keep",
+        "n_docs",
+        F.expr("CAST((1000000 * n_docs) div total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+def _agreement_oracle() -> str:
+    from cyrela_etl_spark.queries import REGISTRY
+
+    gopher_sql = REGISTRY["quality_gopher_rules"][1]
+    clf_sql = REGISTRY["quality_classifier_filter"][1]
+    return f"""
+WITH cells AS (
+  SELECT g.keep AS gopher_keep, c.keep AS clf_keep,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM ({gopher_sql}) g JOIN ({clf_sql}) c USING (doc_id)
+  GROUP BY g.keep, c.keep
+),
+total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM cells)
+SELECT gopher_keep, clf_keep, n_docs,
+       CAST((1000000 * n_docs) // total AS BIGINT) AS share_ppm
+FROM cells, total
+"""
+
+
+register("quality_filter_agreement", quality_filter_agreement, _agreement_oracle())
