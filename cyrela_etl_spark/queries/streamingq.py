@@ -569,3 +569,87 @@ r AS (
 SELECT bucket, event_type, n_events, rank FROM r WHERE rank <= 3
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_interval_join_outer — the LEFT OUTER stream-stream interval
+# join, with the watermark's null-emission horizon made VISIBLE (the
+# stream_dedup_expiry discipline): unmatched clicks get their null-
+# padded row only once no purchase can still arrive — i.e. when
+# click_ts + upper falls below the query watermark. The watermark is the
+# MIN over both streams of (that stream's max event time − its delay) —
+# empirically pinned: with per-type filtered streams the click stream's
+# own max gates emission, so the newest unmatched clicks (here the last
+# click itself) are withheld even at end of stream. The oracle replays
+# matched rows as a plain batch join and unmatched rows with the exact
+# same horizon predicate — the strongest available cross-check of
+# outer-join state eviction semantics.
+# ---------------------------------------------------------------------------
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="1 hour", watermark="2 hours",
+        how="left_outer",
+    ).select("user_id", "click_id", "purchase_id", "purchase_value")
+    return _drain(
+        spark, run_available_now, joined, "stream_interval_join_outer",
+        output_mode="append",
+    )
+
+
+register(
+    "stream_interval_join_outer",
+    stream_interval_join_outer,
+    """
+WITH wm AS (
+  SELECT least(
+           (SELECT max(ts) FROM events WHERE event_type = 'click'),
+           (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 2 HOURS AS w
+),
+matched AS (
+  SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id,
+         r.value AS purchase_value
+  FROM events l JOIN events r
+    ON l.user_id = r.user_id
+   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+  WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+),
+unmatched AS (
+  SELECT c.user_id, c.event_id AS click_id,
+         CAST(NULL AS BIGINT) AS purchase_id,
+         CAST(NULL AS DOUBLE) AS purchase_value
+  FROM events c, wm
+  WHERE c.event_type = 'click'
+    AND NOT EXISTS (
+      SELECT 1 FROM events r
+      WHERE r.event_type = 'purchase' AND r.user_id = c.user_id
+        AND r.ts >= c.ts AND r.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    AND c.ts + INTERVAL 1 HOUR < wm.w
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM unmatched
+""",
+)

@@ -262,9 +262,10 @@ def stream_stream_interval_join(
     lower: str = "0 seconds",
     upper: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER equi-join with an event-time interval bound:
-    right rows match left rows with the same ``key`` and
+    """Stream-stream equi-join with an event-time interval bound: right
+    rows match left rows with the same ``key`` and
     ``left_ts + lower <= right_ts <= left_ts + upper`` (e.g. purchases
     within an hour of the click that led to them).
 
@@ -273,10 +274,22 @@ def stream_stream_interval_join(
     that state BOUNDED — each side can discard rows once the other
     side's watermark passes the interval, which is the only formulation
     that survives unbounded streams (without the time bound Spark
-    rejects the plan outright for append mode). The drained result must
-    equal the batch join with the identical predicate — that equality is
-    this operator's oracle contract.
+    rejects the plan outright for append mode). The drained INNER result
+    must equal the batch join with the identical predicate — that
+    equality is this operator's oracle contract.
+
+    ``how="left_outer"`` additionally emits null-padded rows for left
+    rows that never matched — but ONLY once the watermark proves no
+    match can still arrive: a left row's null row is emitted when
+    ``left_ts + upper`` falls below the final event-time watermark
+    (max event time − watermark delay). Left rows younger than that
+    horizon are withheld even at end of stream — the price of
+    correctness over unbounded input, and exactly the visible semantics
+    the declared query's oracle replays (the stream_dedup_expiry
+    discipline: make the watermark DO something checkable).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"stream_stream_interval_join: unsupported how={how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -284,7 +297,7 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {lower}"))
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 def dedup_within_watermark(

@@ -263,3 +263,44 @@ def test_dedup_within_watermark_state_expires_after_cleanup_batch(spark, tmp_pat
     assert ids.count(1) == 1      # expired but not yet cleaned → deduped
     assert ids.count(10) == 1     # state alive → deduped
     assert len(emitted) == 12     # 11 originals + one re-emission
+
+
+def test_outer_interval_join_withholds_unexpired_tail(spark):
+    """LEFT OUTER stream-stream interval join: null rows appear ONLY for
+    clicks whose match window is fully below the query watermark
+    (min over both streams of max_ts − delay). The newest unmatched
+    click — by construction the click-stream max — must be withheld at
+    end of stream, and every emitted null must satisfy the horizon
+    predicate."""
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.queries.streamingq import stream_interval_join_outer
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_interval_join_outer(spark, sf)
+    nulls = out.filter(F.col("purchase_id").isNull()).collect()
+    assert nulls, "expected some expired unmatched clicks"
+    ev = read_events(spark, sf)
+    max_click, max_purchase = (
+        ev.groupBy()
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        )
+        .collect()[0]
+    )
+    watermark = min(max_click, max_purchase)
+    clicks = {
+        r["event_id"]: r["ts"]
+        for r in ev.filter(F.col("event_type") == "click").collect()
+    }
+    import datetime
+
+    horizon = watermark - datetime.timedelta(hours=3)  # delay 2h + upper 1h
+    for r in nulls:
+        assert clicks[r["click_id"]] < horizon
+    # the final click is unmatched here and inside the un-expired tail
+    emitted = {r["click_id"] for r in nulls}
+    tail_click = max(clicks, key=lambda k: clicks[k])
+    assert tail_click not in emitted
