@@ -1792,3 +1792,138 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_peak_days — local-extremum detection over the per-type daily
+# count series: a day is a PEAK when its count strictly exceeds both
+# calendar neighbors in the series (lag/lead over the per-type order), a
+# VALLEY when strictly below both; series endpoints are neither (one-
+# sided evidence). Pure integer comparisons over one window pass — the
+# spike-calendar view that complements CUSUM's cumulative drift state
+# (CUSUM finds sustained level shifts; this finds single-day spikes).
+# Plan: daily hash agg + ONE per-type window (lag and lead share it);
+# output is peak/valley-sized.
+# ---------------------------------------------------------------------------
+def events_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    marked = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.lag("n_events").over(w).alias("prev_n"),
+        F.lead("n_events").over(w).alias("next_n"),
+    )
+    kind = (
+        F.when(
+            (F.col("n_events") > F.col("prev_n")) & (F.col("n_events") > F.col("next_n")),
+            "peak",
+        )
+        .when(
+            (F.col("n_events") < F.col("prev_n")) & (F.col("n_events") < F.col("next_n")),
+            "valley",
+        )
+    )
+    return (
+        marked.select("event_type", "day", "n_events", kind.alias("kind"))
+        .filter(F.col("kind").isNotNull())
+    )
+
+
+register(
+    "events_peak_days",
+    events_peak_days,
+    """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+marked AS (
+  SELECT event_type, day, n_events,
+         lag(n_events) OVER w AS prev_n,
+         lead(n_events) OVER w AS next_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, n_events,
+       CASE WHEN n_events > prev_n AND n_events > next_n THEN 'peak'
+            WHEN n_events < prev_n AND n_events < next_n THEN 'valley'
+       END AS kind
+FROM marked
+WHERE (n_events > prev_n AND n_events > next_n)
+   OR (n_events < prev_n AND n_events < next_n)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# events_gap_magnitude_histogram — the inter-arrival-time distribution
+# per event type, bucketed by ORDER OF MAGNITUDE in exact integer space:
+# the bucket is the decimal digit count of the gap in milliseconds
+# (length of the integer's string form — exact on any engine, unlike
+# floor(log10) whose libm last bit is implementation-defined). The
+# latency/burstiness profile behind rate-limit tuning and bot
+# triage, with per-type ppm shares.
+# Plan: ONE per-type window (lag) + one (type, bucket) hash agg + a
+# type-sized broadcast of totals; output ≤ |types|·13 rows.
+# ---------------------------------------------------------------------------
+def events_gap_magnitude_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gaps = ev.select(
+        "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull() & (F.col("gap_ms") >= 0))
+    bucketed = gaps.select(
+        "event_type",
+        F.length(F.col("gap_ms").cast("string")).cast("long").alias("gap_digits"),
+    )
+    cells = bucketed.groupBy("event_type", "gap_digits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps")
+    )
+    totals = cells.groupBy("event_type").agg(F.sum("n_gaps").cast("long").alias("total"))
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "gap_digits",
+        "n_gaps",
+        F.expr("CAST((1000000 * n_gaps) div total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+register(
+    "events_gap_magnitude_histogram",
+    events_gap_magnitude_histogram,
+    """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_ms(ts) - lag(epoch_ms(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_ms
+  FROM events
+),
+bucketed AS (
+  SELECT event_type,
+         CAST(length(CAST(gap_ms AS VARCHAR)) AS BIGINT) AS gap_digits
+  FROM gaps WHERE gap_ms IS NOT NULL AND gap_ms >= 0
+),
+cells AS (
+  SELECT event_type, gap_digits, CAST(count(*) AS BIGINT) AS n_gaps
+  FROM bucketed GROUP BY event_type, gap_digits
+),
+totals AS (
+  SELECT event_type, CAST(sum(n_gaps) AS BIGINT) AS total
+  FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.gap_digits, c.n_gaps,
+       CAST((1000000 * c.n_gaps) // t.total AS BIGINT) AS share_ppm
+FROM cells c JOIN totals t USING (event_type)
+""",
+)

@@ -3033,3 +3033,75 @@ FROM cells, total
 
 
 register("quality_filter_agreement", quality_filter_agreement, _agreement_oracle())
+
+
+# ---------------------------------------------------------------------------
+# corpus_curriculum_stages — length-based curriculum ordering (Bengio et
+# al. 2009's curriculum-learning recipe in its standard data-engineering
+# form: train short→long): documents are ranked by (token count, doc_id)
+# — a total order — and split into 4 curriculum stages with ntile, plus
+# each document's exact position and the stage's token budget share as
+# ppm. Both engines define ntile identically over a total order (extras
+# to the leading buckets), so stage assignment is deterministic.
+# Plan: zero-shuffle token-count projection → ONE global-order window
+# (the single-partition sort is over doc-id-sized rows, metadata scale —
+# the documented exception to the no-global-window rule, same as
+# sql_lateral_topn's ranked join) → stage-keyed agg broadcast back.
+# ---------------------------------------------------------------------------
+def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    staged = base.select(
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).cast("long").alias("position"),
+        F.ntile(4).over(w).cast("long").alias("stage"),
+    )
+    budgets = staged.groupBy("stage").agg(F.sum("n_tokens").cast("long").alias("stage_tokens"))
+    total = budgets.agg(F.sum("stage_tokens").cast("long").alias("total"))
+    budgets = budgets.crossJoin(F.broadcast(total)).select(
+        "stage",
+        "stage_tokens",
+        F.expr("CAST((1000000 * stage_tokens) div total AS BIGINT)").alias(
+            "stage_share_ppm"
+        ),
+    )
+    return staged.join(F.broadcast(budgets), "stage").select(
+        "doc_id", "n_tokens", "position", "stage", "stage_tokens", "stage_share_ppm"
+    )
+
+
+register(
+    "corpus_curriculum_stages",
+    corpus_curriculum_stages,
+    f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, n_tokens,
+         CAST(row_number() OVER w AS BIGINT) AS position,
+         CAST(ntile(4) OVER w AS BIGINT) AS stage
+  FROM base
+  WINDOW w AS (ORDER BY n_tokens, doc_id)
+),
+budgets AS (
+  SELECT stage, CAST(sum(n_tokens) AS BIGINT) AS stage_tokens
+  FROM staged GROUP BY stage
+),
+total AS (SELECT CAST(sum(stage_tokens) AS BIGINT) AS total FROM budgets),
+b AS (
+  SELECT stage, stage_tokens,
+         CAST((1000000 * stage_tokens) // total AS BIGINT) AS stage_share_ppm
+  FROM budgets, total
+)
+SELECT s.doc_id, s.n_tokens, s.position, s.stage, b.stage_tokens, b.stage_share_ppm
+FROM staged s JOIN b USING (stage)
+""",
+)

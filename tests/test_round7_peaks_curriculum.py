@@ -1,0 +1,76 @@
+"""Round-7 wave: peak/valley detection, gap-magnitude histogram,
+curriculum staging — hand-computed pins."""
+
+from __future__ import annotations
+
+import datetime
+
+
+def _mk_events(spark, daily_counts):
+    rows, eid = [], 0
+    for day, cnt in enumerate(daily_counts):
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, datetime.datetime(2026, 7, 1 + day, 10, 0), 1, "t", 1.0))
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_peak_days_endpoints_excluded(spark, monkeypatch):
+    from cyrela_etl_spark.queries import temporalq
+
+    # series 5, 9, 3, 3, 8: day2 is a peak, day3 a valley (strict only on
+    # one side -> day4 is nothing), endpoints never classified
+    tiny = _mk_events(spark, [5, 9, 3, 3, 8])
+    monkeypatch.setattr(temporalq, "_events", lambda spark, sf_dir: tiny)
+    got = {r["day"].day: r["kind"] for r in temporalq.events_peak_days(spark, "x").collect()}
+    assert got == {2: "peak"}  # day3 (3) ties day4 (3): not strictly below both
+
+
+def test_peak_and_valley_detected(spark, monkeypatch):
+    from cyrela_etl_spark.queries import temporalq
+
+    tiny = _mk_events(spark, [5, 9, 3, 8, 6])
+    monkeypatch.setattr(temporalq, "_events", lambda spark, sf_dir: tiny)
+    got = {r["day"].day: r["kind"] for r in temporalq.events_peak_days(spark, "x").collect()}
+    assert got == {2: "peak", 3: "valley", 4: "peak"}
+
+
+def test_gap_histogram_digit_buckets(spark, monkeypatch):
+    from cyrela_etl_spark.queries import temporalq
+
+    base = datetime.datetime(2026, 7, 1, 0, 0, 0)
+    # gaps: 5 ms (1 digit), 500 ms (3 digits), 5000 ms (4 digits)
+    times = [base]
+    for ms in (5, 500, 5000):
+        times.append(times[-1] + datetime.timedelta(milliseconds=ms))
+    tiny = spark.createDataFrame(
+        [(i + 1, t, 1, "t", 1.0) for i, t in enumerate(times)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    from cyrela_etl_spark.queries import temporalq as tq
+
+    monkeypatch.setattr(tq, "_events", lambda spark, sf_dir: tiny)
+    got = {
+        r["gap_digits"]: (r["n_gaps"], r["share_ppm"])
+        for r in tq.events_gap_magnitude_histogram(spark, "x").collect()
+    }
+    assert got == {1: (1, 333333), 3: (1, 333333), 4: (1, 333333)}
+
+
+def test_curriculum_stage_order_and_budget(spark, tmp_path):
+    from cyrela_etl_spark.queries.textq import corpus_curriculum_stages
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([1, 2, 3, 4, 5, 6, 7, 8])],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {r["doc_id"]: r for r in corpus_curriculum_stages(spark, str(tmp_path)).collect()}
+    # shortest docs lead the curriculum; 8 docs / 4 stages = 2 each
+    assert rows[0]["stage"] == 1 and rows[0]["position"] == 1
+    assert rows[7]["stage"] == 4 and rows[7]["position"] == 8
+    # stage 1 holds tokens 1+2 of total 36 -> 83333 ppm
+    assert rows[0]["stage_tokens"] == 3
+    assert rows[0]["stage_share_ppm"] == 83333
