@@ -2130,3 +2130,49 @@ FROM nation
 GROUP BY CAST(n_regionkey AS BIGINT)
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# set_ops_all — the BAG-semantics set operations (EXCEPT ALL / INTERSECT
+# ALL), the multiplicity-preserving twins of set_ops' DISTINCT variants:
+# high-priority order customers minus/intersected-with finished-order
+# customers, each surviving occurrence kept (the multiset difference the
+# reconciliation pattern needs — how many of a customer's urgent orders
+# are NOT yet finished). Both engines define the ALL variants by pairing
+# occurrences; the value-hash compare is multiplicity-sensitive, so the
+# oracle checks bag equality, not just membership.
+# --------------------------------------------------------------------------
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    high = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey").alias("custkey"))
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    ex = high.exceptAll(finished).select("custkey", F.lit("except_all").alias("op"))
+    inter = high.intersectAll(finished).select(
+        "custkey", F.lit("intersect_all").alias("op")
+    )
+    return ex.unionByName(inter)
+
+
+register(
+    "set_ops_all",
+    set_ops_all,
+    """
+SELECT custkey, 'except_all' AS op FROM (
+  SELECT o_custkey AS custkey FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT custkey, 'intersect_all' AS op FROM (
+  SELECT o_custkey AS custkey FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+""",
+)

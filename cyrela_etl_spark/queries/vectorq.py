@@ -688,3 +688,94 @@ SELECT b.query_id, b.predicted_label, b.votes,
 FROM best b JOIN embeddings e ON b.query_id = e.vec_id
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# vector_kcenter_select — greedy farthest-point (k-center) selection
+# (Gonzalez 1985, "Clustering to minimize the maximum intercluster
+# distance"; the 2-approximation every diverse-core-set recipe uses):
+# seed with the smallest vec_id, then repeatedly take the candidate
+# whose min squared-L2 distance to the selected set is LARGEST (distance
+# rounded to 6 before the argmax, ties to the smallest vec_id — a total
+# order). The selection sequence IS the output; its distance column is
+# the decreasing coverage-radius sequence — the diversity budget curve a
+# data-selection run reads.
+#
+# The greedy is inherently sequential, so each of the k−1 rounds is one
+# full-scan argmax with a SINGLE-ROW TakeOrdered collect (the allowed
+# scalar-collect class — kmeans' seed/convergence discipline); all
+# distance arithmetic is the audited three-dot expansion with the
+# sequential fold both engines share. The oracle unrolls the same k−1
+# stages as chained 1-row CTEs (generated, not hand-written).
+# ---------------------------------------------------------------------------
+_KC_K = 5
+
+
+def vector_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.functions.vectors import dot
+
+    emb = _emb(spark, sf_dir).select("vec_id", to_double_array("embedding").alias("v"))
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(int(seed["vec_id"]), list(seed["v"]))]
+    out_rows = [(1, chosen[0][0], None)]
+    for rank in range(2, _KC_K + 1):
+        dxx = dot(F.col("v"), F.col("v"))
+        d2s = []
+        for _cid, cv in chosen:
+            lit = F.array(*[F.lit(float(x)) for x in cv])
+            d2s.append(
+                F.greatest(
+                    dxx - F.lit(2.0) * dot(F.col("v"), lit) + dot(lit, lit),
+                    F.lit(0.0),
+                )
+            )
+        md = F.round(F.least(*d2s) if len(d2s) > 1 else d2s[0], 6)
+        hits = (
+            emb.filter(~F.col("vec_id").isin([c for c, _v in chosen]))
+            .select("vec_id", "v", md.alias("md"))
+            .orderBy(F.desc("md"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not hits:  # fewer than k candidates: the selection IS the set
+            break
+        best = hits[0]
+        chosen.append((int(best["vec_id"]), list(best["v"])))
+        out_rows.append((rank, int(best["vec_id"]), float(best["md"])))
+    return spark.createDataFrame(
+        out_rows, "sel_rank long, vec_id long, min_dist_sq double"
+    )
+
+
+def _kcenter_oracle() -> str:
+    def d2(v: str, s: str) -> str:
+        return (
+            f"greatest(list_dot_product({v}, {v})"
+            f" - 2.0 * list_dot_product({v}, {s}.v)"
+            f" + list_dot_product({s}.v, {s}.v), 0.0)"
+        )
+
+    ctes = [
+        "d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "s1 AS (SELECT vec_id, v FROM d ORDER BY vec_id LIMIT 1)",
+    ]
+    for r in range(2, _KC_K + 1):
+        prev = [f"s{i}" for i in range(1, r)]
+        terms = [d2("d.v", s) for s in prev]
+        md = f"round(least({', '.join(terms)}), 6)" if len(terms) > 1 else f"round({terms[0]}, 6)"
+        froms = ", ".join(["d"] + prev)
+        not_in = " AND ".join(f"d.vec_id <> {s}.vec_id" for s in prev)
+        ctes.append(
+            f"s{r} AS (SELECT d.vec_id, d.v, {md} AS md FROM {froms} "
+            f"WHERE {not_in} ORDER BY md DESC, d.vec_id ASC LIMIT 1)"
+        )
+    selects = ["SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS min_dist_sq FROM s1"]
+    for r in range(2, _KC_K + 1):
+        selects.append(f"SELECT {r} AS sel_rank, vec_id, md AS min_dist_sq FROM s{r}")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT CAST(sel_rank AS BIGINT) AS sel_rank, "
+        "vec_id, min_dist_sq FROM (" + "\nUNION ALL\n".join(selects) + ")"
+    )
+
+
+register("vector_kcenter_select", vector_kcenter_select, _kcenter_oracle())
