@@ -3105,3 +3105,54 @@ SELECT s.doc_id, s.n_tokens, s.position, s.stage, b.stage_tokens, b.stage_share_
 FROM staged s JOIN b USING (stage)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_pair_stats — the first training step of byte-pair encoding
+# (Sennrich, Haddow & Birch 2016, "Neural machine translation of rare
+# words with subword units"): corpus-wide adjacent character-pair
+# frequencies over token occurrences, top-20 by (count, pair) — the
+# exact argmax BPE would merge first, and the statistics a tokenizer-
+# induction pipeline materializes at every merge round. Pairs are
+# substr(word, i, 2) over a per-word index sequence — the IDENTICAL
+# spelling on both engines (no empty-string split dialect). All counts
+# exact ints; total deterministic order.
+# Plan: token explode → per-word pair transform+explode (JVM codegen,
+# zero Python) → ONE pair-keyed hash agg with map-side combine →
+# TakeOrdered 20. Shuffles carry pair-vocabulary rows.
+# ---------------------------------------------------------------------------
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-char words MUST be filtered first: Spark's sequence(1, 0)
+    # produces a DESCENDING [1, 0] (not an empty array as in DuckDB), so
+    # an unguarded transform would mint phantom pairs from 1-char words
+    words = docs.select(F.explode(X.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(20)
+
+
+register(
+    "text_bpe_pair_stats",
+    text_bpe_pair_stats,
+    f"""
+WITH words AS (
+  SELECT unnest({sql_tokens('text')}) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT 20
+""",
+)

@@ -74,3 +74,16 @@ def test_curriculum_stage_order_and_budget(spark, tmp_path):
     # stage 1 holds tokens 1+2 of total 36 -> 83333 ppm
     assert rows[0]["stage_tokens"] == 3
     assert rows[0]["stage_share_ppm"] == 83333
+
+
+def test_bpe_pairs_hand_computed(spark, tmp_path):
+    from cyrela_etl_spark.queries.textq import text_bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        # "abab" pairs: ab, ba, ab; "ab": ab; "x" (1-char): MUST emit none
+        [(1, "abab ab x")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    rows = [(r["pair"], r["n_occurrences"]) for r in text_bpe_pair_stats(spark, str(tmp_path)).collect()]
+    assert rows == [("ab", 3), ("ba", 1)]
