@@ -1927,3 +1927,110 @@ SELECT c.event_type, c.gap_digits, c.n_gaps,
 FROM cells c JOIN totals t USING (event_type)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_concurrency_curve — peak concurrent sessions per day: the
+# classic sweep-line / "meeting rooms" interval-stabbing maximum, as
+# pure DataFrame ops. Sessions (the temporal_sessionize boundaries:
+# >30-min inactivity gap) become ±1 endpoint deltas; concurrency is the
+# running sum over (time, delta) — delta sorts ASC so a session ending
+# at instant t frees its slot BEFORE one starting at t claims it (the
+# standard no-phantom-overlap tie rule, deterministic on both engines).
+#
+# Scale shape: a GLOBAL sweep would be a single-reducer sort, so each
+# session is first CLIPPED into per-day segments (sequence explode over
+# covered days — sessions are 30-min-gap bounded, so the fan-out is tiny)
+# and the sweep runs per (day) partition: the curve parallelizes by day
+# with no cross-partition carry because segments never span midnight.
+# ONE user shuffle (sessionize) + one day-keyed window + a day agg.
+# ---------------------------------------------------------------------------
+def temporal_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sessions = temporal_sessionize(spark, sf_dir).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    seg = sessions.select(
+        "user_id",
+        "session_idx",
+        "session_start",
+        "session_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("session_start")),
+                F.date_trunc("day", F.col("session_end")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    ).select(
+        "day",
+        F.greatest(F.col("session_start"), F.col("day")).alias("seg_start"),
+        F.least(
+            F.col("session_end"), F.col("day") + F.expr("INTERVAL 1 DAY")
+        ).alias("seg_end"),
+    )
+    deltas = seg.select(
+        "day", F.col("seg_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        seg.select("day", F.col("seg_end").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy("day").orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = deltas.select("day", F.sum("delta").over(w).alias("concurrent"))
+    return curve.groupBy("day").agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent")
+    )
+
+
+register(
+    "temporal_concurrency_curve",
+    temporal_concurrency_curve,
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM g
+),
+sessions AS (
+  SELECT user_id, session_idx,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY user_id, session_idx
+),
+seg AS (
+  SELECT unnest(generate_series(date_trunc('day', session_start),
+                                date_trunc('day', session_end),
+                                INTERVAL 1 DAY)) AS day,
+         session_start, session_end
+  FROM sessions
+),
+clipped AS (
+  SELECT day,
+         greatest(session_start, day) AS seg_start,
+         least(session_end, day + INTERVAL 1 DAY) AS seg_end
+  FROM seg
+),
+deltas AS (
+  SELECT day, seg_start AS ts, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT day, seg_end AS ts, -1 AS delta FROM clipped
+),
+curve AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY ts, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
+  FROM deltas
+)
+SELECT day, CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+FROM curve GROUP BY day
+""",
+)

@@ -87,3 +87,36 @@ def test_bpe_pairs_hand_computed(spark, tmp_path):
     docs.write.parquet(f"{tmp_path}/documents.parquet")
     rows = [(r["pair"], r["n_occurrences"]) for r in text_bpe_pair_stats(spark, str(tmp_path)).collect()]
     assert rows == [("ab", 3), ("ba", 1)]
+
+
+def test_concurrency_curve_meeting_rooms(spark, monkeypatch):
+    """Three users: A 10:00-10:10, B 10:05-10:15, C 10:12-10:20 ->
+    peak 2 (A∩B, then B∩C); sessions touching at an instant do NOT
+    overlap (end's -1 sorts before start's +1)."""
+    import datetime
+
+    from cyrela_etl_spark.queries import temporalq
+
+    def ev(eid, user, minute):
+        return (eid, datetime.datetime(2026, 8, 1, 10, minute), user, "t", 1.0)
+
+    tiny = spark.createDataFrame(
+        [
+            ev(1, 1, 0), ev(2, 1, 10),
+            ev(3, 2, 5), ev(4, 2, 15),
+            ev(5, 3, 12), ev(6, 3, 20),
+            # user 4's session starts exactly when user 1's ends: no overlap
+            ev(7, 4, 10), ev(8, 4, 11),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    monkeypatch.setattr(temporalq, "_events", lambda spark, sf_dir: tiny)
+    rows = temporalq.temporal_concurrency_curve(spark, "x").collect()
+    assert len(rows) == 1
+    # at 10:05-10:10 three would overlap only if the touch counted: A,B
+    # plus C from 10:12 with B; plus user 4 10:10-10:11 with B. Peak = 3?
+    # intervals: A[0,10] B[5,15] C[12,20] D[10,11]
+    # t in (5,10): A,B = 2; t=10: A ends before D starts -> B,D = 2;
+    # t in (12,15): B,C,? D ended at 11 -> 2. Peak = 2... but B/D/A at 10:
+    # -1(A) then +1(D) -> never 3.
+    assert rows[0]["peak_concurrent"] == 2
