@@ -888,3 +888,47 @@ def _corr_oracle() -> str:
 
 
 register("storage_correlation_profile", storage_correlation_profile, _corr_oracle())
+
+
+# ---------------------------------------------------------------------------
+# storage_orc_roundtrip — ORC source/sink e2e (Spark's second native
+# columnar format; the reference stack is CSV-only, so this is extension
+# scope): lineitem columns → ORC write (zlib, the Spark default) →
+# schema-preserving read-back → decimal-exact re-aggregation. DuckDB
+# cannot read ORC, so the oracle is the aggregate-parity form the CSV
+# roundtrip established: any writer/reader corruption (type mangling,
+# row loss, encoding drift) breaks the hash. Predicate pushdown into ORC
+# scans is asserted separately (tests) — this row pins data fidelity.
+# ---------------------------------------------------------------------------
+def storage_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/lineitem"
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.schema(li.schema).orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.min("l_orderkey").cast("long").alias("min_key"),
+        F.max("l_orderkey").cast("long").alias("max_key"),
+    )
+
+
+register(
+    "storage_orc_roundtrip",
+    storage_orc_roundtrip,
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+       CAST(max(l_orderkey) AS BIGINT) AS max_key
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)

@@ -131,3 +131,23 @@ def test_correlation_single_scan_no_joins(spark):
     plan = _plan(df)
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_orc_scan_pushes_predicates(spark, tmp_path):
+    """ORC scans must carry pushed filters and a pruned ReadSchema —
+    format coverage is only real if the optimizer reaches the reader."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = f"{tmp_path}/li_orc"
+    li.write.orc(path)
+    q = (
+        spark.read.orc(path)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_returnflag" in plan
+    assert "l_quantity" not in plan.split("ReadSchema")[1][:200]
