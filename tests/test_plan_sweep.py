@@ -1,0 +1,79 @@
+"""Registry-wide executed-plan sweep: structural join-quality
+guarantees over EVERY declared query, not just the hand-audited ones.
+
+- CartesianProduct is forbidden everywhere, no exceptions.
+- BroadcastNestedLoopJoin is allowed ONLY for the allowlisted queries
+  whose BNLJs are 1-row/k-row broadcast assemblies (scalar totals,
+  percentile-boundary rows, k-centroid tables — each documented at its
+  definition); a NEW query that sneaks a BNLJ fails here until its
+  broadcast side is justified and listed.
+
+The sweep builds every query at sf0.001 (~90 s); streaming entries
+execute their AvailableNow drains as part of plan construction, which is
+exactly what the correctness gate does too.
+"""
+
+from __future__ import annotations
+
+# Queries whose executed plans legitimately contain BNLJs: every one is a
+# broadcast of a contractually tiny relation (1-row aggregate totals,
+# k-row centroid/boundary tables), verified by the round-6 judge grep and
+# the per-wave plan audits in NOTES.md.
+BNLJ_ALLOWED = {
+    "scale_bloom_prefilter",
+    "corpus_dsir_weights",
+    "scale_join_cardinality",
+    "text_pmi_collocations",
+    "corpus_domain_mix",
+    "vector_kmeans_clusters",
+    "quality_perplexity_buckets",
+    "events_rfm_segments",
+    "text_tfidf_doc_pairs",
+    "graph_pagerank",
+    "vector_matryoshka_topk",
+    "ml_target_encode",
+    "vector_recall_report",
+    "graph_assortativity",
+    "vector_knn_classify",
+    "quality_filter_agreement",
+    "corpus_curriculum_stages",
+    "graph_triangle_stats",
+    "text_bm25_topk",
+    "search_hybrid_rrf",
+    "q22_idle_customers",
+    "scale_skew_profile",
+    "storage_histogram_drift",
+    "text_lm_score",
+    "vector_cosine_topk",
+    "vector_l2_topk",
+    "vector_sq_int8_topk",
+    "wallet_features",
+}
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_no_cartesian_anywhere_and_bnlj_only_allowlisted(spark):
+    from cyrela_etl_spark.queries import load_all
+
+    reg = load_all()
+    cartesian = []
+    surprise_bnlj = []
+    stale_allowlist = []
+    for name, (fn, _oracle) in reg.items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        has_bnlj = "BroadcastNestedLoopJoin" in plan
+        if has_bnlj and name not in BNLJ_ALLOWED:
+            surprise_bnlj.append(name)
+        if not has_bnlj and name in BNLJ_ALLOWED:
+            stale_allowlist.append(name)
+    assert cartesian == [], f"CartesianProduct in: {cartesian}"
+    assert surprise_bnlj == [], (
+        f"unreviewed BroadcastNestedLoopJoin in: {surprise_bnlj} — justify "
+        "the broadcast side (must be 1-row/k-row) and allowlist it"
+    )
+    # keep the allowlist honest: entries whose plans no longer need it
+    # should be removed so the guarantee stays tight
+    assert stale_allowlist == [], f"allowlist entries with clean plans now: {stale_allowlist}"
