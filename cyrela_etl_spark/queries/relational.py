@@ -2176,3 +2176,45 @@ SELECT custkey, 'intersect_all' AS op FROM (
 )
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# sql_recursive_cte — WITH RECURSIVE (new engine surface in Spark 4):
+# bounded-hop BFS reachability from the smallest custkey over a derived
+# "referral" edge list (each customer links to the next 3 custkeys — a
+# deterministic ladder over driver data with branching ≤3, so hop k
+# reaches keys seed+1..seed+3k and BFS distance is ceil(offset/3) — a
+# closed form the test pins). Spark's recursion supports UNION ALL only, so
+# the recursion carries duplicate (id, hop) paths — finite because depth
+# is bounded at 5 and branching at 3 — and the outer min(hop) GROUP BY
+# collapses them to BFS distances, identically on both engines.
+# Exercises the recursive plan surface the pointer-doubling operators
+# deliberately avoid.
+# --------------------------------------------------------------------------
+_REC_SQL_BODY = """
+WITH RECURSIVE
+e AS (
+  SELECT a.c_custkey AS src, b.c_custkey AS dst
+  FROM {cust} a JOIN {cust} b
+    ON b.c_custkey BETWEEN a.c_custkey + 1 AND a.c_custkey + 3
+),
+reach(id, hop) AS (
+  SELECT min(c_custkey), 0 FROM {cust}
+  UNION ALL
+  SELECT e.dst, r.hop + 1
+  FROM reach r JOIN e ON e.src = r.id
+  WHERE r.hop < 5
+)
+SELECT CAST(id AS BIGINT) AS custkey,
+       CAST(min(hop) AS BIGINT) AS min_hops
+FROM reach GROUP BY id
+"""
+
+
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("v_cust_rec")
+    return spark.sql(_REC_SQL_BODY.format(cust="v_cust_rec"))
+
+
+register("sql_recursive_cte", sql_recursive_cte, _REC_SQL_BODY.format(cust="customer"))

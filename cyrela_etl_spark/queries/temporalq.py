@@ -2034,3 +2034,54 @@ SELECT day, CAST(max(concurrent) AS BIGINT) AS peak_concurrent
 FROM curve GROUP BY day
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_session_window_native — Spark's NATIVE session_window in
+# BATCH mode, cross-checked against the gaps-and-islands SQL spelling:
+# the native operator MERGES an exactly-30-minute gap (an event landing
+# on the session's end instant extends it — probe-verified; the break
+# rule is gap > 1800 s, the same inclusive rule temporal_sessionize
+# uses) and reports window.end = last event + gap. Validates Spark's
+# built-in session operator against an independent formulation — the
+# strongest check for an operator the engine also uses under streaming.
+# Plan: ONE per-user shuffle into the native session aggregation.
+# ---------------------------------------------------------------------------
+def temporal_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_close"),
+            "n_events",
+        )
+    )
+
+
+register(
+    "temporal_session_window_native",
+    temporal_session_window_native,
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTES AS session_close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_idx
+""",
+)

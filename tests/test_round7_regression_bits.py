@@ -62,3 +62,50 @@ def test_bitwise_hand_computed(spark, tmp_path):
     assert row["xor_all"] == 1 ^ 2 ^ 3  # == 0
     assert row["total_bits"] == 4
     assert row["or_shifted"] == (1 << 8) | (2 << 8) | (3 << 8)
+
+
+def test_recursive_cte_bfs_closed_form(spark, monkeypatch):
+    """Next-3 ladder from the min key: BFS distance of offset k is
+    ceil(k/3); depth bound 5 caps the frontier at seed+15."""
+    from cyrela_etl_spark.queries import relational
+
+    cust = spark.createDataFrame(
+        [(i, "SEG") for i in range(100, 130)], "c_custkey long, c_mktsegment string"
+    )
+    monkeypatch.setattr(
+        relational, "_t", lambda spark, sf_dir, name: cust if name == "customer" else None
+    )
+    rows = {r["custkey"]: r["min_hops"] for r in relational.sql_recursive_cte(spark, "x").collect()}
+    assert len(rows) == 16  # seed + 15 reachable within 5 hops
+    assert rows[100] == 0
+    for k in range(1, 16):
+        assert rows[100 + k] == -(-k // 3)  # ceil(k/3)
+
+
+def test_native_session_window_inclusive_gap_boundary(spark, monkeypatch):
+    """An exactly-30-minute gap MERGES in the native operator (an event
+    on the session-end instant extends it — probe-verified), while a
+    31-minute gap breaks; window.end = last event + gap. This pins the
+    boundary the oracle's >-break mirrors."""
+    import datetime
+
+    from cyrela_etl_spark.queries import temporalq
+
+    t0 = datetime.datetime(2026, 8, 2, 9, 0)
+    tiny = spark.createDataFrame(
+        [
+            (1, t0, 7, "t", 1.0),
+            (2, t0 + datetime.timedelta(minutes=30), 7, "t", 1.0),  # exactly 30min: merges
+            (3, t0 + datetime.timedelta(minutes=75), 7, "t", 1.0),  # 45min gap: breaks
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    monkeypatch.setattr(temporalq, "_events", lambda spark, sf_dir: tiny)
+    rows = sorted(
+        temporalq.temporal_session_window_native(spark, "x").collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert len(rows) == 2
+    assert rows[0]["n_events"] == 2
+    assert rows[0]["session_close"] == t0 + datetime.timedelta(minutes=60)
+    assert rows[1]["n_events"] == 1
