@@ -932,3 +932,69 @@ FROM lineitem
 GROUP BY l_returnflag
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_csv_dialect — CSV QUOTING fidelity e2e: every row gets a
+# deterministically constructed hostile payload (embedded delimiter,
+# double quote, and a REAL newline) appended to its priority; the engine
+# writes quoted CSV and reads it back with multiLine + escape handling.
+# The verdict is a 60-bit md5 XOR digest of the round-tripped payloads —
+# the oracle computes the same digest from the ORIGINAL construction, so
+# any quoting/escaping/newline-splitting corruption (the classic CSV
+# production failure: a payload newline read as a row boundary) changes
+# n_rows or the digest. The dialect-hardening sibling of
+# storage_csv_roundtrip's type-fidelity check.
+# ---------------------------------------------------------------------------
+def storage_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.functions.hashing import hex_prefix_long
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    payload = F.concat(
+        F.lit('a,"b'),
+        F.lit("\n"),
+        F.col("o_orderpriority"),
+        F.lit('",'),
+        F.col("o_orderkey").cast("string"),
+    )
+    hostile = orders.select("o_orderkey", "o_orderstatus", payload.alias("payload"))
+    path = tempfile.mkdtemp(prefix="csv_dialect_") + "/orders"
+    # RFC-4180 dialect EXPLICITLY on both legs: Spark's writer default
+    # escapes embedded quotes with backslash, not by doubling — an
+    # asymmetric reader (escape='"') would split payload rows (the exact
+    # corruption this query exists to catch; found live on first verify)
+    hostile.write.option("header", True).option("quoteAll", True).option(
+        "escape", '"'
+    ).mode("overwrite").csv(path)
+    back = (
+        spark.read.schema(hostile.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bit_xor(hex_prefix_long(F.col("payload"))).alias("payload_digest"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
+
+
+_CSV_DIALECT_PAYLOAD_SQL = (
+    "concat('a,\"b', chr(10), o_orderpriority, '\",', CAST(o_orderkey AS VARCHAR))"
+)
+
+register(
+    "storage_csv_dialect",
+    storage_csv_dialect,
+    f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor({sql_hex64_storage(_CSV_DIALECT_PAYLOAD_SQL)}) AS payload_digest,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+GROUP BY o_orderstatus
+""",
+)

@@ -2085,3 +2085,53 @@ SELECT user_id,
 FROM s GROUP BY user_id, session_idx
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_new_vs_returning — per-day acquisition split: active users
+# partitioned into NEW (this is their first-ever active day) vs
+# RETURNING. Exact distinct (user, day) grid joined to each user's
+# min-day; counts are exact ints. The growth-accounting companion to
+# events_stickiness — together they decompose DAU into acquisition and
+# retention. Plan: (user, day) distinct agg → user-keyed min-day agg →
+# one user-keyed join → day agg; shuffles carry user-day rows.
+# ---------------------------------------------------------------------------
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    first_day = user_days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        user_days.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") != F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+        )
+    )
+
+
+register(
+    "events_new_vs_returning",
+    events_new_vs_returning,
+    """
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+first_day AS (
+  SELECT user_id, min(day) AS first_day FROM user_days GROUP BY user_id
+)
+SELECT u.day,
+       CAST(sum(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN u.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM user_days u JOIN first_day f USING (user_id)
+GROUP BY u.day
+""",
+)

@@ -151,3 +151,24 @@ def test_orc_scan_pushes_predicates(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "l_returnflag" in plan
     assert "l_quantity" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_csv_dialect_hostile_payload_roundtrip(spark, tmp_path):
+    """Quoted CSV with embedded delimiter, quote, AND newline must
+    round-trip byte-identically under the RFC-4180 dialect (escape='\"'
+    on BOTH legs — the writer's backslash default silently splits
+    payload rows)."""
+    payload = 'x,"quoted"\nsecond line,3'
+    df = spark.createDataFrame([(1, payload)], "k long, payload string")
+    path = f"{tmp_path}/hostile"
+    df.write.option("header", True).option("quoteAll", True).option("escape", '"').csv(path)
+    back = (
+        spark.read.schema(df.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    rows = back.collect()
+    assert len(rows) == 1
+    assert rows[0]["payload"] == payload
