@@ -998,3 +998,44 @@ FROM orders
 GROUP BY o_orderstatus
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_hive_partition_roundtrip — hive-style partitionBy write → read
+# back through the PARTITIONED layout with a partition-key filter (the
+# layout the planning-time PartitionFilters pruning proof in
+# tests/test_partition_pruning.py measures, now also a DECLARED relation):
+# events written partitioned by event_type, one partition read back and
+# re-aggregated decimal-exactly. Partition columns come back from
+# DIRECTORY NAMES, so this also pins partition-value encoding fidelity
+# (a mangled partition path changes the group counts).
+# ---------------------------------------------------------------------------
+def storage_hive_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="hive_rt_") + "/events"
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type").isin("click", "purchase"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+    )
+
+
+register(
+    "storage_hive_partition_roundtrip",
+    storage_hive_partition_roundtrip,
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(min(event_id) AS BIGINT) AS min_event_id
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+)

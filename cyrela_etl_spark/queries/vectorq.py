@@ -779,3 +779,54 @@ def _kcenter_oracle() -> str:
 
 
 register("vector_kcenter_select", vector_kcenter_select, _kcenter_oracle())
+
+
+# ---------------------------------------------------------------------------
+# vector_norm_profile — embedding-health diagnostics per label: the L2
+# norm distribution (n, min, max, mean) plus a near-zero count. Norm
+# collapse (many ~0 vectors) and scale drift between labels are the two
+# standard embedding-table pathologies a pipeline checks before ANN
+# indexing. Determinism: each row's norm is the sequential-fold dot +
+# one sqrt (engine-identical), ROUNDED to 6 and carried as DECIMAL into
+# the sums — a float mean over raw norms would be accumulation-order-
+# dependent. One hash agg, label-sized output.
+# ---------------------------------------------------------------------------
+def vector_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.functions.vectors import l2_norm
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("label").cast("long").alias("label"),
+        F.round(l2_norm(to_double_array("embedding")), 6).alias("norm_r"),
+    )
+    dec = F.col("norm_r").cast("decimal(18,6)")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("norm_r").alias("min_norm"),
+        F.max("norm_r").alias("max_norm"),
+        F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias("mean_norm"),
+        F.sum(F.when(F.col("norm_r") < 0.001, 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_zero"),
+    )
+
+
+register(
+    "vector_norm_profile",
+    vector_norm_profile,
+    """
+WITH norms AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6) AS norm_r
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       min(norm_r) AS min_norm,
+       max(norm_r) AS max_norm,
+       round(CAST(sum(CAST(norm_r AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_norm,
+       CAST(sum(CASE WHEN norm_r < 0.001 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero
+FROM norms
+GROUP BY label
+""",
+)
