@@ -2135,3 +2135,65 @@ FROM user_days u JOIN first_day f USING (user_id)
 GROUP BY u.day
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_week_over_week — the WoW reporting primitive: ISO-week event
+# counts per type with the previous week's count, absolute delta, and
+# relative change in exact ppm ((10⁶·(n − prev)) div prev — can be
+# negative; truncating div on BOTH engines is toward zero for Spark but
+# FLOORING in DuckDB for negatives, so the ratio is computed on the
+# ABSOLUTE delta with a sign column instead — the documented negative-
+# division dialect trap). One daily-grain agg + ONE per-type window.
+# ---------------------------------------------------------------------------
+def temporal_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    marked = weekly.select(
+        "event_type",
+        "week_start",
+        "n_events",
+        F.lag("n_events").over(w).alias("prev_n"),
+    ).filter(F.col("prev_n").isNotNull())
+    delta = F.col("n_events") - F.col("prev_n")
+    return marked.select(
+        "event_type",
+        "week_start",
+        "n_events",
+        F.col("prev_n").cast("long").alias("prev_week"),
+        delta.cast("long").alias("delta"),
+        F.when(delta >= 0, F.lit("up")).otherwise(F.lit("down")).alias("direction"),
+        F.expr(
+            "CAST((1000000 * abs(n_events - prev_n)) div prev_n AS BIGINT)"
+        ).alias("abs_change_ppm"),
+    )
+
+
+register(
+    "temporal_week_over_week",
+    temporal_week_over_week,
+    """
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts) AS week_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, date_trunc('week', ts)
+),
+marked AS (
+  SELECT event_type, week_start, n_events,
+         lag(n_events) OVER (PARTITION BY event_type ORDER BY week_start) AS prev_n
+  FROM weekly
+)
+SELECT event_type, week_start, n_events,
+       CAST(prev_n AS BIGINT) AS prev_week,
+       CAST(n_events - prev_n AS BIGINT) AS delta,
+       CASE WHEN n_events - prev_n >= 0 THEN 'up' ELSE 'down' END AS direction,
+       CAST((1000000 * abs(n_events - prev_n)) // prev_n AS BIGINT) AS abs_change_ppm
+FROM marked
+WHERE prev_n IS NOT NULL
+""",
+)

@@ -3156,3 +3156,62 @@ ORDER BY n_occurrences DESC, pair ASC
 LIMIT 20
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_impact_report — the before/after accounting every dedup run
+# publishes: per source, document and token volumes, exact-duplicate
+# groups (md5 of normalized text — the dedup_exact key), how many
+# documents and tokens removal would drop, and the drop rate in exact
+# ppm. The cost-benefit table that decides whether a corpus slice is
+# worth near-dup passes after exact dedup. One scan → (source, content
+# key) hash agg → source agg; all ints.
+# ---------------------------------------------------------------------------
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = F.size(X.tokens(F.col("text"))).cast("long")
+    keyed = docs.select("source", F.md5(norm).alias("k"), toks.alias("n_tok"))
+    groups = keyed.groupBy("source", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tok_all"),
+        F.max("n_tok").cast("long").alias("tok_keep"),
+    )
+    return groups.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        (F.sum("n_docs") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+        F.sum("tok_all").cast("long").alias("tokens_before"),
+        (F.sum("tok_all") - F.sum("tok_keep")).cast("long").alias("tokens_removed"),
+        F.expr(
+            "CAST((1000000 * (sum(n_docs) - count(1))) div sum(n_docs) AS BIGINT)"
+        ).alias("doc_removal_ppm"),
+    )
+
+
+register(
+    "dedup_impact_report",
+    dedup_impact_report,
+    f"""
+WITH keyed AS (
+  SELECT source, md5({sql_norm('text')}) AS k,
+         CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tok
+  FROM documents
+),
+groups AS (
+  SELECT source, k,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS tok_all,
+         CAST(max(n_tok) AS BIGINT) AS tok_keep
+  FROM keyed GROUP BY source, k
+)
+SELECT source,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n_docs) - count(*) AS BIGINT) AS n_removed,
+       CAST(sum(tok_all) AS BIGINT) AS tokens_before,
+       CAST(sum(tok_all) - sum(tok_keep) AS BIGINT) AS tokens_removed,
+       CAST((1000000 * (sum(n_docs) - count(*))) // sum(n_docs) AS BIGINT) AS doc_removal_ppm
+FROM groups GROUP BY source
+""",
+)
