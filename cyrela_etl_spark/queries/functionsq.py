@@ -506,3 +506,72 @@ FROM orders
 GROUP BY o_orderstatus
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# func_try_safe — the ANSI-mode error-safe scalar surface (Spark 4 runs
+# ANSI ON in the driver session, where bare division-by-zero and bad
+# casts are runtime ERRORS): try_divide → NULL on zero denominators,
+# try_cast → NULL on malformed input, try_to_timestamp → NULL on
+# unparseable strings. The oracle replays each as the explicit
+# CASE/TRY_CAST spelling. Null-flow is aggregated per status (counts +
+# a decimal-exact sum over the try_divide survivors) so every NULL
+# contract lands in the hash.
+# ---------------------------------------------------------------------------
+def func_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    den = F.col("o_custkey") % 5
+    safe_div = F.try_divide(F.col("o_totalprice"), den)
+    # the SUMMED quantity is exact integer cents div (engine round(x, 2)
+    # on a float quotient disagrees at 1 ulp often enough to shift cents;
+    # try_divide still carries the NULL contract into n_div_null)
+    safe_cents = F.when(den != 0, F.expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) div (o_custkey % 5)"
+    ))
+    digit = F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)")
+    bad_cast = F.expr("try_cast(o_orderpriority AS INT)")
+    bad_ts = F.try_to_timestamp(F.col("o_orderpriority"))
+    staged = orders.select(
+        "o_orderstatus",
+        safe_div.alias("sd"),
+        safe_cents.alias("sc"),
+        digit.alias("digit"),
+        bad_cast.alias("bc"),
+        bad_ts.alias("bt"),
+    )
+    return staged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("sd").isNull(), 1).otherwise(0)).cast("long").alias("n_div_null"),
+        F.sum("sc").cast("long").alias("safe_div_cents_sum"),
+        F.sum("digit").cast("long").alias("priority_digit_sum"),
+        F.sum(F.when(F.col("bc").isNull(), 1).otherwise(0)).cast("long").alias("n_cast_null"),
+        F.sum(F.when(F.col("bt").isNull(), 1).otherwise(0)).cast("long").alias("n_ts_null"),
+    )
+
+
+register(
+    "func_try_safe",
+    func_try_safe,
+    """
+WITH staged AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_custkey % 5 = 0 THEN NULL
+              ELSE o_totalprice / (o_custkey % 5) END AS sd,
+         CASE WHEN o_custkey % 5 = 0 THEN NULL
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) // (o_custkey % 5) END AS sc,
+         TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS digit,
+         TRY_CAST(o_orderpriority AS INTEGER) AS bc,
+         TRY_CAST(o_orderpriority AS TIMESTAMP) AS bt
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN sd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+       CAST(sum(sc) AS BIGINT) AS safe_div_cents_sum,
+       CAST(sum(digit) AS BIGINT) AS priority_digit_sum,
+       CAST(sum(CASE WHEN bc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+       CAST(sum(CASE WHEN bt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_null
+FROM staged
+GROUP BY o_orderstatus
+""",
+)

@@ -3215,3 +3215,60 @@ SELECT source,
 FROM groups GROUP BY source
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# text_language_confusion — the detector-evaluation confusion matrix:
+# the corpus's LABELED lang column crossed with text_language_id's
+# predictions, cell counts + per-label row shares in exact ppm, and the
+# diagonal flag. The standard classifier-audit view (per-label recall is
+# the diagonal share); like quality_filter_agreement, the Spark side
+# composes the REGISTERED query and the oracle NESTS its registered SQL,
+# so the audit can never drift from the detector it audits.
+# Plan: detector subplan (zero-shuffle projection) + one doc-keyed join
+# + (label, pred) agg + label-sized broadcast of row totals.
+# ---------------------------------------------------------------------------
+def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_language_id(spark, sf_dir).select("doc_id", "lang_pred")
+    labeled = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("lang").alias("lang_label")
+    )
+    cells = (
+        labeled.join(pred, "doc_id")
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    totals = cells.groupBy("lang_label").agg(F.sum("n_docs").cast("long").alias("total"))
+    return cells.join(F.broadcast(totals), "lang_label").select(
+        "lang_label",
+        "lang_pred",
+        "n_docs",
+        F.expr("CAST((1000000 * n_docs) div total AS BIGINT)").alias("row_share_ppm"),
+        (F.col("lang_label") == F.col("lang_pred")).alias("is_correct"),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from cyrela_etl_spark.queries import REGISTRY
+
+    lang_sql = REGISTRY["text_language_id"][1]
+    return f"""
+WITH pred AS (SELECT doc_id, lang_pred FROM ({lang_sql})),
+cells AS (
+  SELECT d.lang AS lang_label, p.lang_pred,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY d.lang, p.lang_pred
+),
+totals AS (
+  SELECT lang_label, CAST(sum(n_docs) AS BIGINT) AS total
+  FROM cells GROUP BY lang_label
+)
+SELECT c.lang_label, c.lang_pred, c.n_docs,
+       CAST((1000000 * c.n_docs) // t.total AS BIGINT) AS row_share_ppm,
+       c.lang_label = c.lang_pred AS is_correct
+FROM cells c JOIN totals t USING (lang_label)
+"""
+
+
+register("text_language_confusion", text_language_confusion, _lang_confusion_oracle())
