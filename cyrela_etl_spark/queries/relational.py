@@ -2218,3 +2218,87 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sql_recursive_cte", sql_recursive_cte, _REC_SQL_BODY.format(cust="customer"))
+
+
+# --------------------------------------------------------------------------
+# join_null_safe — the null-safe equality join (Spark `<=>` /
+# eqNullSafe ≡ SQL IS NOT DISTINCT FROM): NULL keys MATCH each other
+# instead of vanishing (plain equality drops every NULL pair — the
+# classic silent-loss bug in CDC reconciliation joins on nullable
+# business keys). Nullable keys are derived deterministically (custkey
+# %7 == 0 → NULL); both sides aggregate after the join so the NULL-
+# bucket's pairing lands in the hash.
+# --------------------------------------------------------------------------
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    key = F.when(F.col("c_custkey") % 7 != 0, F.col("c_custkey") % 100)
+    a = cust.select(key.alias("k"), F.col("c_acctbal").alias("bal_a"))
+    b = cust.select(key.alias("k"), F.col("c_custkey").alias("ck_b"))
+    j = a.join(b, a["k"].eqNullSafe(b["k"]))
+    return j.groupBy(F.coalesce(a["k"], F.lit(-1)).cast("long").alias("key_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("bal_a").cast("decimal(12,2)")).cast("double").alias("bal_sum"),
+        F.max("ck_b").cast("long").alias("max_ck"),
+    )
+
+
+register(
+    "join_null_safe",
+    join_null_safe,
+    """
+WITH a AS (
+  SELECT CASE WHEN c_custkey % 7 <> 0 THEN c_custkey % 100 END AS k,
+         c_acctbal AS bal_a
+  FROM customer
+),
+b AS (
+  SELECT CASE WHEN c_custkey % 7 <> 0 THEN c_custkey % 100 END AS k,
+         c_custkey AS ck_b
+  FROM customer
+)
+SELECT CAST(coalesce(a.k, -1) AS BIGINT) AS key_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(a.bal_a AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum,
+       CAST(max(b.ck_b) AS BIGINT) AS max_ck
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY coalesce(a.k, -1)
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# agg_bool — the boolean aggregate surface (bool_and / bool_or, the
+# SQL-standard EVERY/ANY): per status, whether EVERY order clears a
+# price floor, whether ANY is urgent, and exact counts backing each
+# verdict — so a flipped NULL-handling or short-circuit bug shows in
+# both the flag and its count.
+# --------------------------------------------------------------------------
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr("bool_and(o_totalprice > 900)").alias("all_above_floor"),
+        F.expr("bool_or(o_orderpriority = '1-URGENT')").alias("any_urgent"),
+        F.sum(F.when(F.col("o_totalprice") > 900, 1).otherwise(0))
+        .cast("long")
+        .alias("n_above_floor"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("n_urgent"),
+    )
+
+
+register(
+    "agg_bool",
+    agg_bool,
+    """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       bool_and(o_totalprice > 900) AS all_above_floor,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       CAST(sum(CASE WHEN o_totalprice > 900 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_floor,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+FROM orders
+GROUP BY o_orderstatus
+""",
+)

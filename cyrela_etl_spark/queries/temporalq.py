@@ -2197,3 +2197,48 @@ FROM marked
 WHERE prev_n IS NOT NULL
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# window_ignore_nulls — FIRST_VALUE / LAST_VALUE / LEAD with IGNORE
+# NULLS over event windows: `value` is deterministically nulled (every
+# 3rd event id) and each user's running frame must report the first and
+# most recent NON-NULL observation — the gap-bridging read every sensor
+# / sparse-metric pipeline does. Explicit ROWS frames and the (ts,
+# event_id) total order make null-skipping identical on both engines.
+# One per-user window exchange; all functions share it.
+# ---------------------------------------------------------------------------
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    v = F.when(F.col("event_id") % 3 != 0, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        v.alias("sparse_value"),
+        F.first(v, ignorenulls=True).over(w).alias("first_seen"),
+        F.last(v, ignorenulls=True).over(w).alias("last_seen"),
+    )
+
+
+register(
+    "window_ignore_nulls",
+    window_ignore_nulls,
+    """
+SELECT event_id, user_id,
+       CASE WHEN event_id % 3 <> 0 THEN value END AS sparse_value,
+       first_value(CASE WHEN event_id % 3 <> 0 THEN value END IGNORE NULLS)
+         OVER w AS first_seen,
+       last_value(CASE WHEN event_id % 3 <> 0 THEN value END IGNORE NULLS)
+         OVER w AS last_seen
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
