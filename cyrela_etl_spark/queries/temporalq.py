@@ -2242,3 +2242,108 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_heatmap_drift — BEHAVIORAL drift between the first and second
+# half of the observation window: each half's (isodow × hour) activity
+# profile per event type in ppm shares, L1-differenced per cell and
+# summed per type (Σ|a−b|/2e6 ≈ total-variation distance of the weekly
+# profile — the time-pattern sibling of storage_histogram_drift's
+# value-distribution check; a bot ramp-up or timezone config break moves
+# this before volume alarms fire). Split point = midpoint of [min_ts,
+# max_ts] — derived, not configured, so both engines agree exactly.
+# Integer end to end. Plan: 1-row span agg broadcast → one (type, half,
+# cell) agg → per-half totals (type-sized) → full-outer cell join →
+# per-type sum; shuffles carry cell rows (≤ types·168·2).
+# ---------------------------------------------------------------------------
+def events_heatmap_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # millisecond epochs on BOTH engines (unix_millis ≡ epoch_ms, the
+    # bot_regularity parity) — second-granularity spellings diverge:
+    # DuckDB's epoch() is a fractional DOUBLE whose BIGINT cast ROUNDS
+    # while Spark's long cast truncates, moving boundary events
+    span = ev.agg(
+        F.min(F.unix_millis(F.col("ts"))).alias("t0"),
+        F.max(F.unix_millis(F.col("ts"))).alias("t1"),
+    )
+    marked = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        (F.weekday(F.col("ts")) + 1).cast("long").alias("iso_dow"),
+        F.hour(F.col("ts")).cast("long").alias("hour_of_day"),
+        F.when(
+            F.unix_millis(F.col("ts")) * 2 < F.col("t0") + F.col("t1"), F.lit("a")
+        ).otherwise(F.lit("b")).alias("half"),
+    )
+    cells = marked.groupBy("event_type", "half", "iso_dow", "hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = cells.groupBy("event_type", "half").agg(F.sum("n").cast("long").alias("tot"))
+    shares = cells.join(totals, ["event_type", "half"]).select(
+        "event_type",
+        "half",
+        "iso_dow",
+        "hour_of_day",
+        F.expr("CAST((1000000 * n) div tot AS BIGINT)").alias("ppm"),
+    )
+    a = shares.filter(F.col("half") == "a").select(
+        "event_type", "iso_dow", "hour_of_day", F.col("ppm").alias("ppm_a")
+    )
+    b = shares.filter(F.col("half") == "b").select(
+        "event_type", "iso_dow", "hour_of_day", F.col("ppm").alias("ppm_b")
+    )
+    joined = a.join(b, ["event_type", "iso_dow", "hour_of_day"], "full_outer").select(
+        "event_type",
+        F.abs(F.coalesce(F.col("ppm_a"), F.lit(0)) - F.coalesce(F.col("ppm_b"), F.lit(0))).alias("d"),
+    )
+    return joined.groupBy("event_type").agg(
+        F.sum("d").cast("long").alias("l1_drift_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
+register(
+    "events_heatmap_drift",
+    events_heatmap_drift,
+    """
+WITH span AS (
+  SELECT min(epoch_ms(ts)) AS t0,
+         max(epoch_ms(ts)) AS t1
+  FROM events
+),
+marked AS (
+  SELECT event_type,
+         CAST(isodow(ts) AS BIGINT) AS iso_dow,
+         CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         CASE WHEN epoch_ms(ts) * 2 < s.t0 + s.t1
+              THEN 'a' ELSE 'b' END AS half
+  FROM events, span s
+),
+cells AS (
+  SELECT event_type, half, iso_dow, hour_of_day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM marked GROUP BY event_type, half, iso_dow, hour_of_day
+),
+totals AS (
+  SELECT event_type, half, CAST(sum(n) AS BIGINT) AS tot
+  FROM cells GROUP BY event_type, half
+),
+shares AS (
+  SELECT c.event_type, c.half, c.iso_dow, c.hour_of_day,
+         CAST((1000000 * c.n) // t.tot AS BIGINT) AS ppm
+  FROM cells c JOIN totals t USING (event_type, half)
+),
+joined AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         abs(coalesce(a.ppm, 0) - coalesce(b.ppm, 0)) AS d
+  FROM (SELECT * FROM shares WHERE half = 'a') a
+  FULL OUTER JOIN (SELECT * FROM shares WHERE half = 'b') b
+    ON a.event_type = b.event_type AND a.iso_dow = b.iso_dow
+   AND a.hour_of_day = b.hour_of_day
+)
+SELECT event_type,
+       CAST(sum(d) AS BIGINT) AS l1_drift_ppm,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM joined GROUP BY event_type
+""",
+)

@@ -830,3 +830,125 @@ FROM norms
 GROUP BY label
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# vector_label_margin — embedding separability per label: mean cosine
+# within the label vs against other labels, and their margin — the
+# Fisher-style probe that tells whether labels are linearly separable in
+# embedding space BEFORE training a head (near-zero margins predict k-NN
+# confusion; complements vector_knn_classify's instance-level view).
+# Bounded by construction: a DETERMINISTIC 16-smallest-vec_id sample per
+# label (row_number over a total order) caps the pair set at a constant
+# ~12.7k regardless of corpus size — the self-join is a fixed-size
+# broadcast, never corpus². Cosines round to 6 then ride DECIMAL sums;
+# each mean is one IEEE division.
+# ---------------------------------------------------------------------------
+_LM_SAMPLE = 16
+
+
+def vector_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cyrela_etl_spark.functions.vectors import cosine_similarity
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        to_double_array("embedding").alias("v"),
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    sampled = emb.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _LM_SAMPLE
+    ).select("vec_id", "label", "v")
+    a, b = sampled.alias("a"), sampled.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.label").alias("la"),
+        F.col("b.label").alias("lb"),
+        F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+    )
+    intra = pairs.filter(F.col("la") == F.col("lb")).select(
+        F.col("la").alias("label"), F.lit("intra").alias("kind"), "cos"
+    )
+    inter = pairs.filter(F.col("la") != F.col("lb"))
+    inter_rows = inter.select(
+        F.col("la").alias("label"), F.lit("inter").alias("kind"), "cos"
+    ).unionByName(
+        inter.select(F.col("lb").alias("label"), F.lit("inter").alias("kind"), "cos")
+    )
+    dec = F.col("cos").cast("decimal(10,6)")
+    stats = (
+        intra.unionByName(inter_rows)
+        .groupBy("label", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec).alias("s"),
+        )
+    )
+    wide = stats.groupBy("label").agg(
+        F.max(F.when(F.col("kind") == "intra", F.col("n"))).cast("long").alias("n_intra"),
+        F.round(
+            F.max(F.when(F.col("kind") == "intra", F.col("s"))).cast("double")
+            / F.max(F.when(F.col("kind") == "intra", F.col("n"))),
+            6,
+        ).alias("mean_intra"),
+        F.max(F.when(F.col("kind") == "inter", F.col("n"))).cast("long").alias("n_inter"),
+        F.round(
+            F.max(F.when(F.col("kind") == "inter", F.col("s"))).cast("double")
+            / F.max(F.when(F.col("kind") == "inter", F.col("n"))),
+            6,
+        ).alias("mean_inter"),
+    )
+    return wide.select(
+        "label",
+        "n_intra",
+        "mean_intra",
+        "n_inter",
+        "mean_inter",
+        F.round(F.col("mean_intra") - F.col("mean_inter"), 6).alias("margin"),
+    )
+
+
+register(
+    "vector_label_margin",
+    vector_label_margin,
+    f"""
+WITH emb AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(embedding AS DOUBLE[]) AS v,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+  FROM embeddings
+),
+sampled AS (SELECT vec_id, label, v FROM emb WHERE rn <= {_LM_SAMPLE}),
+pairs AS (
+  SELECT a.label AS la, b.label AS lb,
+         round({_SQL_COS.format(a='a.v', b='b.v')}, 6) AS cos
+  FROM sampled a JOIN sampled b ON a.vec_id < b.vec_id
+),
+tagged AS (
+  SELECT la AS label, 'intra' AS kind, cos FROM pairs WHERE la = lb
+  UNION ALL
+  SELECT la, 'inter', cos FROM pairs WHERE la <> lb
+  UNION ALL
+  SELECT lb, 'inter', cos FROM pairs WHERE la <> lb
+),
+stats AS (
+  SELECT label, kind,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(cos AS DECIMAL(10,6))) AS s
+  FROM tagged GROUP BY label, kind
+),
+wide AS (
+  SELECT label,
+         CAST(max(CASE WHEN kind = 'intra' THEN n END) AS BIGINT) AS n_intra,
+         round(CAST(max(CASE WHEN kind = 'intra' THEN s END) AS DOUBLE)
+               / max(CASE WHEN kind = 'intra' THEN n END), 6) AS mean_intra,
+         CAST(max(CASE WHEN kind = 'inter' THEN n END) AS BIGINT) AS n_inter,
+         round(CAST(max(CASE WHEN kind = 'inter' THEN s END) AS DOUBLE)
+               / max(CASE WHEN kind = 'inter' THEN n END), 6) AS mean_inter
+  FROM stats GROUP BY label
+)
+SELECT label, n_intra, mean_intra, n_inter, mean_inter,
+       round(mean_intra - mean_inter, 6) AS margin
+FROM wide
+""",
+)

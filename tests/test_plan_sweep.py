@@ -48,6 +48,10 @@ BNLJ_ALLOWED = {
     "vector_l2_topk",
     "vector_sq_int8_topk",
     "wallet_features",
+    # round-7 wave 22: heatmap drift broadcasts a 1-row span; label
+    # margin self-joins a FIXED 160-row deterministic sample
+    "events_heatmap_drift",
+    "vector_label_margin",
 }
 
 SF = "/root/testdata/sf0.001"
