@@ -2347,3 +2347,70 @@ SELECT event_type,
 FROM joined GROUP BY event_type
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_backtest — the seasonal-naive forecasting baseline
+# (forecast(type, dow, hour, week w) = actual at week w−1, the
+# same-slot-last-week rule every forecasting system must beat) back-
+# tested over the event history in EXACT integers: per type, the summed
+# absolute error across all (week, dow, hour) cells with a prior week,
+# and MAE as ppm of actual volume ((10⁶·Σ|err|) div Σactual). The
+# evaluation half of a forecasting pipeline, engine-checkable because
+# the baseline is deterministic arithmetic. Plan: weekly-cell hash agg →
+# ONE (type, dow, hour) window for the lag → per-type agg.
+# ---------------------------------------------------------------------------
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+        (F.weekday(F.col("ts")) + 1).cast("long").alias("iso_dow"),
+        F.hour(F.col("ts")).cast("long").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type", "iso_dow", "hour_of_day").orderBy("week_start")
+    scored = cells.select(
+        "event_type",
+        "n",
+        F.lag("n").over(w).alias("pred"),
+    ).filter(F.col("pred").isNotNull())
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("total_actual"),
+        F.sum(F.abs(F.col("n") - F.col("pred"))).cast("long").alias("total_abs_err"),
+        F.expr(
+            "CAST((1000000 * sum(abs(n - pred))) div sum(n) AS BIGINT)"
+        ).alias("mae_ppm_of_volume"),
+    )
+
+
+register(
+    "events_forecast_backtest",
+    events_forecast_backtest,
+    """
+WITH cells AS (
+  SELECT event_type, date_trunc('week', ts) AS week_start,
+         CAST(isodow(ts) AS BIGINT) AS iso_dow,
+         CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type, date_trunc('week', ts), isodow(ts), hour(ts)
+),
+scored AS (
+  SELECT event_type, n,
+         lag(n) OVER (PARTITION BY event_type, iso_dow, hour_of_day
+                      ORDER BY week_start) AS pred
+  FROM cells
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS total_actual,
+       CAST(sum(abs(n - pred)) AS BIGINT) AS total_abs_err,
+       CAST((1000000 * sum(abs(n - pred))) // sum(n) AS BIGINT) AS mae_ppm_of_volume
+FROM scored
+WHERE pred IS NOT NULL
+GROUP BY event_type
+""",
+)

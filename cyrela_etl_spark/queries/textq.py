@@ -3272,3 +3272,85 @@ FROM cells c JOIN totals t USING (lang_label)
 
 
 register("text_language_confusion", text_language_confusion, _lang_confusion_oracle())
+
+
+# ---------------------------------------------------------------------------
+# corpus_dataset_card — the one-row-per-source "datasheet" every corpus
+# release ships (Gebru et al. 2021's datasheet quantitative section):
+# volumes, mean document length (exact milli-tokens), exact-duplicate
+# rate, language mix (distinct langs + dominant language and its exact
+# ppm share via struct-max argmax). One scan feeding (source, lang) and
+# (source, content-key) aggs — the capstone reporting view over signals
+# the registry checks individually.
+# ---------------------------------------------------------------------------
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = F.size(X.tokens(F.col("text"))).cast("long")
+    base = docs.select("source", "lang", F.md5(norm).alias("k"), toks.alias("n_tok"))
+    vol = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.count_distinct("k").cast("long").alias("n_unique"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+    langs = base.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("nl"))
+    top = (
+        langs.groupBy("source")
+        .agg(F.max(F.struct(F.col("nl"), F.col("lang"))).alias("w"))
+        .select("source", F.col("w.lang").alias("top_lang"), F.col("w.nl").alias("top_n"))
+    )
+    return (
+        vol.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST((1000 * n_tokens) div n_docs AS BIGINT)").alias(
+                "mean_tokens_milli"
+            ),
+            F.expr("CAST((1000000 * (n_docs - n_unique)) div n_docs AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+            "n_langs",
+            "top_lang",
+            F.expr("CAST((1000000 * top_n) div n_docs AS BIGINT)").alias("top_lang_ppm"),
+        )
+    )
+
+
+register(
+    "corpus_dataset_card",
+    corpus_dataset_card,
+    f"""
+WITH base AS (
+  SELECT source, lang, md5({sql_norm('text')}) AS k,
+         CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tok
+  FROM documents
+),
+vol AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT k) AS BIGINT) AS n_unique,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM base GROUP BY source
+),
+langs AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS nl
+  FROM base GROUP BY source, lang
+),
+top AS (
+  SELECT source, lang AS top_lang, nl AS top_n FROM (
+    SELECT source, lang, nl,
+           row_number() OVER (PARTITION BY source ORDER BY nl DESC, lang DESC) AS rn
+    FROM langs) WHERE rn = 1
+)
+SELECT v.source, v.n_docs, v.n_tokens,
+       CAST((1000 * v.n_tokens) // v.n_docs AS BIGINT) AS mean_tokens_milli,
+       CAST((1000000 * (v.n_docs - v.n_unique)) // v.n_docs AS BIGINT) AS dup_ppm,
+       v.n_langs, t.top_lang,
+       CAST((1000000 * t.top_n) // v.n_docs AS BIGINT) AS top_lang_ppm
+FROM vol v JOIN top t USING (source)
+""",
+)
