@@ -2302,3 +2302,91 @@ FROM orders
 GROUP BY o_orderstatus
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# agg_basket_lift — market-basket association mining (the Apriori /
+# Agrawal-Srikant frequent-pair step): part pairs co-purchased in the
+# same order, with support and LIFT in exact ppm integers
+# (lift·10⁶ = (10⁶·N·n_ab) div (n_a·n_b) — all int64, overflow-safe
+# while 10⁶·N·n_ab < 9.2e18, i.e. N·n_ab < 9.2e12; switch the numerator
+# to DECIMAL(38,0) past that). Pairs are generated per order (basket sizes
+# are small and bounded, so the per-order self-join is linear in
+# baskets, never parts²); a support floor prunes before ranking;
+# deterministic top-20 by (lift, support, pair). The association-rule
+# family's first entry.
+# --------------------------------------------------------------------------
+_BASKET_MIN_PAIRS, _BASKET_TOP = 3, 20
+
+
+def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_PAIRS)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(f"CAST((1000000 * n_ab) div {n_orders} AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr(
+                f"CAST((1000000 * CAST({n_orders} AS BIGINT) * n_ab) div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_ppm"), F.desc("n_ab"), F.asc("part_a"), F.asc("part_b")
+    ).limit(_BASKET_TOP)
+
+
+def _basket_oracle() -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {_BASKET_MIN_PAIRS}
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+         CAST((1000000 * p.n_ab) // n.n_orders AS BIGINT) AS support_ppm,
+         CAST((1000000 * n.n_orders * p.n_ab) // (ia.n_item * ib.n_item) AS BIGINT) AS lift_ppm
+  FROM pairs p
+  JOIN item ia ON p.part_a = ia.l_partkey
+  JOIN item ib ON p.part_b = ib.l_partkey
+  CROSS JOIN n
+)
+SELECT part_a, part_b, n_ab, n_a, n_b, support_ppm, lift_ppm
+FROM scored
+ORDER BY lift_ppm DESC, n_ab DESC, part_a ASC, part_b ASC
+LIMIT {_BASKET_TOP}
+"""
+
+
+register("agg_basket_lift", agg_basket_lift, _basket_oracle())

@@ -2414,3 +2414,84 @@ WHERE pred IS NOT NULL
 GROUP BY event_type
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_alert_debounce — alert coalescing with a cooldown: among
+# threshold-crossing events (value > 100 — the raw alert stream), emit
+# only BURST LEADERS: the first alert per (user) after ≥10 minutes of
+# alert silence (the debounce rule every paging system applies so one
+# incident pages once). Gaps-and-islands over the ALERT substream: a
+# leader is an alert whose previous alert is >600 s older. Also reports
+# each burst's size — the suppressed count is the audit trail. One
+# per-user window + one burst agg.
+# ---------------------------------------------------------------------------
+_ALERT_THRESHOLD, _ALERT_COOLDOWN_S = 100.0, 600
+
+
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    alerts = ev.filter(F.col("value") > _ALERT_THRESHOLD)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    marked = alerts.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(ms).over(w).isNull()
+            | (ms - F.lag(ms).over(w) > _ALERT_COOLDOWN_S * 1000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_leader"),
+    )
+    bursts = marked.withColumn("burst_id", F.sum("is_leader").over(w))
+    return (
+        bursts.groupBy("user_id", "burst_id")
+        .agg(
+            F.min("ts").alias("alert_ts"),
+            F.min("event_id").cast("long").alias("leader_event_id"),
+            F.count(F.lit(1)).cast("long").alias("n_suppressed_plus_one"),
+        )
+        .select(
+            "user_id",
+            F.col("burst_id").cast("long").alias("burst_id"),
+            "alert_ts",
+            "leader_event_id",
+            (F.col("n_suppressed_plus_one") - 1).cast("long").alias("n_suppressed"),
+        )
+    )
+
+
+register(
+    "events_alert_debounce",
+    events_alert_debounce,
+    f"""
+WITH alerts AS (
+  SELECT user_id, ts, event_id FROM events WHERE value > {_ALERT_THRESHOLD}
+),
+marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {_ALERT_COOLDOWN_S * 1000}
+              THEN 1 ELSE 0 END AS is_leader
+  FROM alerts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+bursts AS (
+  SELECT user_id, ts, event_id,
+         sum(is_leader) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS burst_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(burst_id AS BIGINT) AS burst_id,
+       min(ts) AS alert_ts,
+       CAST(min(event_id) AS BIGINT) AS leader_event_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+FROM bursts
+GROUP BY user_id, burst_id
+""",
+)
