@@ -3354,3 +3354,139 @@ SELECT v.source, v.n_docs, v.n_tokens,
 FROM vol v JOIN top t USING (source)
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_calibration — measure the sketch, not just use it (the
+# vector_recall_report discipline applied to MinHash): for a
+# deterministic candidate set — the corpus's PLANTED exact duplicates
+# (+100000, identical text), planted near-duplicates (+200000, ' zyx
+# extra' appended) and non-duplicate controls (adjacent ids) — compare
+# the 16-hash signature-agreement ESTIMATE of Jaccard against the exact
+# shingle Jaccard, both as exact ppm integers, with the absolute error.
+# The estimator's unbiasedness on exact dups (16/16 agreement), its
+# spread on near-dups, and its floor on controls all land in one
+# hash-checked relation. Pure integers end to end.
+# Plan: signatures + shingles are zero-shuffle projections; the
+# candidate list derives from id arithmetic; two id-keyed joins.
+# ---------------------------------------------------------------------------
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    sigs = D.minhash_signatures(c, num_hashes=_NUM_HASHES, shingle_n=_SHINGLE_N)
+    sh = c.select(
+        F.col("doc_id").alias("id"),
+        D.word_shingles(F.col("text"), _SHINGLE_N).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    side = sigs.join(sh, "id")
+    base = c.select("doc_id")
+    cand = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .filter(F.col("doc_id") < 100000)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+            F.lit("planted_exact").alias("pair_kind"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 7 == 0)
+            .filter(F.col("doc_id") < 100000)
+            .select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+                F.lit("planted_near").alias("pair_kind"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 13 == 0)
+            .filter(F.col("doc_id") < 100000)
+            .select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 1).alias("id_b"),
+                F.lit("control").alias("pair_kind"),
+            )
+        )
+    )
+    a = side.select(
+        F.col("id").alias("id_a"),
+        F.col("signature").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = side.select(
+        F.col("id").alias("id_b"),
+        F.col("signature").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    j = cand.join(a, "id_a").join(b, "id_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    out = j.select(
+        "id_a",
+        "id_b",
+        "pair_kind",
+        matches.alias("sig_matches"),
+        F.expr(
+            "CAST((1000000 * size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+            f" m -> m))) div {_NUM_HASHES} AS BIGINT)"
+        ).alias("est_ppm"),
+        F.expr(
+            "CAST((1000000 * size(array_intersect(sh_a, sh_b)))"
+            " div size(array_union(sh_a, sh_b)) AS BIGINT)"
+        ).alias("exact_ppm"),
+    )
+    return out.withColumn(
+        "err_ppm", F.abs(F.col("est_ppm") - F.col("exact_ppm")).cast("long")
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    sig_exprs = [
+        f"coalesce(list_min(list_transform(hs, x -> (x * {a} + {b}) % {P})), {P})"
+        for (a, b) in D.minhash_params(_NUM_HASHES)
+    ]
+    sig_cols = ", ".join(f"{e} AS s{i}" for i, e in enumerate(sig_exprs))
+    match_sum = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+    )
+    hashed = f"list_transform(shingles, s -> ({sql_hex64('s')} % {P}))"
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+sh AS (SELECT doc_id AS id, {sql_shingles(sql_tokens('text'), _SHINGLE_N)} AS shingles
+       FROM corpus WHERE len({sql_tokens('text')}) > 0),
+hashed AS (SELECT id, shingles, {hashed} AS hs FROM sh),
+sig AS (SELECT id, shingles, {sig_cols} FROM hashed),
+base AS (SELECT doc_id FROM corpus),
+cand AS (
+  SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 'planted_exact' AS pair_kind
+  FROM base WHERE doc_id % 10 = 0 AND doc_id < 100000
+  UNION ALL
+  SELECT doc_id, doc_id + 200000, 'planted_near'
+  FROM base WHERE doc_id % 7 = 0 AND doc_id < 100000
+  UNION ALL
+  SELECT doc_id, doc_id + 1, 'control'
+  FROM base WHERE doc_id % 13 = 0 AND doc_id < 100000
+),
+j AS (
+  SELECT c.id_a, c.id_b, c.pair_kind,
+         CAST({match_sum} AS BIGINT) AS sig_matches,
+         CAST((1000000 * ({match_sum})) // {_NUM_HASHES} AS BIGINT) AS est_ppm,
+         CAST((1000000 * len(list_intersect(a.shingles, b.shingles)))
+              // len(list_distinct(list_concat(a.shingles, b.shingles))) AS BIGINT) AS exact_ppm
+  FROM cand c
+  JOIN sig a ON c.id_a = a.id
+  JOIN sig b ON c.id_b = b.id
+)
+SELECT id_a, id_b, pair_kind, sig_matches, est_ppm, exact_ppm,
+       CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm
+FROM j
+"""
+
+
+register(
+    "dedup_minhash_calibration", dedup_minhash_calibration, _minhash_calibration_oracle()
+)
