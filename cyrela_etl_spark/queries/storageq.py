@@ -1039,3 +1039,67 @@ WHERE event_type IN ('click', 'purchase')
 GROUP BY event_type
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_nested_json_flatten — NESTED semi-structured e2e: orders and
+# their lineitems are serialized as nested JSON documents ({order,
+# status, lines:[{part, qty}...]}), written as JSONL through to_json,
+# read back with an explicit NESTED schema (struct + array<struct>), the
+# line array EXPLODED, and re-aggregated decimal-exactly. Exercises the
+# full document-shape path the flat JSONL roundtrip can't: nested field
+# access, array-of-struct decoding, and explode — the shape every
+# event-payload/API-dump ingest has. Lines are array_sorted before
+# serialization so the document bytes are deterministic.
+# ---------------------------------------------------------------------------
+def storage_nested_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    lines = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("l_partkey").alias("part"), F.col("l_quantity").alias("qty"))
+            )
+        ).alias("lines")
+    )
+    docs = orders.join(lines, orders["o_orderkey"] == lines["l_orderkey"]).select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("order"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("lines"),
+            )
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="nested_json_") + "/orders"
+    docs.write.mode("overwrite").text(path)
+    schema = (
+        "order BIGINT, status STRING, lines ARRAY<STRUCT<part: BIGINT, qty: DOUBLE>>"
+    )
+    back = spark.read.schema(schema).json(path)
+    flat = back.select("order", "status", F.explode("lines").alias("line"))
+    return flat.groupBy("status").agg(
+        F.count_distinct("order").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("line.qty").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+        F.max("line.part").cast("long").alias("max_part"),
+    )
+
+
+register(
+    "storage_nested_json_flatten",
+    storage_nested_json_flatten,
+    """
+SELECT o.o_orderstatus AS status,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+       CAST(max(l.l_partkey) AS BIGINT) AS max_part
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
