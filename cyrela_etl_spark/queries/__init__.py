@@ -35,10 +35,10 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 # order and scores AT MOST ~50 entries per round. Slot allocation for
 # round 7 (keep the registered-query count in sync with len(REGISTRY);
 # VERDICT r5/r6 ADVICE both flagged stale counts here and in NOTES.md):
-#   block 0 (95): every operator new in round 7, never driver-scored —
+#   block 0 (96): every operator new in round 7, never driver-scored —
 #     a query with no driver row ever is worse than a stale green, so
 #     these take the budget first (waves in addition order); under a
-#     strict-50 budget the newest ~45 spill to round 8's queue, still
+#     strict-50 budget the newest ~46 spill to round 8's queue, still
 #     locally verified in BOTH sessions (tools/verify_local.py).
 #   block A (6): queries whose CODE changed in round 7 (triangle closure
 #     rewrite, zscore degenerate-key guard, bm25 decimal numerator + its
@@ -48,7 +48,7 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 #     were judge-verified in the r6 session).
 #   tail (unlisted): VERDICT r6 item 3's r3/r4-stale singles all hold
 #     valid greens over code unchanged in round 7 AND were judge-verified
-#     at sf0.01 in the r6 session; with 95 never-scored entries this
+#     at sf0.01 in the r6 session; with 96 never-scored entries this
 #     round they yield their slots to round 8's freshness queue — the
 #     arithmetic cannot also fit them (documented trade, not an
 #     oversight).
@@ -149,6 +149,7 @@ _PRIORITY: list[str] = [
     "events_alert_debounce",
     "dedup_minhash_calibration",
     "storage_nested_json_flatten",
+    "vector_power_iteration_pca",
     # -- block A: code changed in round 7 (most-changed first) --------------
     "graph_triangle_stats",
     "events_anomaly_zscore",

@@ -952,3 +952,115 @@ SELECT label, n_intra, mean_intra, n_inter, mean_inter,
 FROM wide
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# vector_power_iteration_pca — the top principal direction by TWO
+# distributed power iterations on the (uncentered) second-moment matrix
+# (von Mises–Rauscher power method; PCA-1 is the spectral core of
+# whitening, PCA dedup and embedding diagnostics). The kmeans
+# discipline taken further: NOT ONLY is every iteration oracle-unrolled,
+# the arithmetic is formulated so no float FOLD exists anywhere — every
+# dot product and every matrix-vector component is a decimal sum of
+# per-term ROUNDED products over the (vec, dim, val) long format, so
+# aggregation order cannot matter on either engine:
+#   dr(vec)   = Σ_dim round(val · w_dim, 9)        (decimal, exact)
+#   s(dim)    = Σ_vec round(val · dr(vec), 6)      (decimal, exact)
+#   ‖s‖       = sqrt(Σ_dim s²)  (s decimal ⇒ s² exact; one sqrt)
+#   w'(dim)   = round(s / ‖s‖, 9)                  (one IEEE division)
+# Output: one row — the Rayleigh-style eigenvalue estimate ‖s‖ after
+# round 2 and the first 8 eigenvector components. Fully distributed:
+# the weight vector is a 64-row broadcast table between rounds, no
+# driver-side loop state.
+# Plan per round: posexplode (zero-shuffle) → dim-keyed broadcast join →
+# per-vec hash agg → second broadcast join → per-dim hash agg.
+# ---------------------------------------------------------------------------
+def vector_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    E = emb.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    w = spark.range(_DIM).select(
+        F.col("id").cast("int").alias("dim"),
+        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("w"),
+    )
+
+    def power_round(weights):
+        p = E.join(F.broadcast(weights), "dim").select(
+            "vec_id",
+            "dim",
+            "val",
+            F.round(F.col("val") * F.col("w"), 9).cast("decimal(28,9)").alias("p"),
+        )
+        dr = p.groupBy("vec_id").agg(F.sum("p").cast("double").alias("dr"))
+        s = (
+            E.join(dr, "vec_id")
+            .select("dim", F.round(F.col("val") * F.col("dr"), 6).cast("decimal(28,6)").alias("c"))
+            .groupBy("dim")
+            .agg(F.sum("c").alias("s"))
+        )
+        n2 = s.select((F.col("s") * F.col("s")).alias("s2")).agg(
+            F.sum("s2").cast("double").alias("n2")
+        )
+        return s.crossJoin(F.broadcast(n2)).select(
+            "dim",
+            F.round(F.col("s").cast("double") / F.sqrt(F.col("n2")), 9).alias("w"),
+            F.sqrt(F.col("n2")).alias("lam"),
+        )
+
+    w1 = power_round(w).select("dim", "w")
+    w2 = power_round(w1)
+    lam = w2.agg(F.round(F.max("lam"), 6).alias("lambda_1"))
+    comps = (
+        w2.filter(F.col("dim") < 8)
+        .groupBy()
+        .pivot("dim", list(range(8)))
+        .agg(F.first("w"))
+    )
+    out = lam.crossJoin(F.broadcast(comps))
+    return out.select(
+        "lambda_1", *[F.round(F.col(str(d)), 6).alias(f"c{d}") for d in range(8)]
+    )
+
+
+def _power_iter_oracle() -> str:
+    def round_sql(prev_w: str, tag: str) -> str:
+        return f"""
+p{tag} AS (
+  SELECT e.vec_id, e.dim, e.val,
+         CAST(round(e.val * {prev_w}.w, 9) AS DECIMAL(28,9)) AS p
+  FROM E e JOIN {prev_w} ON e.dim = {prev_w}.dim
+),
+dr{tag} AS (SELECT vec_id, CAST(sum(p) AS DOUBLE) AS dr FROM p{tag} GROUP BY vec_id),
+s{tag} AS (
+  SELECT e.dim, sum(CAST(round(e.val * d.dr, 6) AS DECIMAL(28,6))) AS s
+  FROM E e JOIN dr{tag} d USING (vec_id)
+  GROUP BY e.dim
+),
+n{tag} AS (SELECT CAST(sum(s * s) AS DOUBLE) AS n2 FROM s{tag}),
+w{tag} AS (
+  SELECT s{tag}.dim,
+         round(CAST(s{tag}.s AS DOUBLE) / sqrt(n{tag}.n2), 9) AS w,
+         sqrt(n{tag}.n2) AS lam
+  FROM s{tag}, n{tag}
+)"""
+
+    comp_cols = ", ".join(
+        f"round(max(CASE WHEN dim = {d} THEN w END), 6) AS c{d}" for d in range(8)
+    )
+    return f"""
+WITH E AS (
+  SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS dim, CAST(embedding[u.i] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, {_DIM})) AS u(i)
+),
+w0 AS (
+  SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+         CASE WHEN u.i = 1 THEN 1.0 ELSE 0.0 END AS w
+  FROM unnest(generate_series(1, {_DIM})) AS u(i)
+),{round_sql('w0', '1')},{round_sql('w1', '2')}
+SELECT round(max(lam), 6) AS lambda_1, {comp_cols}
+FROM w2
+"""
+
+
+register("vector_power_iteration_pca", vector_power_iteration_pca, _power_iter_oracle())

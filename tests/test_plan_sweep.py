@@ -52,6 +52,9 @@ BNLJ_ALLOWED = {
     # margin self-joins a FIXED 160-row deterministic sample
     "events_heatmap_drift",
     "vector_label_margin",
+    # wave 27: power iteration broadcasts 1-row norms + the 8-col
+    # component pivot between rounds
+    "vector_power_iteration_pca",
 }
 
 SF = "/root/testdata/sf0.001"
