@@ -112,6 +112,24 @@ def main() -> None:
     from cyrela_etl_spark.session import get_spark
 
     registry = load_all()
+
+    # Load gate (VERDICT r7 item 2: the official r7 bench started at
+    # 5-min loadavg 6.12 and recorded ~10-20% inflated numbers; the
+    # artifact must be self-certifying). If the 1-min load is above the
+    # threshold, wait for the host to go idle — bounded, so a busy CI box
+    # still produces an artifact, but one that SAYS it was contaminated.
+    load_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+    load_waits = 0
+    while os.getloadavg()[0] > load_threshold and load_waits < 12:
+        print(
+            f"# load gate: 1-min load {os.getloadavg()[0]:.2f} > "
+            f"{load_threshold}; waiting 15s ({load_waits + 1}/12)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load_waits += 1
+    load_ok = os.getloadavg()[0] <= load_threshold
+
     spark = get_spark(app_name="cyrela-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -178,13 +196,22 @@ def main() -> None:
             "session_uptime_at_query_start_sec": uptime_at_start,
             "loadavg_start": [round(x, 2) for x in load_start],
             "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "load_gate": {
+                "threshold_1min": load_threshold,
+                "waits_15s": load_waits,
+                "passed": load_ok,
+            },
         }, fh, indent=1)
+    # `load_ok` in the contract line self-certifies the run: False means
+    # the host never went idle within the bounded wait and the numbers
+    # should be read as upper bounds (VERDICT r7 item 2).
     print(json.dumps({
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_ok": load_ok,
     }))
 
 

@@ -87,6 +87,7 @@ def cosine_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Brute-force top-k via Arrow-batched numpy matmul (the throughput
     path). Queries are collected once (small by contract) and closed over;
@@ -99,7 +100,17 @@ def cosine_topk_arrow(
     the same total order the global rank uses, so a boundary tie can never
     drop the row the global window would have kept.
     """
-    qrows = queries.select("query_id", vec_col).collect()
+    # Enforce the "queries are small" contract instead of documenting it
+    # (VERDICT r7 item 3): a caller passing a million-row query table must
+    # fail loudly, not drag it through the driver. The limit(cap+1) probe
+    # costs one extra row, never a count job over the full table.
+    qrows = queries.select("query_id", vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_arrow: query set exceeds max_queries={max_queries}; "
+            "the broadcast-GEMM path requires a driver-bounded query table — "
+            "use cosine_topk (pure DataFrame join) for large query sets"
+        )
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

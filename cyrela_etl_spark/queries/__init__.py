@@ -32,78 +32,28 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and scores AT MOST ~50 entries per round. Slot allocation for
-# round 7 (keep the registered-query count in sync with len(REGISTRY);
-# VERDICT r5/r6 ADVICE both flagged stale counts here and in NOTES.md):
-#   block 0 (96): every operator new in round 7, never driver-scored —
-#     a query with no driver row ever is worse than a stale green, so
-#     these take the budget first (waves in addition order); under a
-#     strict-50 budget the newest ~46 spill to round 8's queue, still
-#     locally verified in BOTH sessions (tools/verify_local.py).
+# order and scores AT MOST ~50 entries per round. Round-8 slot allocation
+# (VERDICT r7 "what's wrong" item 1: drain the never-scored backlog FIRST
+# and stop widening until the queue fits in one round's budget):
+#   block 0 (46): every entry with NO driver CORRECTNESS row in any round
+#     (r7 waves 12-27 that spilled past r7's strict-50 budget), in their
+#     original addition order. 46 < 50, so ALL of them get scored this
+#     round — the never-scored queue drains to zero.
 #   block A (6): queries whose CODE changed in round 7 (triangle closure
 #     rewrite, zscore degenerate-key guard, bm25 decimal numerator + its
-#     RRF consumer, upsert 8-part split, JPEG media mix) — their r6 green
-#     rows describe the old implementation; they overflow a strict-50
-#     budget and drop first by construction (all six hold r6 greens and
-#     were judge-verified in the r6 session).
-#   tail (unlisted): VERDICT r6 item 3's r3/r4-stale singles all hold
-#     valid greens over code unchanged in round 7 AND were judge-verified
-#     at sf0.01 in the r6 session; with 96 never-scored entries this
-#     round they yield their slots to round 8's freshness queue — the
-#     arithmetic cannot also fit them (documented trade, not an
-#     oversight).
+#     RRF consumer, upsert 8-part split, JPEG media mix). Their r6 greens
+#     describe the old implementation; 4 of the 6 fit in the remaining
+#     slots, the last 2 spill to round 9 (judge-verified green in r6/r7
+#     sessions meanwhile).
+#   block B: operators NEW in round 8 — deliberately placed BEHIND the
+#     backlog so the drain happens first; they are round 9's queue, and
+#     block B is sized so that (block-A spill + block B + the r3-stale
+#     singles) fits inside ONE round's ~50 slots — the arithmetic that
+#     VERDICT r7 demanded.
+#   tail (unlisted): r3/r4-stale entries with valid greens over unchanged
+#     code; they re-enter the queue in round 9 after block B.
 _PRIORITY: list[str] = [
-    # -- block 0: new in round 7 (never scored), in addition order ----------
-    "stream_dedup_expiry",
-    "scale_bloom_prefilter",
-    "storage_equidepth_histogram",
-    "events_attribution",
-    "corpus_dsir_weights",
-    "text_positional_index",
-    "storage_forget_user",
-    "text_phrase_search",
-    "storage_winsorize_profile",
-    "dedup_keep_best",
-    "scale_join_cardinality",
-    "events_retention_cohorts",
-    "events_markov_transitions",
-    "temporal_ewma",
-    "text_pmi_collocations",
-    "dedup_dup_ngram_fraction",
-    "corpus_domain_mix",
-    "temporal_scd2_intervals",
-    "stream_window_topk",
-    "vector_kmeans_clusters",
-    "quality_perplexity_buckets",
-    "temporal_interpolate",
-    "sql_lateral_topn",
-    "events_rfm_segments",
-    "text_tfidf_doc_pairs",
-    "graph_pagerank",
-    "events_rolling_active_users",
-    "vector_matryoshka_topk",
-    "agg_mode",
-    "quality_gopher_rules",
-    "text_url_extraction",
-    "events_ab_test",
-    "ml_target_encode",
-    "ml_feature_hash",
-    "multimodal_mp3_meta",
-    "scale_countmin_estimate",
-    "storage_schema_evolution",
-    "storage_integrity_checksum",
-    "storage_correlation_profile",
-    "events_sequence_trigrams",
-    "events_bot_regularity",
-    "graph_link_prediction",
-    "text_readability",
-    "vector_recall_report",
-    "events_anomaly_mad",
-    "agg_weighted_median",
-    "graph_lpa_communities",
-    "dedup_containment_pairs",
-    "temporal_cusum_drift",
-    "storage_moments_profile",
+    # -- block 0: never driver-scored (r7 spill), in addition order ------
     "text_rake_keywords",
     "graph_assortativity",
     "events_stickiness",
@@ -157,6 +107,7 @@ _PRIORITY: list[str] = [
     "text_bm25_topk",
     "search_hybrid_rrf",
     "stream_upsert_sink",
+    # -- block B: new in round 8 (behind the backlog by design) -------------
 ]
 
 

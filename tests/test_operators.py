@@ -55,6 +55,16 @@ def test_cosine_topk_arrow_matches_exact(spark, sf_dir):
     assert exact == arrow
 
 
+def test_cosine_topk_arrow_rejects_oversized_query_set(spark, sf_dir):
+    # VERDICT r7 item 3: the "queries are small" contract is enforced, not
+    # documented — an oversized query table raises instead of being
+    # collected through the driver.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError, match="max_queries=5"):
+        cosine_topk_arrow(emb, q, k=3, max_queries=5)
+
+
 # -- dedup: planted duplicates are found ------------------------------------
 def test_exact_dedup_groups(spark):
     df = spark.createDataFrame(
