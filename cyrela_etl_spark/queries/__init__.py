@@ -108,6 +108,10 @@ _PRIORITY: list[str] = [
     "search_hybrid_rrf",
     "stream_upsert_sink",
     # -- block B: new in round 8 (behind the backlog by design) -------------
+    "q02_min_cost_supplier",
+    "q11_important_parts",
+    "q16_part_supplier_counts",
+    "q20_excess_shippers",
 ]
 
 
@@ -123,6 +127,7 @@ def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
         streamingq,
         temporalq,
         textq,
+        tpch2,
         tpchx,
         vectorq,
         walletq,

@@ -20,6 +20,10 @@ from __future__ import annotations
 # k-row centroid/boundary tables), verified by the round-6 judge grep and
 # the per-wave plan audits in NOTES.md.
 BNLJ_ALLOWED = {
+    # q11: the TPC-H Q11 scalar subquery — a 1-row global-total aggregate
+    # broadcast-crossed onto the per-part aggregate (the wallet A1-A9
+    # pattern); the broadcast side is always exactly one row.
+    "q11_important_parts",
     "scale_bloom_prefilter",
     "corpus_dsir_weights",
     "scale_join_cardinality",
