@@ -112,6 +112,12 @@ _PRIORITY: list[str] = [
     "q11_important_parts",
     "q16_part_supplier_counts",
     "q20_excess_shippers",
+    "text_zipf_fit",
+    "text_hapax_heaps",
+    "text_vocab_growth",
+    "corpus_temperature_mix",
+    "corpus_epoch_plan",
+    "ml_leakage_check",
 ]
 
 
@@ -123,6 +129,7 @@ def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
         mlprepq,
         multimodalq,
         relational,
+        round8q,
         storageq,
         streamingq,
         temporalq,

@@ -24,6 +24,11 @@ BNLJ_ALLOWED = {
     # broadcast-crossed onto the per-part aggregate (the wallet A1-A9
     # pattern); the broadcast side is always exactly one row.
     "q11_important_parts",
+    # round-8 corpus stats: each joins a 1-row broadcast aggregate (global
+    # total / normalizer / test-doc count) onto a lang/source-sized table.
+    "corpus_temperature_mix",
+    "corpus_epoch_plan",
+    "ml_leakage_check",
     "scale_bloom_prefilter",
     "corpus_dsir_weights",
     "scale_join_cardinality",
