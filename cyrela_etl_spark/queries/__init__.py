@@ -118,6 +118,12 @@ _PRIORITY: list[str] = [
     "corpus_temperature_mix",
     "corpus_epoch_plan",
     "ml_leakage_check",
+    "events_power_pareto",
+    "agg_entropy",
+    "ml_woe_iv",
+    "ml_class_weights",
+    "window_percent_rank_cume",
+    "func_maps",
 ]
 
 

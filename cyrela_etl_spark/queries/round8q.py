@@ -420,3 +420,352 @@ FROM tot, nl
 
 
 register("ml_leakage_check", ml_leakage_check, _leakage_oracle())
+
+
+# ---------------------------------------------------------------------------
+# events_power_pareto — Lorenz/Pareto concentration curve of user activity
+# at count-value granularity: per-user event counts collapse into a
+# (count → n_users) histogram FIRST, so the cumulative window runs over a
+# bounded histogram (≤ max-events-per-user rows), never over the user
+# table — the scale-safe spelling of "top 10% of users produce X% of
+# events". Shares are single divisions of exact ints.
+# ---------------------------------------------------------------------------
+def events_power_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    per_user = read_events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hist = per_user.groupBy("c").agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(
+        F.sum("n_users").alias("_tu"),
+        F.sum(F.col("c") * F.col("n_users")).alias("_te"),
+    )
+    return (
+        hist.withColumn("cum_users", F.sum("n_users").over(w))
+        .withColumn("cum_events", F.sum(F.col("c") * F.col("n_users")).over(w))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("c").cast("long").alias("events_per_user"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("cum_users").cast("long").alias("cum_users"),
+            F.col("cum_events").cast("long").alias("cum_events"),
+            (F.col("cum_users") / F.col("_tu")).alias("user_share"),
+            (F.col("cum_events") / F.col("_te")).alias("event_share"),
+        )
+    )
+
+
+register(
+    "events_power_pareto",
+    events_power_pareto,
+    """
+WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id),
+hist AS (SELECT c, CAST(count(*) AS BIGINT) AS n_users FROM pu GROUP BY c),
+tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu, CAST(sum(c * n_users) AS BIGINT) AS te FROM hist),
+cum AS (
+  SELECT c, n_users,
+         CAST(sum(n_users) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users,
+         CAST(sum(c * n_users) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+  FROM hist
+)
+SELECT c AS events_per_user, n_users, cum_users, cum_events,
+       CAST(cum_users AS DOUBLE) / CAST(tu AS DOUBLE) AS user_share,
+       CAST(cum_events AS DOUBLE) / CAST(te AS DOUBLE) AS event_share
+FROM cum, tot
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# agg_entropy — Shannon entropy of the event-type distribution per user
+# cohort (user_id % 10): the behavioral-diversity signal bot-detection
+# and engagement scoring both consume. H = -Σ p·ln(p) is folded as
+# Σ n_t · round(ln(n_t/n), 6) in DECIMAL (exact), with ONE division by n
+# at the boundary — no float accumulation.
+# ---------------------------------------------------------------------------
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        (F.col("user_id") % 10).cast("long").alias("cohort"), "event_type"
+    )
+    ct = ev.groupBy("cohort", "event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    n = Window.partitionBy("cohort")
+    contrib = ct.withColumn("n", F.sum("n_t").over(n)).select(
+        "cohort",
+        "n",
+        (F.col("n_t") * F.round(F.log(F.col("n_t") / F.col("n")), 6).cast(LN_DEC)).cast(
+            ACC_DEC
+        ).alias("term"),
+    )
+    return (
+        contrib.groupBy("cohort")
+        .agg(F.max("n").alias("n_events"), F.sum("term").alias("s"))
+        .select(
+            "cohort",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(-(F.col("s") / F.col("n_events")).cast("double"), 6).alias("entropy_nats"),
+        )
+    )
+
+
+register(
+    "agg_entropy",
+    agg_entropy,
+    """
+WITH ct AS (
+  SELECT CAST(user_id % 10 AS BIGINT) AS cohort, event_type, CAST(count(*) AS BIGINT) AS n_t
+  FROM events GROUP BY 1, 2
+),
+wn AS (
+  SELECT cohort, n_t, CAST(sum(n_t) OVER (PARTITION BY cohort) AS BIGINT) AS n FROM ct
+)
+SELECT cohort, max(n) AS n_events,
+       round(CAST(-sum(CAST(n_t * CAST(round(ln(CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                                       AS DECIMAL(20,6)) AS DECIMAL(38,12)))
+                   / max(n) AS DOUBLE), 6) AS entropy_nats
+FROM wn GROUP BY cohort
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# ml_woe_iv — weight-of-evidence encoding + information value, the credit-
+# scoring feature-selection standard, here over order-level "was anything
+# returned" as the binary target. Two order-derived features (priority,
+# order month) unpivoted into one (feature, category) relation; the
+# order-level target aggregate shares the orderkey shuffle with the fact.
+# Categories with a zero cell are excluded (WOE undefined; documented).
+# Each WOE is ONE ln() of a ratio of exact-int products rounded to 6; the
+# IV sum folds round-12 decimals (exact).
+# ---------------------------------------------------------------------------
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.queries.relational import _t
+
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("is_ret"))
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        returned, F.col("o_orderkey") == F.col("orderkey")
+    )
+    feats = orders.select(
+        F.col("is_ret"),
+        F.explode(
+            F.create_map(
+                F.lit("priority"), F.col("o_orderpriority"),
+                F.lit("order_month"), F.month("o_orderdate").cast("string"),
+            )
+        ).alias("feature", "category"),
+    )
+    cells = feats.groupBy("feature", "category").agg(
+        F.sum("is_ret").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("is_ret")).cast("long").alias("n_neg"),
+    )
+    tot = feats.agg(
+        F.sum("is_ret").cast("long").alias("_pos"),
+        F.sum(1 - F.col("is_ret")).cast("long").alias("_neg"),
+    )
+    scored = (
+        cells.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .join(F.broadcast(tot))
+        .withColumn(
+            "woe",
+            F.round(F.log((F.col("n_pos") * F.col("_neg")) / (F.col("n_neg") * F.col("_pos"))), 6),
+        )
+        .withColumn(
+            "contrib",
+            F.round(
+                (F.col("n_pos") / F.col("_pos") - F.col("n_neg") / F.col("_neg")) * F.col("woe"),
+                12,
+            ).cast(ACC_DEC),
+        )
+    )
+    iv = scored.groupBy(F.col("feature").alias("_f")).agg(
+        F.round(F.sum("contrib").cast("double"), 6).alias("iv")
+    )
+    return scored.join(F.broadcast(iv), F.col("feature") == F.col("_f")).select(
+        "feature", "category", "n_pos", "n_neg", "woe", "iv"
+    )
+
+
+register(
+    "ml_woe_iv",
+    ml_woe_iv,
+    """
+WITH ret AS (
+  SELECT l_orderkey AS orderkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS is_ret
+  FROM lineitem GROUP BY 1
+),
+o AS (SELECT orders.*, ret.is_ret FROM orders JOIN ret ON o_orderkey = orderkey),
+feats AS (
+  SELECT is_ret, 'priority' AS feature, o_orderpriority AS category FROM o
+  UNION ALL
+  SELECT is_ret, 'order_month', CAST(month(o_orderdate) AS VARCHAR) FROM o
+),
+cells AS (
+  SELECT feature, category,
+         CAST(sum(is_ret) AS BIGINT) AS n_pos,
+         CAST(sum(1 - is_ret) AS BIGINT) AS n_neg
+  FROM feats GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(is_ret) AS BIGINT) AS pos, CAST(sum(1 - is_ret) AS BIGINT) AS neg FROM feats),
+scored AS (
+  SELECT feature, category, n_pos, n_neg,
+         round(ln(CAST(n_pos * neg AS DOUBLE) / CAST(n_neg * pos AS DOUBLE)), 6) AS woe,
+         CAST(round((CAST(n_pos AS DOUBLE) / pos - CAST(n_neg AS DOUBLE) / neg)
+                    * round(ln(CAST(n_pos * neg AS DOUBLE) / CAST(n_neg * pos AS DOUBLE)), 6), 12)
+              AS DECIMAL(38,12)) AS contrib
+  FROM cells, tot
+  WHERE n_pos > 0 AND n_neg > 0
+)
+SELECT feature, category, n_pos, n_neg, woe,
+       round(CAST(sum(contrib) OVER (PARTITION BY feature) AS DOUBLE), 6) AS iv
+FROM scored
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# ml_class_weights — inverse-frequency class weights over the embedding
+# labels (the loss-reweighting table a trainer consumes for imbalanced
+# classes): w_c = N / (k · n_c), one division per class.
+# ---------------------------------------------------------------------------
+def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    per_label = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_label.agg(
+        F.sum("n").alias("_N"), F.count(F.lit(1)).alias("_k")
+    )
+    return per_label.join(F.broadcast(tot)).select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_N") / (F.col("_k") * F.col("n")), 6).alias("weight"),
+    )
+
+
+register(
+    "ml_class_weights",
+    ml_class_weights,
+    """
+WITH pl AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n, CAST(count(*) AS BIGINT) AS k FROM pl)
+SELECT label, n, round(CAST(total_n AS DOUBLE) / (k * n), 6) AS weight
+FROM pl, tot
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# window_percent_rank_cume — the relative-rank window family on customer
+# balances per market segment: percent_rank, cume_dist, quartile (ntile).
+# Partitioned by segment, so the sort distributes; every output double is
+# a single division of exact ints.
+# ---------------------------------------------------------------------------
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.queries.relational import _t
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+register(
+    "window_percent_rank_cume",
+    window_percent_rank_cume,
+    """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment, c_acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# func_maps — the MapType function surface (map_from_entries, map_filter,
+# transform_values, map_entries) over per-cohort event-type counts, with
+# the result canonicalized to a sorted "k:v" string so the comparison is
+# engine-portable (DuckDB builds the same string from the sorted list
+# directly). Entry order is pinned by sorting the struct list BEFORE
+# map_from_entries — Spark maps preserve insertion order.
+# ---------------------------------------------------------------------------
+_MAP_MIN_COUNT = 3
+
+
+def func_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ct = (
+        read_events(spark, sf_dir)
+        .select((F.col("user_id") % 20).cast("long").alias("cohort"), "event_type")
+        .groupBy("cohort", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = ct.groupBy("cohort").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    out = m.select(
+        "cohort",
+        F.size("m").cast("long").alias("n_types"),
+        F.transform_values(
+            F.map_filter(F.col("m"), lambda _, v: v >= _MAP_MIN_COUNT),
+            lambda _, v: v * 2,
+        ).alias("m2"),
+    )
+    return out.select(
+        "cohort",
+        "n_types",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.map_entries("m2"),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+        ).alias("doubled_counts"),
+    )
+
+
+register(
+    "func_maps",
+    func_maps,
+    f"""
+WITH ct AS (
+  SELECT CAST(user_id % 20 AS BIGINT) AS cohort, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n_types,
+         array_to_string(
+           list_transform(
+             list_sort(list(event_type || ':' ORDER BY event_type)
+             ), x -> x), ',') AS _unused,
+         array_to_string(
+           list_transform(
+             list_filter(list({{'k': event_type, 'v': n}} ORDER BY event_type),
+                         e -> e.v >= {_MAP_MIN_COUNT}),
+             e -> e.k || ':' || CAST(e.v * 2 AS VARCHAR)),
+           ',') AS doubled_counts
+  FROM ct GROUP BY cohort
+)
+SELECT cohort, n_types, doubled_counts FROM agg
+""",
+)

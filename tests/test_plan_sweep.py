@@ -29,6 +29,12 @@ BNLJ_ALLOWED = {
     "corpus_temperature_mix",
     "corpus_epoch_plan",
     "ml_leakage_check",
+    # round-8 wave 3: 1-row global-total broadcasts onto histogram/
+    # cell-sized tables (Lorenz totals, WOE pos/neg totals + per-feature
+    # IV k-row join, class-weight N/k).
+    "events_power_pareto",
+    "ml_woe_iv",
+    "ml_class_weights",
     "scale_bloom_prefilter",
     "corpus_dsir_weights",
     "scale_join_cardinality",
