@@ -124,6 +124,9 @@ _PRIORITY: list[str] = [
     "ml_class_weights",
     "window_percent_rank_cume",
     "func_maps",
+    "graph_bfs_frontier",
+    "graph_kcore_peel",
+    "temporal_overlap_join",
 ]
 
 

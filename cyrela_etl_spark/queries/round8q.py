@@ -769,3 +769,286 @@ agg AS (
 SELECT cohort, n_types, doubled_counts FROM agg
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_frontier — 2-hop breadth-first frontier sizes from the 3
+# lowest-id vertices of the duplicate-pair graph (the same edge derivation
+# connected-components / pagerank / triangles use — provenance:
+# textq._COMPONENTS_EDGES_SQL). Distributed BFS is vertex-keyed equi-joins
+# against the (persisted, both-direction) edge list; hop-2 excludes
+# already-visited vertices by anti-join, not by driver-side sets.
+# ---------------------------------------------------------------------------
+_BFS_SEEDS = 3
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = corpus(spark, sf_dir)
+    from cyrela_etl_spark.queries.textq import sql_norm  # noqa: F401  (SQL twin)
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    keyed = c.select(
+        F.col("doc_id").alias("id"),
+        F.md5(norm).alias("k_exact"),
+        F.md5(F.concat_ws(" ", F.slice(X.tokens(F.col("text")), 1, 6))).alias("k_prefix"),
+    )
+
+    def _pairs(key: str) -> DataFrame:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return a.join(
+            b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.id") < F.col("b.id"))
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    return _pairs("k_exact").unionByName(_pairs("k_prefix")).distinct()
+
+
+def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _dup_edges(spark, sf_dir)
+    d = (
+        und.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(und.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    seeds = (
+        d.select(F.col("src").alias("seed")).distinct().orderBy("seed").limit(_BFS_SEEDS)
+    )
+    hop1 = (
+        seeds.join(d, F.col("seed") == F.col("src"))
+        .filter(F.col("dst") != F.col("seed"))
+        .select("seed", F.col("dst").alias("v1"))
+        .distinct()
+    )
+    hop2 = (
+        hop1.join(d, F.col("v1") == F.col("src"))
+        .filter(F.col("dst") != F.col("seed"))
+        .select("seed", F.col("dst").alias("v2"))
+        .distinct()
+        .join(
+            hop1.select("seed", F.col("v1").alias("v2")),
+            ["seed", "v2"],
+            "left_anti",
+        )
+    )
+    h1 = hop1.groupBy("seed").agg(F.count(F.lit(1)).cast("long").alias("n_hop1"))
+    h2 = hop2.groupBy("seed").agg(F.count(F.lit(1)).cast("long").alias("n_hop2"))
+    return (
+        h1.join(h2, "seed", "left")
+        .select(
+            F.col("seed").cast("long").alias("seed"),
+            "n_hop1",
+            F.coalesce(F.col("n_hop2"), F.lit(0)).cast("long").alias("n_hop2"),
+        )
+    )
+
+
+def _bfs_oracle() -> str:
+    from cyrela_etl_spark.queries.textq import _COMPONENTS_EDGES_SQL
+
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+{_COMPONENTS_EDGES_SQL.strip()},
+e AS (SELECT DISTINCT id_a, id_b FROM pairs),
+d AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+seeds AS (SELECT DISTINCT src AS seed FROM d ORDER BY seed LIMIT {_BFS_SEEDS}),
+hop1 AS (
+  SELECT DISTINCT s.seed, d.dst AS v1 FROM seeds s JOIN d ON s.seed = d.src
+  WHERE d.dst <> s.seed
+),
+hop2 AS (
+  SELECT DISTINCT h.seed, d.dst AS v2 FROM hop1 h JOIN d ON h.v1 = d.src
+  WHERE d.dst <> h.seed
+    AND NOT EXISTS (SELECT 1 FROM hop1 x WHERE x.seed = h.seed AND x.v1 = d.dst)
+)
+SELECT CAST(h1.seed AS BIGINT) AS seed,
+       CAST(h1.n AS BIGINT) AS n_hop1,
+       CAST(COALESCE(h2.n, 0) AS BIGINT) AS n_hop2
+FROM (SELECT seed, count(*) AS n FROM hop1 GROUP BY seed) h1
+LEFT JOIN (SELECT seed, count(*) AS n FROM hop2 GROUP BY seed) h2 ON h1.seed = h2.seed
+"""
+
+
+register("graph_bfs_frontier", graph_bfs_frontier, _bfs_oracle())
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_peel — two deterministic rounds of k-core peeling (k=2) on
+# the duplicate-pair graph: drop vertices with degree < k, recompute
+# degrees on the induced subgraph, drop again. Reports surviving node and
+# edge counts per round — the standard coreness-style density probe,
+# expressed as degree aggregates + semi-joins (no iteration state on the
+# driver; rounds are unrolled).
+# ---------------------------------------------------------------------------
+_KCORE_K = 2
+
+
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _dup_edges(spark, sf_dir).persist()
+
+    def stats(e: DataFrame, rnd: int) -> DataFrame:
+        nodes = e.select(F.col("id_a").alias("v")).unionByName(
+            e.select(F.col("id_b").alias("v"))
+        ).distinct()
+        return nodes.agg(
+            F.lit(rnd).cast("long").alias("round"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        ).join(F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))))
+
+    def peel(e: DataFrame) -> DataFrame:
+        deg = (
+            e.select(F.col("id_a").alias("v"))
+            .unionByName(e.select(F.col("id_b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("v")
+        return (
+            e.join(keep.withColumnRenamed("v", "id_a"), "id_a", "left_semi")
+            .join(keep.withColumnRenamed("v", "id_b"), "id_b", "left_semi")
+            .select("id_a", "id_b")
+        )
+
+    e1 = peel(e0).persist()
+    e2 = peel(e1)
+    return stats(e0, 0).unionByName(stats(e1, 1)).unionByName(stats(e2, 2))
+
+
+def _kcore_oracle() -> str:
+    from cyrela_etl_spark.queries.textq import _COMPONENTS_EDGES_SQL
+
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+{_COMPONENTS_EDGES_SQL.strip()},
+e0 AS (SELECT DISTINCT id_a, id_b FROM pairs),
+d0 AS (SELECT id_a AS v FROM e0 UNION ALL SELECT id_b FROM e0),
+deg0 AS (SELECT v, count(*) AS deg FROM d0 GROUP BY v),
+keep1 AS (SELECT v FROM deg0 WHERE deg >= {_KCORE_K}),
+e1 AS (
+  SELECT id_a, id_b FROM e0
+  WHERE id_a IN (SELECT v FROM keep1) AND id_b IN (SELECT v FROM keep1)
+),
+d1 AS (SELECT id_a AS v FROM e1 UNION ALL SELECT id_b FROM e1),
+deg1 AS (SELECT v, count(*) AS deg FROM d1 GROUP BY v),
+keep2 AS (SELECT v FROM deg1 WHERE deg >= {_KCORE_K}),
+e2 AS (
+  SELECT id_a, id_b FROM e1
+  WHERE id_a IN (SELECT v FROM keep2) AND id_b IN (SELECT v FROM keep2)
+),
+d2 AS (SELECT id_a AS v FROM e2 UNION ALL SELECT id_b FROM e2)
+SELECT CAST(0 AS BIGINT) AS round,
+       (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM d0) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges
+UNION ALL
+SELECT 1, (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM d1),
+          (SELECT CAST(count(*) AS BIGINT) FROM e1)
+UNION ALL
+SELECT 2, (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM d2),
+          (SELECT CAST(count(*) AS BIGINT) FROM e2)
+"""
+
+
+register("graph_kcore_peel", graph_kcore_peel, _kcore_oracle())
+
+
+# ---------------------------------------------------------------------------
+# temporal_overlap_join — interval-overlap join between per-user click
+# sessions and view sessions (3-day-gap sessionization (matched to the testdata event density) on both
+# sides): which browsing sessions ran concurrently with a click session?
+# The join is EQUI on user_id with the overlap predicate as a residual
+# filter — per-user session counts bound the blowup (power-user skew is
+# the AQE-skew-join case, noted); overlap length is exact epoch-seconds
+# arithmetic.
+# ---------------------------------------------------------------------------
+_OVL_GAP_S = 259200
+_OVL_TYPE_A, _OVL_TYPE_B = "click", "view"
+
+
+def _sessions(ev: DataFrame, etype: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    flagged = (
+        ev.filter(F.col("event_type") == etype)
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("s"))
+        .withColumn("prev_s", F.lag("s").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev_s").isNull() | (F.col("s") - F.col("prev_s") > _OVL_GAP_S)).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            "sess_no",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return flagged.groupBy("user_id", "sess_no").agg(
+        F.min("s").alias("start_s"), F.max("s").alias("end_s")
+    )
+
+
+def temporal_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir)
+    a = _sessions(ev, _OVL_TYPE_A).select(
+        "user_id",
+        F.col("sess_no").alias("a_sess"),
+        F.col("start_s").alias("a_start"),
+        F.col("end_s").alias("a_end"),
+    )
+    b = _sessions(ev, _OVL_TYPE_B).select(
+        F.col("user_id").alias("b_user"),
+        F.col("sess_no").alias("b_sess"),
+        F.col("start_s").alias("b_start"),
+        F.col("end_s").alias("b_end"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end")),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("a_sess").cast("long").alias("a_sess"),
+            F.col("b_sess").cast("long").alias("b_sess"),
+            (F.least("a_end", "b_end") - F.greatest("a_start", "b_start"))
+            .cast("long")
+            .alias("overlap_secs"),
+        )
+    )
+
+
+_OVL_SESS_SQL = """
+  SELECT user_id, sess_no, min(s) AS start_s, max(s) AS end_s
+  FROM (
+    SELECT user_id, s,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+    FROM (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+                       IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) > {gap}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WHERE event_type = '{etype}'
+    )
+  )
+  GROUP BY user_id, sess_no
+"""
+
+register(
+    "temporal_overlap_join",
+    temporal_overlap_join,
+    f"""
+WITH a AS ({_OVL_SESS_SQL.format(gap=_OVL_GAP_S, etype=_OVL_TYPE_A)}),
+b AS ({_OVL_SESS_SQL.format(gap=_OVL_GAP_S, etype=_OVL_TYPE_B)})
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(a.sess_no AS BIGINT) AS a_sess,
+       CAST(b.sess_no AS BIGINT) AS b_sess,
+       CAST(least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s) AS BIGINT) AS overlap_secs
+FROM a JOIN b ON a.user_id = b.user_id
+            AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+""",
+)

@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "events_power_pareto",
     "ml_woe_iv",
     "ml_class_weights",
+    # kcore: per-round 1-row (n_nodes) × 1-row (n_edges) summary joins.
+    "graph_kcore_peel",
     "scale_bloom_prefilter",
     "corpus_dsir_weights",
     "scale_join_cardinality",
