@@ -114,3 +114,77 @@ def kmeans_cluster_profile(
             ),
         )
     )
+
+
+def kmeans_quality_profile(
+    data: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-quality report after ``iterations`` Lloyd rounds: per
+    cluster the member count, mean intra-cluster squared distance
+    (cohesion), the nearest OTHER centroid and its squared distance
+    (separation), and the cohesion/separation ratio — the Davies-Bouldin-
+    flavored signal a curation pipeline uses to decide whether SemDeDup-
+    style cluster blocking is tight enough.
+
+    The centroid-pair table is k×k rows (tiny by contract, broadcast);
+    everything corpus-sized reuses the one persisted base relation and
+    the broadcast-assign pass. Same determinism contract as
+    ``kmeans_cluster_profile``: rounded dist², decimal means, ties by cid.
+    """
+    base = data.select(
+        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")
+    ).persist()
+    centroids = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    assigned = _assign(base, centroids)
+    cent = centroids
+    for _ in range(iterations - 1):
+        cent = _means(assigned)
+        assigned = _assign(base, cent)
+    cohesion = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(F.col("dist2").cast("decimal(20,6)")).alias("__inertia"),
+    )
+    a = cent.select(F.col("cid").alias("a_cid"), F.col("cv").alias("a_cv"))
+    b = cent.select(F.col("cid").alias("b_cid"), F.col("cv").alias("b_cv"))
+    sep = (
+        a.join(F.broadcast(b), F.col("a_cid") != F.col("b_cid"))
+        .select(
+            "a_cid",
+            F.struct(
+                _dist2(F.col("a_cv"), F.col("b_cv")).alias("d2"),
+                F.col("b_cid").alias("cid"),
+            ).alias("dc"),
+        )
+        .groupBy("a_cid")
+        .agg(F.min("dc").alias("nn"))
+        .select(
+            "a_cid",
+            F.col("nn.cid").alias("nn_cid"),
+            F.col("nn.d2").alias("nn_dist2"),
+        )
+    )
+    return (
+        cohesion.join(F.broadcast(sep), F.col("cid") == F.col("a_cid"))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_points",
+            F.round(F.col("__inertia").cast("double") / F.col("n_points"), 6).alias(
+                "mean_dist2"
+            ),
+            F.col("nn_cid").cast("long").alias("nn_cid"),
+            F.col("nn_dist2").alias("nn_dist2"),
+            F.round(
+                F.round(F.col("__inertia").cast("double") / F.col("n_points"), 6)
+                / F.col("nn_dist2"),
+                6,
+            ).alias("db_ratio"),
+        )
+    )

@@ -127,6 +127,8 @@ _PRIORITY: list[str] = [
     "graph_bfs_frontier",
     "graph_kcore_peel",
     "temporal_overlap_join",
+    "vector_cluster_quality",
+    "vector_ivf_pq_topk",
 ]
 
 

@@ -1052,3 +1052,177 @@ FROM a JOIN b ON a.user_id = b.user_id
             AND a.start_s <= b.end_s AND b.start_s <= a.end_s
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# vector_cluster_quality — per-cluster cohesion vs separation after 2
+# Lloyd rounds (operators/clustering.py kmeans_quality_profile): mean
+# intra-cluster dist², nearest-other-centroid dist², and their Davies-
+# Bouldin-flavored ratio. The oracle replays seeding, both iterations,
+# the decimal means, AND the k×k centroid-pair argmin.
+# ---------------------------------------------------------------------------
+_CQ_K = 8
+
+
+def vector_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.clustering import kmeans_quality_profile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_quality_profile(emb, k=_CQ_K, iterations=2)
+
+
+def _cluster_quality_oracle() -> str:
+    from cyrela_etl_spark.queries.vectorq import _SQL_D2
+
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent1 AS (SELECT vec_id AS cid, v AS cv FROM base
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_CQ_K}),
+a1p AS (
+  SELECT b.vec_id, b.v, c.cid, {_SQL_D2.format(v='b.v', c='c.cv')} AS dist2
+  FROM base b CROSS JOIN cent1 c
+),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS crank
+    FROM a1p)
+  WHERE crank = 1
+),
+mexp AS (
+  SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM a1
+),
+m AS (
+  SELECT cid, pos,
+         CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mval
+  FROM mexp GROUP BY cid, pos
+),
+cent2 AS (SELECT cid, list(mval ORDER BY pos) AS cv FROM m GROUP BY cid),
+a2p AS (
+  SELECT b.vec_id, c.cid, {_SQL_D2.format(v='b.v', c='c.cv')} AS dist2
+  FROM base b CROSS JOIN cent2 c
+),
+a2 AS (
+  SELECT vec_id, cid, dist2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS crank
+    FROM a2p)
+  WHERE crank = 1
+),
+coh AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+         round(CAST(sum(CAST(dist2 AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_dist2
+  FROM a2 GROUP BY cid
+),
+sep AS (
+  SELECT a_cid, nn_cid, nn_dist2 FROM (
+    SELECT a.cid AS a_cid, b.cid AS nn_cid,
+           {_SQL_D2.format(v='a.cv', c='b.cv')} AS nn_dist2,
+           row_number() OVER (PARTITION BY a.cid
+             ORDER BY {_SQL_D2.format(v='a.cv', c='b.cv')}, b.cid) AS rn
+    FROM cent2 a JOIN cent2 b ON a.cid <> b.cid
+  ) WHERE rn = 1
+)
+SELECT CAST(coh.cid AS BIGINT) AS cid, coh.n_points, coh.mean_dist2,
+       CAST(sep.nn_cid AS BIGINT) AS nn_cid, sep.nn_dist2,
+       round(coh.mean_dist2 / sep.nn_dist2, 6) AS db_ratio
+FROM coh JOIN sep ON coh.cid = sep.a_cid
+"""
+
+
+register("vector_cluster_quality", vector_cluster_quality, _cluster_quality_oracle())
+
+
+# ---------------------------------------------------------------------------
+# vector_ivf_pq_topk — the FAISS IndexIVFPQ composition (operators/
+# similarity.py ivf_pq_topk): coarse inverted-file pruning (probe 2 of 16
+# lists) + asymmetric PQ-code distance over the probed candidates. The
+# oracle fuses the existing IVF and PQ oracles: same md5 seeding for both
+# quantizers, same rounded-cosine list ranking, same integer-ppm ADC.
+# ---------------------------------------------------------------------------
+def vector_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.similarity import ivf_pq_topk
+    from cyrela_etl_spark.queries.vectorq import _emb, _queries_df
+
+    out = ivf_pq_topk(
+        _emb(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=5,
+        n_centroids=16,
+        nprobe=2,
+        m=8,
+        ksub=16,
+        dim=64,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "adc_ppm"
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    from cyrela_etl_spark.queries.vectorq import _N_QUERIES, _SQL_COS
+
+    m, ksub, dsub, n_cent, nprobe, k = 8, 16, 8, 16, 2, 5
+    d2 = (
+        "CAST(round((list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})) * 1000000) AS BIGINT)"
+    )
+    lo = f"j*{dsub}+1"
+    hi = f"j*{dsub}+{dsub}"
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM base
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cent}),
+cscored AS (
+  SELECT b.vec_id, b.v, c.cid,
+         row_number() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY round({_SQL_COS.format(a='b.v', b='c.cv')}, 6) DESC, c.cid
+         ) AS crank
+  FROM base b CROSS JOIN cent c
+),
+lists AS (SELECT vec_id, cid AS list_id FROM cscored WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, cid AS list_id
+           FROM cscored WHERE vec_id < {_N_QUERIES} AND crank <= {nprobe}),
+pqcent AS (SELECT vec_id AS cid, v AS cv FROM base
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ksub}),
+js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+books AS (SELECT js.j, pqcent.cid, pqcent.cv[{lo}:{hi}] AS cw FROM pqcent CROSS JOIN js),
+dsubs AS (SELECT base.vec_id, js.j, base.v[{lo}:{hi}] AS sub FROM base CROSS JOIN js),
+cand AS (
+  SELECT d.vec_id, d.j, b.cid, {d2.format(a='d.sub', b='b.cw')} AS d2
+  FROM dsubs d JOIN books b ON d.j = b.j
+),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+qsubs AS (SELECT vec_id AS query_id, j, sub FROM dsubs WHERE vec_id < {_N_QUERIES}),
+dtable AS (
+  SELECT q.query_id, q.j, b.cid, {d2.format(a='q.sub', b='b.cw')} AS d2_ppm
+  FROM qsubs q JOIN books b ON q.j = b.j
+),
+pairs AS (
+  SELECT p.query_id, l.vec_id
+  FROM lists l JOIN probes p ON l.list_id = p.list_id
+  WHERE l.vec_id <> p.query_id
+),
+scored AS (
+  SELECT pr.query_id, c.vec_id, CAST(sum(t.d2_ppm) AS BIGINT) AS adc_ppm
+  FROM pairs pr
+  JOIN codes c ON c.vec_id = pr.vec_id
+  JOIN dtable t ON t.query_id = pr.query_id AND t.j = c.j AND t.cid = c.code
+  GROUP BY pr.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_ppm,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_ppm ASC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, adc_ppm FROM ranked WHERE rank <= {k}
+"""
+
+
+register("vector_ivf_pq_topk", vector_ivf_pq_topk, _ivf_pq_oracle())

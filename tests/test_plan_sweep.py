@@ -37,6 +37,9 @@ BNLJ_ALLOWED = {
     "ml_class_weights",
     # kcore: per-round 1-row (n_nodes) × 1-row (n_edges) summary joins.
     "graph_kcore_peel",
+    # cluster quality: k-row broadcast centroid assignment (the kmeans
+    # pattern) plus the k x k centroid-pair separation join.
+    "vector_cluster_quality",
     "scale_bloom_prefilter",
     "corpus_dsir_weights",
     "scale_join_cardinality",
