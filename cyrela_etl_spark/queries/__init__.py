@@ -129,6 +129,7 @@ _PRIORITY: list[str] = [
     "temporal_overlap_join",
     "vector_cluster_quality",
     "vector_ivf_pq_topk",
+    "multimodal_duplicate_assets",
 ]
 
 

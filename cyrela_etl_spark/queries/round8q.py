@@ -1226,3 +1226,61 @@ SELECT query_id, rank, vec_id, adc_ppm FROM ranked WHERE rank <= {k}
 
 
 register("vector_ivf_pq_topk", vector_ivf_pq_topk, _ivf_pq_oracle())
+
+
+# ---------------------------------------------------------------------------
+# multimodal_duplicate_assets — content-hash dedup over a BINARY asset
+# column (the object-store asset-dedup pattern: group by (md5, n_bytes),
+# keep the lowest-id canonical, report copy counts and wasted bytes).
+# Assets are the planted corpus binarized to UTF-8 payloads
+# (operators/multimodal.py binarize_text), so Spark hashes the BINARY
+# column while the oracle hashes the source text — byte-identical by
+# construction, which is exactly the property a content-addressed store
+# relies on. One combinable hash-agg; no shuffled payloads (only the
+# 16-byte digest + length travel).
+# ---------------------------------------------------------------------------
+def multimodal_duplicate_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.multimodal import binarize_text
+
+    assets = binarize_text(corpus(spark, sf_dir))
+    return (
+        assets.select(
+            "doc_id",
+            F.md5("payload").alias("content_md5"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        )
+        .groupBy("content_md5", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "content_md5",
+            "n_bytes",
+            "n_copies",
+            "canonical_id",
+            ((F.col("n_copies") - 1) * F.col("n_bytes")).cast("long").alias("wasted_bytes"),
+        )
+    )
+
+
+register(
+    "multimodal_duplicate_assets",
+    multimodal_duplicate_assets,
+    f"""
+WITH corpus AS ({CORPUS_SQL}),
+assets AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM corpus
+)
+SELECT content_md5, n_bytes,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST((count(*) - 1) * n_bytes AS BIGINT) AS wasted_bytes
+FROM assets
+GROUP BY content_md5, n_bytes
+HAVING count(*) > 1
+""",
+)
