@@ -94,6 +94,12 @@ HEADLINE = [
     "dedup_containment_pairs",
     "graph_lpa_communities",
     "text_rake_keywords",
+    # round-8 representatives (4 — full TPC-H closure + the composed
+    # index + the heaviest corpus-statistics add)
+    "q02_min_cost_supplier",
+    "vector_ivf_pq_topk",
+    "ml_leakage_check",
+    "text_zipf_fit",
 ]
 
 

@@ -130,6 +130,9 @@ _PRIORITY: list[str] = [
     "vector_cluster_quality",
     "vector_ivf_pq_topk",
     "multimodal_duplicate_assets",
+    "vector_jl_projection",
+    "graph_degree_distribution",
+    "func_struct_ops",
 ]
 
 

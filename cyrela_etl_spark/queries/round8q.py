@@ -1284,3 +1284,215 @@ GROUP BY content_md5, n_bytes
 HAVING count(*) > 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# vector_jl_projection — Johnson-Lindenstrauss random-projection recall:
+# project dim-64 vectors onto 16 fixed Gaussian directions (md5-free but
+# seed-pinned, the RHP-LSH plane discipline), run L2 top-k in the
+# projected space, and report per-query overlap against the exact top-k —
+# the dimensionality-reduction rung of the ANN ladder (JL 1984; the
+# distance-distortion bound is what makes 4× cheaper scans admissible).
+# Projections are fixed literals (16×64 — the documented upper bound for
+# plan-literal planes; beyond this ship a broadcast table like IVF).
+# ---------------------------------------------------------------------------
+_JL_DIM, _JL_SEED = 16, 7
+
+
+def _jl_planes() -> list[list[float]]:
+    from cyrela_etl_spark.operators.similarity import _hyperplanes
+
+    return _hyperplanes(64, _JL_DIM, seed=_JL_SEED)
+
+
+def vector_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.functions.vectors import dot, to_double_array
+    from cyrela_etl_spark.operators.similarity import l2_topk
+    from cyrela_etl_spark.queries.vectorq import _K, _emb, _queries_df
+
+    planes = _jl_planes()
+
+    def project(df: DataFrame, id_expr: str, out_id: str) -> DataFrame:
+        v = to_double_array("embedding")
+        proj = F.array(
+            *[
+                F.round(dot(v, F.array(*[F.lit(float(x)) for x in p])), 6)
+                for p in planes
+            ]
+        )
+        return df.select(F.col(id_expr).alias(out_id), proj.alias("embedding"))
+
+    exact = l2_topk(_emb(spark, sf_dir), _queries_df(spark, sf_dir), k=_K).select(
+        "query_id", "vec_id"
+    )
+    approx = l2_topk(
+        project(_emb(spark, sf_dir), "vec_id", "vec_id"),
+        project(_queries_df(spark, sf_dir), "query_id", "query_id"),
+        k=_K,
+    ).select("query_id", F.col("vec_id").alias("hit_id"))
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"]) & (exact["vec_id"] == approx["hit_id"]),
+        "left",
+    ).select(exact["query_id"].alias("qid"), "hit_id")
+    return (
+        joined.groupBy("qid")
+        .agg(F.count("hit_id").cast("long").alias("n_hits"))
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(_K)), 6).alias("recall_at_k"),
+        )
+    )
+
+
+def _jl_oracle() -> str:
+    from cyrela_etl_spark.queries.vectorq import _K, _N_QUERIES, ORACLE_L2
+
+    planes = _jl_planes()
+    proj = "[" + ", ".join(
+        f"round(list_dot_product(v, [{', '.join(repr(float(x)) for x in p)}]), 6)"
+        for p in planes
+    ) + "]"
+    return f"""
+WITH d0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pd AS (SELECT vec_id, {proj} AS v FROM d0),
+pq AS (SELECT vec_id AS query_id, v AS qv FROM pd WHERE vec_id < {_N_QUERIES}),
+ascored AS (
+  SELECT pq.query_id, pd.vec_id,
+         round(sqrt(greatest(
+           list_dot_product(pq.qv, pq.qv)
+           - 2.0 * list_dot_product(pq.qv, pd.v)
+           + list_dot_product(pd.v, pd.v), 0.0)), 6) AS l2_dist
+  FROM pd JOIN pq ON pd.vec_id <> pq.query_id
+),
+approx AS (
+  SELECT query_id, vec_id AS hit_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY l2_dist ASC, vec_id) AS rank
+    FROM ascored) WHERE rank <= {_K}
+),
+exact AS (SELECT query_id, vec_id FROM ({ORACLE_L2}) t)
+SELECT e.query_id,
+       CAST(count(a.hit_id) AS BIGINT) AS n_hits,
+       round(count(a.hit_id) / CAST({_K} AS DOUBLE), 6) AS recall_at_k
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.vec_id = a.hit_id
+GROUP BY e.query_id
+"""
+
+
+register("vector_jl_projection", vector_jl_projection, _jl_oracle())
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_distribution — the degree histogram of the duplicate-pair
+# graph plus cumulative node share (the heavy-tail diagnostic that decides
+# whether hub-mitigation — orientation, salting — is needed before any
+# pairwise graph op). Bounded output: one row per distinct degree.
+# ---------------------------------------------------------------------------
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = _dup_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("id_a").alias("v"))
+        .unionByName(und.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = hist.agg(F.sum("n_nodes").alias("_tn"))
+    w = Window.orderBy(F.col("deg").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.withColumn("cum_nodes", F.sum("n_nodes").over(w))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("deg").cast("long").alias("degree"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("cum_nodes").cast("long").alias("cum_nodes"),
+            (F.col("cum_nodes") / F.col("_tn")).alias("node_share"),
+        )
+    )
+
+
+def _degree_dist_oracle() -> str:
+    from cyrela_etl_spark.queries.textq import _COMPONENTS_EDGES_SQL
+
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+{_COMPONENTS_EDGES_SQL.strip()},
+e AS (SELECT DISTINCT id_a, id_b FROM pairs),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT id_a AS v FROM e UNION ALL SELECT id_b FROM e) GROUP BY v
+),
+hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY deg),
+tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS tn FROM hist)
+SELECT deg AS degree, n_nodes,
+       CAST(sum(n_nodes) OVER (ORDER BY deg DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nodes,
+       CAST(sum(n_nodes) OVER (ORDER BY deg DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(tn AS DOUBLE) AS node_share
+FROM hist, tot
+"""
+
+
+register("graph_degree_distribution", graph_degree_distribution, _degree_dist_oracle())
+
+
+# ---------------------------------------------------------------------------
+# func_struct_ops — the StructType function surface: struct construction,
+# withField enrichment, struct-ordered collect + slice (top-3 per
+# nation), canonicalized to strings both engines can build. Struct sort
+# order is pinned by (acctbal DESC, custkey DESC) on both sides.
+# ---------------------------------------------------------------------------
+def func_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.queries.relational import _t
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.struct(
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+        ).withField("rich", F.col("c_acctbal") > 5000).alias("s"),
+    )
+    top3 = cust.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, 3).alias("top")
+    )
+    return top3.select(
+        "nationkey",
+        F.size("top").cast("long").alias("n_top"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "top",
+                lambda s: F.concat_ws(
+                    ":",
+                    s["ck"].cast("string"),
+                    s["bal"].cast("string"),
+                    s["seg"],
+                    s["rich"].cast("string"),
+                ),
+            ),
+        ).alias("top3"),
+    )
+
+
+register(
+    "func_struct_ops",
+    func_struct_ops,
+    """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(least(count(*), 3) AS BIGINT) AS n_top,
+       array_to_string(
+         list_transform(
+           (list({'ck': c_custkey, 'bal': c_acctbal, 'seg': c_mktsegment,
+                  'rich': c_acctbal > 5000}
+                 ORDER BY c_acctbal DESC, c_custkey DESC))[1:3],
+           s -> CAST(s.ck AS VARCHAR) || ':' || CAST(s.bal AS VARCHAR) || ':'
+                || s.seg || ':' || CAST(s.rich AS VARCHAR)),
+         ',') AS top3
+FROM customer GROUP BY c_nationkey
+""",
+)

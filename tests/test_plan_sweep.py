@@ -40,6 +40,10 @@ BNLJ_ALLOWED = {
     # cluster quality: k-row broadcast centroid assignment (the kmeans
     # pattern) plus the k x k centroid-pair separation join.
     "vector_cluster_quality",
+    # JL recall: 8-row broadcast query set joined on != (the l2_topk
+    # contract); degree distribution: 1-row total onto the histogram.
+    "vector_jl_projection",
+    "graph_degree_distribution",
     "scale_bloom_prefilter",
     "corpus_dsir_weights",
     "scale_join_cardinality",
