@@ -133,6 +133,8 @@ _PRIORITY: list[str] = [
     "vector_jl_projection",
     "graph_degree_distribution",
     "func_struct_ops",
+    "temporal_asof_tolerance",
+    "scale_partition_balance",
 ]
 
 

@@ -1496,3 +1496,116 @@ SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
 FROM customer GROUP BY c_nationkey
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal_asof_tolerance — as-of join with a max-staleness bound (the
+# pandas merge_asof `tolerance=` / kdb wj-window semantic): each click
+# takes the latest purchase at-or-before it ONLY if it is at most 7 days
+# old; staler matches null out. Reuses the single-window union as-of
+# (operators/temporal.py asof_join) with the matched timestamp carried
+# through as a value column; the age test is exact integer seconds.
+# ---------------------------------------------------------------------------
+_ASOF_TOL_S = 7 * 86400
+
+
+def temporal_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.temporal import asof_join
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_value_cols=["p_value", "p_ts"],
+        suffix="",
+    )
+    age = F.unix_timestamp("ts") - F.unix_timestamp("p_ts")
+    fresh = F.col("p_ts").isNotNull() & (age <= _ASOF_TOL_S)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("p_value")).alias("last_purchase_value"),
+        F.when(fresh, age).cast("long").alias("staleness_s"),
+    )
+
+
+register(
+    "temporal_asof_tolerance",
+    temporal_asof_tolerance,
+    f"""
+WITH clicks AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN p.p_ts IS NOT NULL
+             AND CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.p_ts)) AS BIGINT)
+                 <= {_ASOF_TOL_S}
+            THEN p.p_value END AS last_purchase_value,
+       CASE WHEN p.p_ts IS NOT NULL
+             AND CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.p_ts)) AS BIGINT)
+                 <= {_ASOF_TOL_S}
+            THEN CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.p_ts)) AS BIGINT)
+       END AS staleness_s
+FROM clicks c ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND p.p_ts <= c.ts
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# scale_partition_balance — hash-partition balance audit: bucket the fact
+# by the PORTABLE id hash (md5-prefix mod N — the engine's stable_hash64,
+# so the oracle replays bucket assignment exactly) and report per-bucket
+# row counts + imbalance vs the uniform share. This is the pre-flight a
+# 1000-executor job runs before choosing a partitioning key: max_ratio
+# near 1.0 → balanced shuffle; ≫1 → salt or re-key.
+# ---------------------------------------------------------------------------
+_PB_BUCKETS = 32
+
+
+def scale_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.functions.hashing import stable_hash64
+    from cyrela_etl_spark.queries.relational import _t
+
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.select(
+        F.pmod(stable_hash64(F.col("o_custkey").cast("string")), F.lit(_PB_BUCKETS)).alias(
+            "bucket"
+        )
+    )
+    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = hist.agg(F.sum("n_rows").alias("_t"))
+    return (
+        hist.join(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round((F.col("n_rows") * _PB_BUCKETS) / F.col("_t"), 6).alias("load_ratio"),
+        )
+    )
+
+
+def _partition_balance_oracle() -> str:
+    from cyrela_etl_spark.queries.textq import sql_hex64
+
+    h = sql_hex64("CAST(o_custkey AS VARCHAR)")
+    return f"""
+WITH b AS (SELECT {h} % {_PB_BUCKETS} AS bucket FROM orders),
+hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY bucket),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM hist)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_rows,
+       round(CAST(n_rows * {_PB_BUCKETS} AS DOUBLE) / CAST(t AS DOUBLE), 6) AS load_ratio
+FROM hist, tot
+"""
+
+
+register("scale_partition_balance", scale_partition_balance, _partition_balance_oracle())

@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     # contract); degree distribution: 1-row total onto the histogram.
     "vector_jl_projection",
     "graph_degree_distribution",
+    # partition balance: 1-row total onto the 32-row bucket histogram.
+    "scale_partition_balance",
     "scale_bloom_prefilter",
     "corpus_dsir_weights",
     "scale_join_cardinality",
