@@ -203,3 +203,32 @@ def test_bloom_probe_is_broadcast_projection(spark):
     # the zero-shuffle-probe design
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q02_broadcasts_dims_and_prunes_fact(spark, sf_dir):
+    """Pseudo-partsupp Q2: part/supplier/nation/region all broadcast; the
+    lineitem scan reads only the 4 columns the derivation needs."""
+    from cyrela_etl_spark.queries.tpch2 import q02_min_cost_supplier
+
+    plan = _plan(q02_min_cost_supplier(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    scan = next(l for l in plan.splitlines() if "lineitem.parquet" in l)
+    for col in ("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"):
+        assert col in scan
+    for col in ("l_shipdate", "l_orderkey", "l_returnflag", "l_discount"):
+        assert col not in scan
+
+
+def test_q20_reuses_partkey_suppkey_exchange(spark, sf_dir):
+    """The all-time and in-year fact aggregates both key on (partkey,
+    suppkey); their join must be SortMergeJoin/shuffle on that shared key
+    with NO extra repartition, and the year filter must push to the scan."""
+    from cyrela_etl_spark.queries.tpch2 import q20_excess_shippers
+
+    plan = _plan(q20_excess_shippers(spark, sf_dir))
+    assert "PushedFilters" in plan
+    # the red-part restriction and the supplier lookup are broadcast sides
+    assert "BroadcastHashJoin" in plan
+    # exactly two lineitem scans feed exactly two aggregate pairs — no
+    # correlated rescan per supplier
+    assert plan.count("lineitem.parquet") == 2
