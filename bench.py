@@ -95,7 +95,10 @@ HEADLINE = [
     "graph_lpa_communities",
     "text_rake_keywords",
     # round-8 representatives (4 — full TPC-H closure + the composed
-    # index + the heaviest corpus-statistics add)
+    # index + the heaviest corpus-statistics add). Contract line measured
+    # 1866 bytes at 61 queries — within the driver's ~2 KB stdout-tail
+    # capture but close; round 9 must RETIRE a representative before
+    # adding one (BENCH_r06's parsed:null was exactly this failure).
     "q02_min_cost_supplier",
     "vector_ivf_pq_topk",
     "ml_leakage_check",
