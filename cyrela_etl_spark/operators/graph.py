@@ -309,10 +309,16 @@ def degree_assortativity(
     edge → ONE global agg with map-side combine. No windows, no
     broadcast of anything node-sized, 1-row output.
     """
-    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    # persist both derived relations (the integer_pagerank/link_prediction
+    # discipline): e feeds the symmetrizing union twice and directed feeds
+    # the degree agg AND the (dx, dy) join — with pair-graph inputs each
+    # re-read would otherwise recompute the corpus self-join (measured
+    # 4.2 s → ~1.4 s at sf0.1 on the dup-graph input).
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct().persist()
     directed = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
     )
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     dx = deg.select(F.col("src"), F.col("deg").alias("dx"))
