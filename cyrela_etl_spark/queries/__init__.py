@@ -135,6 +135,10 @@ _PRIORITY: list[str] = [
     "func_struct_ops",
     "temporal_asof_tolerance",
     "scale_partition_balance",
+    "corpus_quality_ablation",
+    "agg_percentile_cont",
+    "events_conversion_wilson",
+    "vector_centroid_shift",
 ]
 
 

@@ -1609,3 +1609,288 @@ FROM hist, tot
 
 
 register("scale_partition_balance", scale_partition_balance, _partition_balance_oracle())
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_ablation — per-rule ablation of the Gopher filter set
+# (rule expressions verbatim from quality_gopher_rules,
+# queries/textq.py:2343 — kept in sync by the shared constants): for each
+# rule, how many documents fail it, how many fail ONLY it (the rule's
+# marginal kill count — the number a threshold change would save), and
+# its removal share. One pass over the corpus, one aggregate, 5-row
+# unpivot.
+# ---------------------------------------------------------------------------
+def corpus_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = X.tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mwl = F.expr("1000 * __sum_len div __n_words").cast("long")
+    staged = docs.select(
+        F.col("doc_id"),
+        n_words.alias("__n_words"),
+        sum_len.alias("__sum_len"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long").alias("__n_alpha"),
+        X.stopword_count(F.col("text")).cast("long").alias("__n_stop"),
+    ).filter(F.col("__n_words") > 0)
+    flags = staged.select(
+        (~(F.col("__n_words") >= 50)).cast("int").alias("f_min_words"),
+        (~(F.col("__n_words") <= 100000)).cast("int").alias("f_max_words"),
+        (~((mwl >= 3000) & (mwl <= 10000))).cast("int").alias("f_word_len"),
+        (~(F.col("__n_alpha") * 10 >= F.col("__n_words") * 8)).cast("int").alias("f_alpha"),
+        (~(F.col("__n_stop") >= 2)).cast("int").alias("f_stop"),
+    )
+    rules = ["min_words", "max_words", "word_len", "alpha", "stop"]
+    cols = [f"f_{r}" for r in rules]
+    total_f = sum(F.col(c) for c in cols)
+    agg = flags.select(*cols, total_f.alias("f_total")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(c).alias(f"n_{c}") for c in cols],
+        *[
+            F.sum(((F.col(c) == 1) & (F.col("f_total") == 1)).cast("int")).alias(f"o_{c}")
+            for c in cols
+        ],
+    )
+    stack = ", ".join(f"'{r}', n_f_{r}, o_f_{r}" for r in rules)
+    return agg.selectExpr(
+        "n_docs", f"stack({len(rules)}, {stack}) AS (rule, n_failed, n_failed_only)"
+    ).select(
+        "rule",
+        F.col("n_failed").cast("long").alias("n_failed"),
+        F.col("n_failed_only").cast("long").alias("n_failed_only"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_failed") / F.col("n_docs")).alias("removed_share"),
+    )
+
+
+def _ablation_oracle() -> str:
+    from cyrela_etl_spark.queries.textq import _GOPHER_SW
+
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(t, x -> list_contains([{_GOPHER_SW}], x))) AS BIGINT) AS n_stop
+  FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents)
+  WHERE len(t) > 0
+),
+flags AS (
+  SELECT CAST(NOT (n_words >= 50) AS INT) AS f_min_words,
+         CAST(NOT (n_words <= 100000) AS INT) AS f_max_words,
+         CAST(NOT (1000 * sum_len // n_words BETWEEN 3000 AND 10000) AS INT) AS f_word_len,
+         CAST(NOT (n_alpha * 10 >= n_words * 8) AS INT) AS f_alpha,
+         CAST(NOT (n_stop >= 2) AS INT) AS f_stop
+  FROM staged
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(f_min_words) AS BIGINT) AS n_min_words,
+         CAST(sum(f_max_words) AS BIGINT) AS n_max_words,
+         CAST(sum(f_word_len) AS BIGINT) AS n_word_len,
+         CAST(sum(f_alpha) AS BIGINT) AS n_alpha,
+         CAST(sum(f_stop) AS BIGINT) AS n_stop,
+         CAST(sum(CASE WHEN f_min_words = 1
+                        AND f_min_words + f_max_words + f_word_len + f_alpha + f_stop = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS o_min_words,
+         CAST(sum(CASE WHEN f_max_words = 1
+                        AND f_min_words + f_max_words + f_word_len + f_alpha + f_stop = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS o_max_words,
+         CAST(sum(CASE WHEN f_word_len = 1
+                        AND f_min_words + f_max_words + f_word_len + f_alpha + f_stop = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS o_word_len,
+         CAST(sum(CASE WHEN f_alpha = 1
+                        AND f_min_words + f_max_words + f_word_len + f_alpha + f_stop = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS o_alpha,
+         CAST(sum(CASE WHEN f_stop = 1
+                        AND f_min_words + f_max_words + f_word_len + f_alpha + f_stop = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS o_stop
+  FROM flags
+)
+SELECT u.rule, u.n_failed, u.n_failed_only, agg.n_docs,
+       CAST(u.n_failed AS DOUBLE) / CAST(agg.n_docs AS DOUBLE) AS removed_share
+FROM agg, (
+  SELECT 'min_words' AS rule, n_min_words AS n_failed, o_min_words AS n_failed_only FROM agg
+  UNION ALL SELECT 'max_words', n_max_words, o_max_words FROM agg
+  UNION ALL SELECT 'word_len', n_word_len, o_word_len FROM agg
+  UNION ALL SELECT 'alpha', n_alpha, o_alpha FROM agg
+  UNION ALL SELECT 'stop', n_stop, o_stop FROM agg
+) u
+"""
+
+
+register("corpus_quality_ablation", corpus_quality_ablation, _ablation_oracle())
+
+
+# ---------------------------------------------------------------------------
+# agg_percentile_cont — exact linear-interpolated percentiles (the
+# PERCENTILE_CONT surface) of order totals per priority. Spark
+# percentile() and DuckDB quantile_cont() share the (1−f)·lo + f·hi
+# interpolation; results round to 6 to absorb the last-bit difference of
+# the two engines' interpolation arithmetic.
+# ---------------------------------------------------------------------------
+_PCTS = (0.25, 0.5, 0.75, 0.95)
+
+
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.queries.relational import _t
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {p})"), 6).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in _PCTS
+        ],
+    )
+
+
+register(
+    "agg_percentile_cont",
+    agg_percentile_cont,
+    f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       {", ".join(f"round(quantile_cont(o_totalprice, {p}), 6) AS p{int(p * 100)}" for p in _PCTS)}
+FROM orders GROUP BY o_orderpriority
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# events_conversion_wilson — click→purchase conversion per user cohort
+# with the Wilson 95% score interval (the A/B-dashboard standard for
+# small-n rates; Wilson 1927). x and n are exact ints; the interval is a
+# FIXED IEEE expression chain over (x, n) written identically on both
+# engines, rounded to 6 at the boundary.
+# ---------------------------------------------------------------------------
+_WILSON_Z2 = "3.8415"  # z=1.96 → z² to 4 decimals, exact in both parsers
+
+
+def events_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy((F.col("user_id") % 10).cast("long").alias("cohort"), "user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("clicked"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("purchased"),
+    )
+    cohort = per_user.filter(F.col("clicked") == 1).groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("purchased").cast("long").alias("x"),
+    )
+    z2 = F.lit(float(_WILSON_Z2))
+    n, x = F.col("n").cast("double"), F.col("x").cast("double")
+    p = x / n
+    center = (p + z2 / (2 * n)) / (1 + z2 / n)
+    half = (F.sqrt((p * (1 - p)) / n + z2 / (4 * n * n)) * F.sqrt(z2)) / (1 + z2 / n)
+    return cohort.select(
+        "cohort",
+        "n",
+        "x",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
+
+
+register(
+    "events_conversion_wilson",
+    events_conversion_wilson,
+    f"""
+WITH per_user AS (
+  SELECT CAST(user_id % 10 AS BIGINT) AS cohort, user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM events GROUP BY 1, 2
+),
+cohort AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n, CAST(sum(purchased) AS BIGINT) AS x
+  FROM per_user WHERE clicked = 1 GROUP BY cohort
+)
+SELECT cohort, n, x,
+       round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) + {_WILSON_Z2} / (2 * CAST(n AS DOUBLE)))
+               / (1 + {_WILSON_Z2} / CAST(n AS DOUBLE))
+             - (sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)
+                     + {_WILSON_Z2} / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                * sqrt({_WILSON_Z2}))
+               / (1 + {_WILSON_Z2} / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+       round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) + {_WILSON_Z2} / (2 * CAST(n AS DOUBLE)))
+               / (1 + {_WILSON_Z2} / CAST(n AS DOUBLE))
+             + (sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)
+                     + {_WILSON_Z2} / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                * sqrt({_WILSON_Z2}))
+               / (1 + {_WILSON_Z2} / CAST(n AS DOUBLE)), 6) AS wilson_hi
+FROM cohort
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# vector_centroid_shift — Lloyd convergence probe: squared distance each
+# seed centroid moved after one refinement round (seed → decimal mean of
+# its assigned points). Complements vector_cluster_quality (same seeding,
+# same decimal means, same rounded dist²); a curation pipeline reads this
+# to decide whether more k-means rounds are worth their passes.
+# ---------------------------------------------------------------------------
+def vector_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.functions.vectors import to_double_array
+    from cyrela_etl_spark.operators.clustering import _assign, _dist2, _means
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(F.col("vec_id"), to_double_array("embedding").alias("v"))
+    seeds = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_CQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    refined = _means(_assign(base, seeds)).select(
+        F.col("cid").alias("r_cid"), F.col("cv").alias("r_cv")
+    )
+    return (
+        seeds.join(refined, F.col("cid") == F.col("r_cid"))
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            _dist2(F.col("cv"), F.col("r_cv")).alias("shift_dist2"),
+        )
+    )
+
+
+def _centroid_shift_oracle() -> str:
+    from cyrela_etl_spark.queries.vectorq import _SQL_D2
+
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent1 AS (SELECT vec_id AS cid, v AS cv FROM base
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_CQ_K}),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT b.vec_id, b.v, c.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_SQL_D2.format(v='b.v', c='c.cv')}, c.cid) AS crank
+    FROM base b CROSS JOIN cent1 c)
+  WHERE crank = 1
+),
+m AS (
+  SELECT cid, pos,
+         CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mval
+  FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM a1)
+  GROUP BY cid, pos
+),
+cent2 AS (SELECT cid, list(mval ORDER BY pos) AS cv FROM m GROUP BY cid)
+SELECT CAST(c1.cid AS BIGINT) AS cid,
+       {_SQL_D2.format(v='c1.cv', c='c2.cv')} AS shift_dist2
+FROM cent1 c1 JOIN cent2 c2 ON c1.cid = c2.cid
+"""
+
+
+register("vector_centroid_shift", vector_centroid_shift, _centroid_shift_oracle())

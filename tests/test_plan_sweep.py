@@ -46,6 +46,8 @@ BNLJ_ALLOWED = {
     "graph_degree_distribution",
     # partition balance: 1-row total onto the 32-row bucket histogram.
     "scale_partition_balance",
+    # centroid shift: the k-row broadcast centroid assignment (kmeans).
+    "vector_centroid_shift",
     "scale_bloom_prefilter",
     "corpus_dsir_weights",
     "scale_join_cardinality",
