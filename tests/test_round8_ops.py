@@ -230,3 +230,52 @@ def test_duplicate_assets_wasted_bytes(spark):
         .collect()
     )
     assert len(grp) == 1 and grp[0]["n"] == 2 and grp[0]["canon"] == 1
+
+
+# -- final mini-wave ---------------------------------------------------------
+def test_ablation_marginal_bounded_by_total(spark, sf_dir):
+    from cyrela_etl_spark.queries.round8q import corpus_quality_ablation
+
+    rows = corpus_quality_ablation(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_failed_only"] <= r["n_failed"] <= r["n_docs"]
+
+
+def test_wilson_interval_brackets_rate(spark, sf_dir):
+    from cyrela_etl_spark.queries.round8q import events_conversion_wilson
+
+    for r in events_conversion_wilson(spark, sf_dir).collect():
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+        # Wilson never collapses to a point for 0 < x < n
+        if 0 < r["x"] < r["n"]:
+            assert r["wilson_hi"] > r["wilson_lo"]
+
+
+def test_percentiles_monotone(spark, sf_dir):
+    from cyrela_etl_spark.queries.round8q import agg_percentile_cont
+
+    for r in agg_percentile_cont(spark, sf_dir).collect():
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
+
+
+def test_centroid_shift_nonnegative_and_small_after_mean(spark, sf_dir):
+    from cyrela_etl_spark.queries.round8q import vector_centroid_shift
+
+    rows = vector_centroid_shift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["shift_dist2"] >= 0.0
+
+
+def test_partition_balance_ratios_sum(spark, sf_dir):
+    from cyrela_etl_spark.queries.round8q import _PB_BUCKETS, scale_partition_balance
+
+    rows = scale_partition_balance(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _PB_BUCKETS
+    # every row is in exactly one bucket, so Σ n_b·B/N over the emitted
+    # buckets is exactly B (up to the round-6 on each ratio)
+    total_ratio = sum(r["load_ratio"] for r in rows)
+    assert total_ratio == pytest.approx(_PB_BUCKETS, abs=len(rows) * 1e-6)
+    for r in rows:
+        assert r["load_ratio"] > 0
