@@ -51,14 +51,23 @@ VAL_DEC = "decimal(38,6)"
 
 def _pseudo_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """partsupp derived from the fact: one combinable agg, keyed on the
-    (partkey, suppkey) every consumer joins on."""
+    (partkey, suppkey) every consumer joins on.
+
+    ps_supplycost_ppm is an exact PPM INTEGER: prices are cents, so
+    cents*10000 div qty is pure int64 arithmetic on both engines. The
+    first formulation rounded the float division to 6 digits and sat
+    exactly on a round-half boundary at sf0.1 (1027.3478125 — Spark
+    HALF_UP vs DuckDB nearest-even), caught by this round's 10x-scale
+    verify pass; integer rationals remove the boundary entirely."""
     li = _t(spark, sf_dir, "lineitem")
+    cost_ppm = F.expr(
+        "(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)"
+        " div CAST(l_quantity AS BIGINT)"
+    )
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6)
-        .cast(COST_DEC)
-        .alias("ps_supplycost"),
+        F.min(cost_ppm).cast("long").alias("ps_supplycost_ppm"),
         F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"),
     )
 
@@ -66,7 +75,8 @@ def _pseudo_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PS_SQL = """
 ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         CAST(round(min(l_extendedprice / l_quantity), 6) AS DECIMAL(18,6)) AS ps_supplycost,
+         CAST(min((CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
+                  // CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_supplycost_ppm,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
   FROM lineitem GROUP BY 1, 2
 )"""
@@ -107,13 +117,13 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
     )
     min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("mc_cost")
+        F.min("ps_supplycost_ppm").alias("mc_cost")
     )
     return (
         eligible.join(
             F.broadcast(min_cost),
             (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("mc_cost")),
+            & (F.col("ps_supplycost_ppm") == F.col("mc_cost")),
         )
         .select(
             F.col("s_acctbal").alias("s_acctbal"),
@@ -121,7 +131,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.col("p_partkey").cast("long").alias("p_partkey"),
             "p_brand",
-            F.col("ps_supplycost").cast("double").alias("supplycost"),
+            (F.col("ps_supplycost_ppm") / F.lit(1000000.0)).alias("supplycost"),
         )
     )
 
@@ -144,24 +154,25 @@ eligible AS (
             AND p.p_type = '{_Q2_TYPE}' AND p.p_size BETWEEN {_Q2_SIZE_LO} AND {_Q2_SIZE_HI}
   JOIN sup s ON ps.ps_suppkey = s.s_suppkey
 ),
-mc AS (SELECT ps_partkey AS mc_partkey, min(ps_supplycost) AS mc_cost FROM eligible GROUP BY 1)
+mc AS (SELECT ps_partkey AS mc_partkey, min(ps_supplycost_ppm) AS mc_cost FROM eligible GROUP BY 1)
 SELECT e.s_acctbal AS s_acctbal, e.s_name, e.n_name,
        CAST(e.p_partkey AS BIGINT) AS p_partkey, e.p_brand,
-       CAST(e.ps_supplycost AS DOUBLE) AS supplycost
+       CAST(e.ps_supplycost_ppm AS DOUBLE) / 1000000 AS supplycost
 FROM eligible e
-JOIN mc ON e.ps_partkey = mc.mc_partkey AND e.ps_supplycost = mc.mc_cost
+JOIN mc ON e.ps_partkey = mc.mc_partkey AND e.ps_supplycost_ppm = mc.mc_cost
 """,
 )
 
 
 # ---------------------------------------------------------------------------
 # q11_important_parts — TPC-H Q11: parts whose inventory value held by one
-# region's suppliers exceeds a fixed fraction of that region's total. The
-# scalar subquery (global total) is a 1-row broadcast; the fraction
-# compare stays in DECIMAL (0.002 is exact in base-10).
+# region's suppliers exceeds 1.5x the AVERAGE per-part value (scale-free —
+# a fixed fraction of the total is SF-dependent and went empty at sf0.1;
+# caught by this round's 10x verify pass). The scalar subquery (total +
+# part count) is a 1-row broadcast; 1.5x compares as the exact integer
+# cross-multiplication 2·value·n_parts > 3·total in DECIMAL.
 # ---------------------------------------------------------------------------
 _Q11_REGION = "ASIA"
-_Q11_FRACTION = "0.0008"
 
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,19 +191,22 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scoped = ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
     value = F.sum(
-        (F.col("ps_supplycost") * F.col("ps_availqty")).cast(VAL_DEC)
+        (F.col("ps_supplycost_ppm").cast(VAL_DEC) * F.col("ps_availqty")).cast(VAL_DEC)
     ).alias("_val")
     per_part = scoped.groupBy("ps_partkey").agg(value)
-    total = scoped.agg(value.alias("_total"))
+    total = per_part.agg(
+        F.sum("_val").cast(VAL_DEC).alias("_total"),
+        F.count(F.lit(1)).alias("_n_parts"),
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(
-            F.col("_val")
-            > (F.col("_total") * F.lit(_Q11_FRACTION).cast("decimal(9,6)")).cast(VAL_DEC)
+            (F.lit(2).cast(VAL_DEC) * F.col("_val") * F.col("_n_parts")).cast("decimal(38,0)")
+            > (F.lit(3).cast(VAL_DEC) * F.col("_total")).cast("decimal(38,0)")
         )
         .select(
             F.col("ps_partkey").cast("long").alias("ps_partkey"),
-            F.col("_val").cast("double").alias("part_value"),
+            F.round(F.col("_val").cast("double") / F.lit(1000000.0), 6).alias("part_value"),
         )
     )
 
@@ -210,16 +224,17 @@ sup AS (
 scoped AS (SELECT ps.* FROM ps JOIN sup ON ps.ps_suppkey = sup.s_suppkey),
 per_part AS (
   SELECT ps_partkey,
-         CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS val
+         CAST(sum(CAST(ps_supplycost_ppm AS DECIMAL(38,6)) * ps_availqty) AS DECIMAL(38,6)) AS val
   FROM scoped GROUP BY 1
 ),
 total AS (
-  SELECT CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS t
-  FROM scoped
+  SELECT CAST(sum(val) AS DECIMAL(38,6)) AS t, CAST(count(*) AS BIGINT) AS n_parts
+  FROM per_part
 )
-SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey, CAST(val AS DOUBLE) AS part_value
+SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey,
+       round(CAST(val AS DOUBLE) / 1000000, 6) AS part_value
 FROM per_part, total
-WHERE val > CAST(t * CAST({_Q11_FRACTION} AS DECIMAL(9,6)) AS DECIMAL(38,6))
+WHERE CAST(2 * val * n_parts AS DECIMAL(38,0)) > CAST(3 * t AS DECIMAL(38,0))
 """,
 )
 
