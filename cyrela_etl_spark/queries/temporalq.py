@@ -1788,7 +1788,7 @@ SELECT event_id, user_id, ts,
        CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
        CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS value_trailing_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """,
 )
