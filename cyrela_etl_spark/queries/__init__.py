@@ -45,15 +45,16 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 #     describe the old implementation; 4 of the 6 fit in the remaining
 #     slots, the last 2 spill to round 9 (judge-verified green in r6/r7
 #     sessions meanwhile).
-#   block B (31): operators NEW in round 8 — deliberately placed BEHIND
+#   block B (35): operators NEW in round 8 — deliberately placed BEHIND
 #     the backlog so the drain happens first; they are round 9's queue.
 #     Round-9 arithmetic: 2 block-A spill (search_hybrid_rrf,
 #     stream_upsert_sink) + 31 block B + 9 r3-stale singles
 #     (distinct_agg func_arrays func_datetime func_math func_string
 #     q12_priority_shipping q14_promo_revenue sql_q04_exists
 #     wallet_features) + 1 r8-code-changed (dedup_dup_ngram_fraction,
-#     persist added after its r7 green) = 43 ≤ 50 — the whole queue
-#     drains in one round, as VERDICT r7 demanded.
+#     persist added after its r7 green) = 47 ≤ 50 — the whole queue
+#     drains in one round, as VERDICT r7 demanded. Block B is CLOSED at
+#     35; round 8 adds nothing further so the arithmetic holds.
 #   tail (unlisted): r3/r4-stale entries with valid greens over unchanged
 #     code; they re-enter the queue in round 9 after block B.
 _PRIORITY: list[str] = [
@@ -143,6 +144,10 @@ _PRIORITY: list[str] = [
     "agg_percentile_cont",
     "events_conversion_wilson",
     "vector_centroid_shift",
+    "graph_component_sizes",
+    "events_funnel_conversion_time",
+    "dedup_shingle_size_sensitivity",
+    "corpus_token_length_histogram",
 ]
 
 

@@ -1894,3 +1894,236 @@ FROM cent1 c1 JOIN cent2 c2 ON c1.cid = c2.cid
 
 
 register("vector_centroid_shift", vector_centroid_shift, _centroid_shift_oracle())
+
+
+# ---------------------------------------------------------------------------
+# graph_component_sizes — duplicate-cluster size distribution: connected
+# components over the dup graph (operators/dedup.py connected_components,
+# same derivation as dedup_components), collapsed to a size histogram —
+# the dedup audit that says "are dups pairs, or one giant blob?" (a giant
+# component usually means a too-permissive key). Bounded output: one row
+# per distinct cluster size.
+# ---------------------------------------------------------------------------
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators import dedup as D
+
+    edges = _dup_edges(spark, sf_dir)
+    comp = D.connected_components(edges, shuffle_partitions=8)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _component_sizes_oracle() -> str:
+    from cyrela_etl_spark.queries.textq import _COMPONENTS_EDGES_SQL
+
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+{_COMPONENTS_EDGES_SQL.strip()},
+e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN e ON reach.r = e.s
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY component)
+SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz
+"""
+
+
+register("graph_component_sizes", graph_component_sizes, _component_sizes_oracle())
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_conversion_time — time-to-convert between funnel stages:
+# per user, FIRST occurrence of each stage; per ordered stage pair, the
+# converting-user count and the exact interpolated median / p90 of the
+# conversion delay (only users who did convert, forward in time). First-
+# occurrence agg + one self-join on user over the 3-row-per-user stage
+# table; percentiles over per-pair groups.
+# ---------------------------------------------------------------------------
+_FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def events_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir)
+    firsts = (
+        ev.filter(F.col("event_type").isin(*_FUNNEL_STAGES))
+        .groupBy("user_id", "event_type")
+        .agg(F.min(F.unix_timestamp("ts")).alias("first_s"))
+    )
+    pairs = [
+        (a, b) for i, a in enumerate(_FUNNEL_STAGES) for b in _FUNNEL_STAGES[i + 1:]
+    ]
+    a = firsts.select(
+        "user_id", F.col("event_type").alias("from_stage"), F.col("first_s").alias("a_s")
+    )
+    b = firsts.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_type").alias("to_stage"),
+        F.col("first_s").alias("b_s"),
+    )
+    conv = (
+        a.join(b, (F.col("user_id") == F.col("b_user")) & (F.col("a_s") <= F.col("b_s")))
+        .filter(
+            F.concat_ws(">", "from_stage", "to_stage").isin(
+                *[f"{x}>{y}" for x, y in pairs]
+            )
+        )
+        .select("from_stage", "to_stage", (F.col("b_s") - F.col("a_s")).alias("delay_s"))
+    )
+    return conv.groupBy("from_stage", "to_stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(delay_s, 0.5)"), 6).alias("median_delay_s"),
+        F.round(F.expr("percentile(delay_s, 0.9)"), 6).alias("p90_delay_s"),
+    )
+
+
+register(
+    "events_funnel_conversion_time",
+    events_funnel_conversion_time,
+    f"""
+WITH firsts AS (
+  SELECT user_id, event_type, CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s
+  FROM events
+  WHERE event_type IN ({", ".join(f"'{s}'" for s in _FUNNEL_STAGES)})
+  GROUP BY 1, 2
+),
+conv AS (
+  SELECT a.event_type AS from_stage, b.event_type AS to_stage,
+         b.first_s - a.first_s AS delay_s
+  FROM firsts a JOIN firsts b
+    ON a.user_id = b.user_id AND a.first_s <= b.first_s
+  WHERE (a.event_type, b.event_type) IN (
+    ('signup', 'click'), ('signup', 'purchase'), ('click', 'purchase'))
+)
+SELECT from_stage, to_stage, CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(delay_s, 0.5), 6) AS median_delay_s,
+       round(quantile_cont(delay_s, 0.9), 6) AS p90_delay_s
+FROM conv GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_shingle_size_sensitivity — calibration of the shingle width n:
+# candidate-pair counts and distinct-shingle vocabulary at n ∈ {2,3,4}
+# over the planted corpus, in one pass per n (the knob every MinHash
+# deployment tunes first: small n → too many collisions, large n → misses
+# near-dups). Pure hash-agg counts; pairs counted per shared-prefix-key
+# block like the production generators.
+# ---------------------------------------------------------------------------
+def dedup_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators import dedup as D
+
+    c = corpus(spark, sf_dir)
+    outs = []
+    for n in (2, 3, 4):
+        sh = c.select(
+            "doc_id", F.explode(D.word_shingles(F.col("text"), n)).alias("g")
+        ).distinct()
+        df_g = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        stats = df_g.agg(
+            F.lit(n).cast("long").alias("shingle_n"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long").alias("n_shared"),
+            F.sum((F.col("df") * (F.col("df") - 1) / 2).cast("long"))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _shingle_sens_oracle() -> str:
+    from cyrela_etl_spark.queries.textq import sql_tokens
+
+    def leg(n: int) -> str:
+        return f"""
+SELECT CAST({n} AS BIGINT) AS shingle_n,
+       CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(CAST(df * (df - 1) // 2 AS BIGINT)) AS BIGINT) AS n_candidate_pairs
+FROM (
+  SELECT g, CAST(count(*) AS BIGINT) AS df FROM (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(t) - {n - 1}, 0)),
+             i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g
+    FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM corpus)
+  ) GROUP BY g
+)"""
+
+    legs = "\nUNION ALL\n".join(leg(n) for n in (2, 3, 4))
+    return f"WITH corpus AS ({CORPUS_SQL})\n{legs}"
+
+
+register(
+    "dedup_shingle_size_sensitivity",
+    dedup_shingle_size_sensitivity,
+    _shingle_sens_oracle(),
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_length_histogram — log2-binned document-length histogram
+# per source (the datasheet length plot): bin = floor(log2(n_tokens)),
+# computed as bit_length(n_tokens) - 1 in EXACT INTEGERS (no float log),
+# plus per-bin token mass. One combinable agg; bounded output.
+# ---------------------------------------------------------------------------
+def corpus_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_tok = X.token_count(F.col("text")).cast("long")
+    staged = docs.select("source", n_tok.alias("n_tok")).filter(F.col("n_tok") > 0)
+    # floor(log2(n)) == bit_length(n) - 1; Spark spells it via bin()
+    bin_idx = (F.length(F.conv(F.col("n_tok").cast("string"), 10, 2)) - 1).cast("long")
+    return (
+        staged.select("source", bin_idx.alias("len_bin"), "n_tok")
+        .groupBy("source", "len_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "len_bin",
+            F.pow(F.lit(2.0), F.col("len_bin")).cast("long").alias("bin_lo_tokens"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
+register(
+    "corpus_token_length_histogram",
+    corpus_token_length_histogram,
+    f"""
+WITH staged AS (
+  SELECT source, CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tok FROM documents
+)
+, b AS (
+  SELECT source, n_tok, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS len_bin
+  FROM staged WHERE n_tok > 0
+)
+SELECT source, len_bin,
+       CAST(2 ** len_bin AS BIGINT) AS bin_lo_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM b GROUP BY source, len_bin
+""",
+)
