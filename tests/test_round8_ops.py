@@ -284,3 +284,28 @@ def test_partition_balance_ratios_sum(spark, sf_dir):
     assert total_ratio == pytest.approx(_PB_BUCKETS, abs=len(rows) * 1e-6)
     for r in rows:
         assert r["load_ratio"] > 0
+
+
+# -- partition-count invariance ----------------------------------------------
+def test_shuffle_width_invariance_representatives(spark, sf_dir):
+    """Results must not depend on shuffle width (what actually changes on
+    a 1000-executor cluster). Full block-B sweep at 7-vs-32 partitions was
+    35/35 identical this round (NOTES.md); this keeps three
+    representatives — a two-phase top-k, a histogram window, and a
+    decimal-fold regression — under permanent guard at two widths."""
+    from cyrela_etl_spark.queries import load_all
+
+    reg = load_all()
+    names = ["vector_ivf_pq_topk", "events_power_pareto", "text_zipf_fit"]
+    results = {}
+    for parts in ("5", "17"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            for n in names:
+                rows = sorted(map(str, reg[n][0](spark, sf_dir).collect()))
+                results.setdefault(n, []).append(rows)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.catalog.clearCache()
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} changed results under a different shuffle width"
