@@ -653,3 +653,66 @@ UNION ALL
 SELECT * FROM unmatched
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stream_bus_replay — deterministic UNBOUNDED-source stand-in finally under
+# the driver oracle (VERDICT r7 item 7 / r8 item 3): the events table is
+# batch-encoded into Kafka-shaped bus envelopes (key/value bytes, topic,
+# partition, offset, timestamp — streaming/ops.py:101-127), laid out as a
+# 4-file replay log, then RE-CONSUMED as a real multi-micro-batch stream
+# (maxFilesPerTrigger=1 -> 4 batches through the DataSource-V2 path),
+# JSON-decoded against an explicit schema and aggregated per event_type.
+# Unlike the rate source, every timestamp comes from the data, so the
+# drained result is deterministic and oracle-checkable. Production swaps
+# the file source for format('kafka'); the codec + agg run unchanged.
+# ---------------------------------------------------------------------------
+def stream_bus_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cyrela_etl_spark.sources.parquet import normalize_event_ts
+    from cyrela_etl_spark.streaming import replay_bus_stream, write_bus_envelopes
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    workdir = tempfile.mkdtemp(prefix="bus_replay_")
+    log_dir = workdir + "/log"
+    try:
+        env_schema = write_bus_envelopes(
+            events, key_col="user_id", topic="events", ts_col="ts", path=log_dir, n_files=4
+        )
+        typed = replay_bus_stream(
+            spark,
+            log_dir,
+            env_schema,
+            "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE",
+        )
+        agg = typed.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        out = _drain(spark, run_available_now, agg, "stream_bus_replay", output_mode="complete")
+        # Detach from the memory-sink view before the log dir disappears.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+register(
+    "stream_bus_replay",
+    stream_bus_replay,
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+""",
+)

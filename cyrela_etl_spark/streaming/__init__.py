@@ -19,6 +19,7 @@ from cyrela_etl_spark.streaming.ops import (
     rate_to_events,
     read_file_stream,
     read_rate_stream,
+    replay_bus_stream,
     run_available_now,
     run_available_now_to_parquet,
     run_until_rows,
@@ -27,6 +28,7 @@ from cyrela_etl_spark.streaming.ops import (
     stream_stream_interval_join,
     to_bus_envelope,
     tumbling_counts,
+    write_bus_envelopes,
 )
 
 __all__ = [
@@ -35,6 +37,8 @@ __all__ = [
     "rate_to_events",
     "to_bus_envelope",
     "from_bus_envelope",
+    "write_bus_envelopes",
+    "replay_bus_stream",
     "run_available_now",
     "run_available_now_to_parquet",
     "run_until_rows",

@@ -125,6 +125,58 @@ def from_bus_envelope(envelopes: DataFrame, value_schema: StructType | str) -> D
     return envelopes.select(parsed.alias("r")).select("r.*")
 
 
+def write_bus_envelopes(
+    df: DataFrame,
+    key_col: str,
+    topic: str,
+    ts_col: str,
+    path: str,
+    n_files: int = 4,
+) -> StructType:
+    """Materialize a typed relation as a file-backed bus replay log: encode
+    through ``to_bus_envelope`` and lay the envelopes out across ``n_files``
+    parquet files — the deterministic stand-in for a Kafka topic's retained
+    segments (the reference's latent bus is MinIO-fed batch; see
+    dags/s3-etl-wallet-csv.py:144 for the arrival contract). Each file
+    becomes one micro-batch when replayed with ``maxFilesPerTrigger=1``,
+    so multi-batch incremental execution is exercised with FIXED event
+    timestamps (from the data) instead of the rate source's wall clock.
+    Returns the envelope schema the replay reader must declare.
+
+    The ``repartition(n_files)`` shuffle assigns rows to segment files
+    arbitrarily — exactly a real bus's cross-partition arrival order.
+    Downstream results must therefore be arrival-order-independent, which
+    is the property the replay exists to test.
+    """
+    env = to_bus_envelope(df, key_col, topic, ts_col)
+    env.repartition(n_files).write.mode("overwrite").parquet(path)
+    return env.schema
+
+
+def replay_bus_stream(
+    spark: SparkSession,
+    path: str,
+    envelope_schema: StructType,
+    value_schema: StructType | str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Re-consume a bus replay log through the DataSource-V2 micro-batch
+    path: a streaming file source paced to ``max_files_per_trigger`` files
+    per micro-batch (so an ``n_files`` log yields ``n_files`` batches even
+    under Trigger.AvailableNow), decoded with ``from_bus_envelope``.
+    Production swaps the source line for ``format('kafka')`` +
+    ``startingOffsets='earliest'``; the decode and everything downstream
+    run unchanged.
+    """
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(envelope_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+    return from_bus_envelope(raw, value_schema)
+
+
 def run_until_rows(
     sdf: DataFrame,
     name: str,

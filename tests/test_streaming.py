@@ -304,3 +304,65 @@ def test_outer_interval_join_withholds_unexpired_tail(spark):
     emitted = {r["click_id"] for r in nulls}
     tail_click = max(clicks, key=lambda k: clicks[k])
     assert tail_click not in emitted
+
+
+def test_bus_replay_is_multi_micro_batch(spark, sf_dir, tmp_path):
+    """The replay log's file layout paces the stream: n_files=4 +
+    maxFilesPerTrigger=1 must execute ≥4 micro-batches through the
+    DataSource-V2 path even under Trigger.AvailableNow — the property
+    that makes stream_bus_replay an *incremental* execution proof, not a
+    one-shot batch in streaming clothes. Progress rows are read from the
+    query handle after termination (no polling jobs)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.sources.parquet import read_events
+    from cyrela_etl_spark.streaming import replay_bus_stream, write_bus_envelopes
+
+    events = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    log_dir = str(tmp_path / "bus_log")
+    env_schema = write_bus_envelopes(
+        events, key_col="user_id", topic="events", ts_col="ts", path=log_dir, n_files=4
+    )
+    typed = replay_bus_stream(
+        spark,
+        log_dir,
+        env_schema,
+        "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    agg = typed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_busreplay_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_bus_replay_batches")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(data_batches) >= 4, (
+            f"expected >=4 data micro-batches, saw {len(data_batches)}"
+        )
+        # and the drained relation equals the batch aggregation
+        got = {
+            (r["event_type"], r["n_events"])
+            for r in spark.table("t_bus_replay_batches").collect()
+        }
+        expect = {
+            (r["event_type"], r["n_events"])
+            for r in events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .collect()
+        }
+        assert got == expect
+    finally:
+        spark.catalog.dropTempView("t_bus_replay_batches")
+        spark.streams.resetTerminated()
+        shutil.rmtree(checkpoint, ignore_errors=True)
