@@ -2039,7 +2039,10 @@ def dedup_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit(n).cast("long").alias("shingle_n"),
             F.count(F.lit(1)).cast("long").alias("n_distinct_shingles"),
             F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long").alias("n_shared"),
-            F.sum((F.col("df") * (F.col("df") - 1) / 2).cast("long"))
+            # integer `div`, not float /: df*(df-1)/2 through a double
+            # loses exactness past 2^53 and would diverge from the
+            # oracle's integer // at extreme hot-shingle df (ADVICE r8)
+            F.sum(F.expr("df * (df - 1) div 2"))
             .cast("long")
             .alias("n_candidate_pairs"),
         )

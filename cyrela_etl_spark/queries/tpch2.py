@@ -198,11 +198,24 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_val").cast(VAL_DEC).alias("_total"),
         F.count(F.lit(1)).alias("_n_parts"),
     )
+    # Exact 1.5x-average comparison 2*val*n_parts > 3*total with PROVABLY
+    # overflow-free decimal types (ADVICE r8: the old DECIMAL(38,6)*bigint
+    # cross-product could exceed 38 digits at scale — silent null-drop in
+    # non-ANSI sessions, runtime error in ANSI ones). _val is an integral
+    # ppm sum by construction (int ppm-cost x int qty), so the casts below
+    # are exact; Spark's static result types then never reach the 38-digit
+    # cap: 2*decimal(22,0)*decimal(12,0) -> decimal(37,0) and
+    # 3*decimal(36,0) -> decimal(38,0). The only overflow points left are
+    # the input casts, with physical bounds far beyond 100 TB: a single
+    # part's inventory value < 1e22 ppm (= 1e16 currency), part count
+    # < 1e12, total corpus value < 1e36 ppm.
     return (
         per_part.join(F.broadcast(total))
         .filter(
-            (F.lit(2).cast(VAL_DEC) * F.col("_val") * F.col("_n_parts")).cast("decimal(38,0)")
-            > (F.lit(3).cast(VAL_DEC) * F.col("_total")).cast("decimal(38,0)")
+            F.lit(2).cast("decimal(1,0)")
+            * F.col("_val").cast("decimal(22,0)")
+            * F.col("_n_parts").cast("decimal(12,0)")
+            > F.lit(3).cast("decimal(1,0)") * F.col("_total").cast("decimal(36,0)")
         )
         .select(
             F.col("ps_partkey").cast("long").alias("ps_partkey"),
@@ -234,7 +247,8 @@ total AS (
 SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey,
        round(CAST(val AS DOUBLE) / 1000000, 6) AS part_value
 FROM per_part, total
-WHERE CAST(2 * val * n_parts AS DECIMAL(38,0)) > CAST(3 * t AS DECIMAL(38,0))
+WHERE 2 * CAST(val AS DECIMAL(22,0)) * CAST(n_parts AS DECIMAL(12,0))
+      > 3 * CAST(t AS DECIMAL(36,0))
 """,
 )
 

@@ -36,11 +36,67 @@ def test_pseudo_partsupp_cost_and_availqty(spark, sf_dir):
     assert got["ps_availqty"] == expect_qty
 
 
-def test_q20_inequality_is_integer_cross_multiplied(spark, sf_dir):
-    # 2*qty_year > availqty with qty_year == availqty must NOT pass when
-    # availqty is 0-extra (i.e. a supplier who shipped everything in the
-    # window passes; one who shipped exactly half does not).
-    assert 2 * 10 > 19 and not (2 * 10 > 20)
+def test_q20_excludes_exact_half_lifetime_shipper(spark, tmp_path):
+    """Boundary of the integer inequality 2*qty_year > availqty, driven
+    through the REAL query on a planted fixture (ADVICE r8: the old test
+    asserted only constant arithmetic): supplier 1 ships EXACTLY half its
+    lifetime volume of a red part in 1996 (10 of 20) -> excluded;
+    supplier 2 ships just over half (11 of 21) -> included."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cyrela_etl_spark.queries.tpch2 import q20_excess_shippers
+
+    in_year = dt.datetime(1996, 6, 1)
+    before = dt.datetime(1995, 6, 1)
+
+    def li_row(supp, qty, ts):
+        return {
+            "l_partkey": 100, "l_suppkey": supp, "l_quantity": float(qty),
+            "l_extendedprice": 100.0 * qty, "l_shipdate": ts,
+        }
+
+    tables = {
+        "lineitem": [
+            li_row(1, 10, in_year), li_row(1, 10, before),   # exactly half
+            li_row(2, 11, in_year), li_row(2, 10, before),   # just over half
+        ],
+        "part": [{"p_partkey": 100, "p_name": "red shiny thing", "p_brand": "B",
+                  "p_type": "ECONOMY", "p_size": 5, "p_retailprice": 1.0}],
+        "supplier": [
+            {"s_suppkey": 1, "s_name": "Supplier#1", "s_nationkey": 0, "s_acctbal": 1.0},
+            {"s_suppkey": 2, "s_name": "Supplier#2", "s_nationkey": 0, "s_acctbal": 1.0},
+        ],
+        "nation": [{"n_nationkey": 0, "n_name": "BRAZIL", "n_regionkey": 0}],
+        "region": [{"r_regionkey": 0, "r_name": "AMERICA"}],
+    }
+    schemas = {
+        "lineitem": pa.schema([
+            ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+            ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+            ("l_shipdate", pa.timestamp("us")),
+        ]),
+        "part": pa.schema([
+            ("p_partkey", pa.int64()), ("p_name", pa.string()), ("p_brand", pa.string()),
+            ("p_type", pa.string()), ("p_size", pa.int32()), ("p_retailprice", pa.float64()),
+        ]),
+        "supplier": pa.schema([
+            ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+            ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64()),
+        ]),
+        "nation": pa.schema([
+            ("n_nationkey", pa.int32()), ("n_name", pa.string()), ("n_regionkey", pa.int32()),
+        ]),
+        "region": pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]),
+    }
+    for name, rows in tables.items():
+        pq.write_table(pa.Table.from_pylist(rows, schema=schemas[name]),
+                       str(tmp_path / f"{name}.parquet"))
+
+    got = {r["s_suppkey"] for r in q20_excess_shippers(spark, str(tmp_path)).collect()}
+    assert got == {2}
 
 
 # -- IVF-PQ ------------------------------------------------------------------
