@@ -1,0 +1,134 @@
+"""Optimistic-concurrency commit protocol (sources/txn.py): the ACID
+discipline Delta's manifest log gives, proven over plain parquet —
+two-writer lost-update prevention, deterministic conflict interleave,
+time travel, and vacuum. VERDICT r7 item 3 / r8 item 2."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.sources.txn import (
+    TxnConflictError,
+    latest_version,
+    read_manifest,
+    txn_commit,
+    txn_delete_rows,
+    txn_init,
+    txn_read,
+    txn_upsert,
+    vacuum,
+)
+from cyrela_etl_spark.sources.zones import ZoneStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ZoneStore(spark=spark, root=str(tmp_path))
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _accounts(spark, pairs):
+    return spark.createDataFrame(pairs, "account_id INT, balance INT")
+
+
+def test_init_read_roundtrip_and_versions(spark, store):
+    v = txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100), (2, 200)]))
+    assert v == 1 and latest_version(store, "curated", "accounts") == 1
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
+    m = read_manifest(store, "curated", "accounts", 1)
+    assert m["op"] == "create" and m["parent"] == 0
+
+
+def test_stale_writer_cannot_publish_over_unseen_version(spark, store):
+    """The deterministic two-writer interleave: A and B both read v1; B
+    commits v2 first; A's commit AT ITS READ VERSION must fail loudly
+    instead of silently erasing B's write (the lost update the plain
+    snapshot-rebind catalog allows)."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100), (2, 200)]))
+
+    # both writers snapshot the same version
+    v_a = latest_version(store, "curated", "accounts")
+    v_b = latest_version(store, "curated", "accounts")
+    a_df = _accounts(spark, [(1, 111), (2, 200)])  # A updates account 1
+    b_df = _accounts(spark, [(1, 100), (2, 222)])  # B updates account 2
+
+    assert txn_commit(store, "curated", "accounts", b_df, read_version=v_b) == 2
+    with pytest.raises(TxnConflictError):
+        txn_commit(store, "curated", "accounts", a_df, read_version=v_a)
+
+    # B's write survived; A's conflicting snapshot was not published
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 222)}
+
+    # A retries correctly: re-read, re-derive, commit at the new version
+    cur = txn_read(store, "curated", "accounts")
+    merged = cur.withColumn(
+        "balance", F.when(F.col("account_id") == 1, 111).otherwise(F.col("balance"))
+    )
+    assert txn_commit(store, "curated", "accounts", merged, read_version=2) == 3
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 111), (2, 222)}
+
+
+def test_txn_upsert_retry_merges_both_writers(spark, store):
+    """txn_upsert's retry loop is the lost-update-free MERGE: interleaved
+    upserts to different keys both land, whatever the commit order."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100), (2, 200)]))
+    txn_upsert(store, "curated", "accounts", _accounts(spark, [(3, 300)]), "account_id")
+    txn_upsert(store, "curated", "accounts", _accounts(spark, [(2, 250)]), "account_id")
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 250), (3, 300)}
+    assert latest_version(store, "curated", "accounts") == 3
+
+
+def test_two_threads_racing_upserts_all_land(spark, store):
+    """A REAL race: two driver threads each upsert 4 distinct keys into
+    the same table simultaneously. The put-if-absent publish serializes
+    them; every key must be present at the end — no lost updates, no
+    duplicated versions."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(0, 0)]))
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(base: int):
+        try:
+            barrier.wait(timeout=30)
+            for k in range(base, base + 4):
+                txn_upsert(
+                    store, "curated", "accounts",
+                    _accounts(spark, [(k, k * 10)]), "account_id",
+                )
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in (100, 200)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    got = _rows(txn_read(store, "curated", "accounts"))
+    expect = {(0, 0)} | {(k, k * 10) for b in (100, 200) for k in range(b, b + 4)}
+    assert got == expect
+    # 1 init + 8 upserts = 9 committed versions, each a distinct manifest
+    assert latest_version(store, "curated", "accounts") == 9
+
+
+def test_delete_rows_and_time_travel_and_vacuum(spark, store):
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100), (2, 200), (3, 300)]))
+    txn_delete_rows(
+        store, "curated", "accounts",
+        spark.createDataFrame([(2,)], "account_id INT"), "account_id",
+    )
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (3, 300)}
+    # time travel: version 1 still shows the deleted row
+    assert (2, 200) in _rows(txn_read(store, "curated", "accounts", version=1))
+    # vacuum drops version 1's snapshot + manifest, keeps the latest
+    assert vacuum(store, "curated", "accounts", keep_last=1) == [1]
+    assert latest_version(store, "curated", "accounts") == 2
+    with pytest.raises(Exception):
+        txn_read(store, "curated", "accounts", version=1)
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (3, 300)}
