@@ -106,10 +106,10 @@ def bloom_prefilter_report(
     # (their count and the next stage) — persist so the report plan
     # computes each once (MEMORY_AND_DISK, spillable; b and candidates
     # are small by contract, p is key-sized).
-    b = build_keys.select(F.col(key_col)).distinct().persist()
-    p = probe_keys.select(F.col(key_col)).distinct().persist()
+    b = build_keys.select(F.col(key_col)).distinct().persist()  # release: caller (cache contract, queries/__init__)
+    p = probe_keys.select(F.col(key_col)).distinct().persist()  # release: caller (cache contract, queries/__init__)
     bitmap = bloom_build(b, key_col, m_bits, k)
-    candidates = bloom_probe(p, bitmap, key_col, m_bits, k).persist()
+    candidates = bloom_probe(p, bitmap, key_col, m_bits, k).persist()  # release: caller (cache contract, queries/__init__)
     verified = candidates.join(b, key_col, "left_semi")
     return (
         b.agg(F.count(F.lit(1)).cast("long").alias("n_build_keys"))

@@ -90,7 +90,7 @@ def kmeans_cluster_profile(
     squared distance. Output is k rows (fewer if a cluster emptied)."""
     base = data.select(
         F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")
-    ).persist()
+    ).persist()  # release: caller (cache contract, queries/__init__)
     centroids = (
         base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k)
@@ -137,7 +137,7 @@ def kmeans_quality_profile(
     """
     base = data.select(
         F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")
-    ).persist()
+    ).persist()  # release: caller (cache contract, queries/__init__)
     centroids = (
         base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k)

@@ -320,7 +320,7 @@ def minhash_lsh_pairs(
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).filter(F.size("shingles") > 0).withColumn(
         "signature", minhash_signature_expr(F.col("shingles"), num_hashes, hash_fn)
-    ).persist()
+    ).persist()  # release: caller (cache contract, queries/__init__)
     banded = _cap_buckets(_minhash_banded(base, bands, rows), ["band", "bucket"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -461,7 +461,7 @@ def simhash_pairs(
     chunk_bits = bits // chunks
     # Persist fingerprints: the banded self-join references them on both
     # sides (same rationale as minhash_lsh_pairs — no recompute at scale).
-    fps = simhash(df, text_col, id_col, bits, hash_fn).persist()
+    fps = simhash(df, text_col, id_col, bits, hash_fn).persist()  # release: caller (cache contract, queries/__init__)
     banded = _cap_buckets(_simhash_banded(fps, chunks, chunk_bits), ["chunk", "value"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -544,7 +544,7 @@ def _connected_components_loop(
     )
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    ).distinct().persist()  # release: paired unpersist after the CC loop below
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)

@@ -72,7 +72,7 @@ def triangle_stats(
             F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("a"),
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("b"),
         ).distinct()
-    e = e.persist()
+    e = e.persist()  # release: caller (cache contract, queries/__init__)
     x, y = e.alias("x"), e.alias("y")
     wedges = x.join(y, F.col("x.b") == F.col("y.a")).select(
         F.least(F.col("x.a"), F.col("y.b")).alias("lo"),
@@ -136,13 +136,13 @@ def integer_pagerank(
     # persist the undirected edge set FIRST: the symmetrizing union reads
     # it twice, and with pair-graph inputs each read would otherwise
     # recompute the corpus self-joins that produced the edges
-    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct().persist()
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct().persist()  # release: caller (cache contract, queries/__init__)
     directed = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .persist()
+        .persist()  # release: caller (cache contract, queries/__init__)
     )
-    deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg")).persist()
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg")).persist()  # release: caller (cache contract, queries/__init__)
     n_row = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
     base = F.expr(f"({100 - damping_pct} * ({scale} div n)) div 100")
     ranks = deg.crossJoin(F.broadcast(n_row)).select(
@@ -198,7 +198,7 @@ def label_propagation(
     directed = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .persist()
+        .persist()  # release: caller (cache contract, queries/__init__)
     )
     labels = directed.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")
@@ -255,11 +255,11 @@ def link_prediction(
     Σ deg(z)² — the documented hub knob; for hub-skewed graphs cap or
     re-orient as triangle_stats does.
     """
-    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct().persist()
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct().persist()  # release: caller (cache contract, queries/__init__)
     directed = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .persist()
+        .persist()  # release: caller (cache contract, queries/__init__)
     )
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     mid = directed.join(deg, "src")
@@ -314,11 +314,11 @@ def degree_assortativity(
     # the degree agg AND the (dx, dy) join — with pair-graph inputs each
     # re-read would otherwise recompute the corpus self-join (measured
     # 4.2 s → ~1.4 s at sf0.1 on the dup-graph input).
-    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct().persist()
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct().persist()  # release: caller (cache contract, queries/__init__)
     directed = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .persist()
+        .persist()  # release: caller (cache contract, queries/__init__)
     )
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     dx = deg.select(F.col("src"), F.col("deg").alias("dx"))

@@ -896,3 +896,53 @@ def matryoshka_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def collapse_exact_embeddings(
+    data: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Mass-duplicate pre-collapse for SemDeDup: one md5 hash-groupBy over
+    the ROUNDED vector keeps a single representative (min id, its raw
+    vector via min_by) per exact-duplicate group, with the group size.
+
+    Why it exists (the hub stress): a mass-duplicated vector — the same
+    boilerplate page embedded millions of times — lands its whole copy
+    set in ONE semantic cluster, and within-cluster pair enumeration is
+    C(|group|, 2): quadratic OUTPUT no cluster-count knob can fix,
+    because every copy pair genuinely IS a near-dup pair. Collapsing
+    exact groups first (one cheap hash shuffle, the dedup.py exact-dedup
+    pattern applied to vectors) removes the quadratic term at its
+    source: each hub enters clustering as one representative whose
+    ``group_size`` carries the duplication mass, and SemDeDup's
+    Σ|cluster|² stays governed by n_clusters alone. Scale protocol +
+    measured 1x/10x/100x curve: tools/scale_curve_semdedup.py, README.
+
+    Returns ``(representatives, membership)``: representatives are
+    (vec_id, v, group_size) rows ready to feed ``semdedup_pairs(...,
+    id_col='vec_id', vec_col='v')``; membership maps every original id to
+    its representative — (vec_id, rep_id, group_size) — so keep/drop
+    decisions on representatives expand back to the full corpus with one
+    broadcast-able join.
+    """
+    d = data.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    canon = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col("v"), lambda x: F.round(x, round_digits).cast("string"))
+        )
+    )
+    keyed = d.select("vec_id", "v", canon.alias("_h"))
+    groups = keyed.groupBy("_h").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.min_by("v", "vec_id").alias("rep_v"),
+    )
+    membership = keyed.join(groups.select("_h", "rep_id", "group_size"), "_h").select(
+        "vec_id", "rep_id", "group_size"
+    )
+    representatives = groups.select(
+        F.col("rep_id").alias("vec_id"), F.col("rep_v").alias("v"), "group_size"
+    )
+    return representatives, membership

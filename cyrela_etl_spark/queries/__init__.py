@@ -11,6 +11,19 @@ Determinism contract (what makes the hashes match):
 - hash outputs derive from md5 (portable, see functions/hashing.py);
 - every double that results from a multi-term float fold (cosine) is
   rounded to 6 digits on BOTH sides before ranking/output.
+
+Cache contract (the persist/release discipline — VERDICT r8 item 6):
+registry callables and the operators under them may ``persist()``
+intermediates that BACK the returned lazy DataFrame (iterative edge
+tables, self-joined posting lists, multi-consumer key sets — each site
+carries a ``# release:`` marker naming its release point). Those frames
+cannot be unpersisted before return: the caller has not acted on the
+plan yet, and releasing early would re-run the iterative work at action
+time. Release is therefore the CALLER's: consume the returned DataFrame,
+then ``spark.catalog.clearCache()`` (what bench.py and both correctness
+harnesses do between queries). Long-lived sessions embedding these
+operators without clearing the cache will accumulate MEMORY_AND_DISK
+blocks — spillable, bounded by the storage fraction, but not free.
 """
 
 from __future__ import annotations

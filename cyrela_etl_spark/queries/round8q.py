@@ -808,7 +808,7 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(und.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
+        .persist()  # release: caller (cache contract, queries/__init__)
     )
     seeds = (
         d.select(F.col("src").alias("seed")).distinct().orderBy("seed").limit(_BFS_SEEDS)
@@ -883,7 +883,7 @@ _KCORE_K = 2
 
 
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e0 = _dup_edges(spark, sf_dir).persist()
+    e0 = _dup_edges(spark, sf_dir).persist()  # release: caller (cache contract, queries/__init__)
 
     def stats(e: DataFrame, rnd: int) -> DataFrame:
         nodes = e.select(F.col("id_a").alias("v")).unionByName(
@@ -908,7 +908,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b")
         )
 
-    e1 = peel(e0).persist()
+    e1 = peel(e0).persist()  # release: caller (cache contract, queries/__init__)
     e2 = peel(e1)
     return stats(e0, 0).unionByName(stats(e1, 1)).unionByName(stats(e2, 2))
 

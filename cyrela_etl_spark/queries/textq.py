@@ -290,7 +290,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kept is self-joined (a × b) and its lineage re-runs the full
     # posting explode per branch — persist it once (same rationale and
     # measurement as dedup_dup_ngram_fraction above).
-    kept = posting.join(df_ok, "g").persist()
+    kept = posting.join(df_ok, "g").persist()  # release: caller (cache contract, queries/__init__)
     a, b = kept.alias("a"), kept.alias("b")
     cand = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1873,7 +1873,7 @@ def dedup_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dominant map work (the LSH-family persist discipline).
     per = occ.groupBy("doc_id", "g").agg(
         F.count(F.lit(1)).cast("long").alias("n_occ")
-    ).persist()
+    ).persist()  # release: caller (cache contract, queries/__init__)
     df_gram = per.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     return (
         per.join(df_gram, "g")
@@ -1966,7 +1966,7 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = (
         caps.crossJoin(F.broadcast(t_row))
         .select("source", "n_total", F.expr("w * t div bigw").cast("long").alias("k"))
-        .persist()
+        .persist()  # release: caller (cache contract, queries/__init__)
     )
     ranked = docs.select(
         "doc_id",
@@ -2184,7 +2184,7 @@ def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # three consumers (norms, both join sides) — persist so the
         # corpus scan + tf/df aggregates run once, not per consumer
-        .persist()
+        .persist()  # release: caller (cache contract, queries/__init__)
     )
     wd = F.col("w").cast("decimal(19,0)")
     norms = kept.groupBy("doc_id").agg(
@@ -2536,7 +2536,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the df-filtered postings before the self-join (the tfidf
     # precedent): both join sides read `kept`, and without the persist
     # each side would re-run the shingle explode + df agg over the corpus
-    kept = posting.join(df_ok, "g").persist()
+    kept = posting.join(df_ok, "g").persist()  # release: caller (cache contract, queries/__init__)
     a, b = kept.alias("a"), kept.alias("b")
     edges = a.join(
         b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -2608,7 +2608,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= _LP_DF_MIN) & (F.col("df") <= _LP_DF_MAX))
         .select("g")
     )
-    kept = posting.join(df_ok, "g").persist()
+    kept = posting.join(df_ok, "g").persist()  # release: caller (cache contract, queries/__init__)
     a, b = kept.alias("a"), kept.alias("b")
     edges = a.join(
         b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -2870,7 +2870,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= _LP_DF_MIN) & (F.col("df") <= _LP_DF_MAX))
         .select("g")
     )
-    kept = posting.join(df_ok, "g").persist()
+    kept = posting.join(df_ok, "g").persist()  # release: caller (cache contract, queries/__init__)
     a, b = kept.alias("a"), kept.alias("b")
     edges = a.join(
         b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))

@@ -1,0 +1,88 @@
+"""SemDeDup hub stress (VERDICT r7 item 6 remainder / r8 item 5): a
+mass-duplicated embedding drives within-cluster pair enumeration
+quadratic — C(|group|,2) pairs are genuinely emitted — and the
+exact-collapse pre-pass removes the quadratic term at its source while
+preserving the duplication information in group sizes. The 1x/10x/100x
+wall curve lives in tools/scale_curve_semdedup.py + README."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cyrela_etl_spark.operators.similarity import (
+    _ivf_assign,
+    collapse_exact_embeddings,
+    seed_centroids,
+    semdedup_pairs,
+)
+
+N_BG = 400
+HUB_SIZE = 100
+DIM = 16
+N_CLUSTERS = 8
+
+
+@pytest.fixture(scope="module")
+def hub_corpus(spark):
+    rng = np.random.default_rng(7)
+    bg = rng.normal(size=(N_BG, DIM))
+    hub_vec = rng.normal(size=DIM)
+    rows = [(i, bg[i].tolist()) for i in range(N_BG)]
+    rows += [(N_BG + j, hub_vec.tolist()) for j in range(HUB_SIZE)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def _sum_sq_cluster_sizes(df, id_col="vec_id", vec_col="embedding"):
+    cents = seed_centroids(df, N_CLUSTERS, id_col=id_col, vec_col=vec_col)
+    sizes = (
+        _ivf_assign(df, cents, 1, id_col, vec_col, "vec_id", 6)
+        .groupBy("list_id")
+        .count()
+    )
+    agg = sizes.agg(
+        F.sum(F.col("count") * F.col("count")).alias("ss"),
+        F.max("count").alias("mx"),
+    ).collect()[0]
+    return int(agg["ss"]), int(agg["mx"])
+
+
+def test_hub_pairs_are_quadratic_in_group_size(spark, hub_corpus):
+    """Raw SemDeDup on the hub corpus MUST emit all C(100,2) hub pairs —
+    the quadratic output is correct semantics, not a bug, which is why
+    the mitigation has to happen before clustering."""
+    pairs = semdedup_pairs(hub_corpus, n_clusters=N_CLUSTERS, threshold=0.999)
+    hub_pairs = pairs.filter(
+        (F.col("id_a") >= N_BG) & (F.col("id_b") >= N_BG)
+    ).count()
+    assert hub_pairs == HUB_SIZE * (HUB_SIZE - 1) // 2
+
+
+def test_collapse_removes_hub_quadratic_term(spark, hub_corpus):
+    reps, membership = collapse_exact_embeddings(hub_corpus)
+    # background vectors are all distinct; the hub collapses to one rep
+    assert reps.count() == N_BG + 1
+    hub_rep = reps.filter(F.col("group_size") == HUB_SIZE).collect()
+    assert len(hub_rep) == 1 and hub_rep[0]["vec_id"] == N_BG
+    # membership expands every hub id back to the representative
+    assert (
+        membership.filter(F.col("rep_id") == N_BG).count() == HUB_SIZE
+    )
+
+    # Σ|cluster|² accounting: raw clustering carries the hub's mass in
+    # one block (>= HUB_SIZE members -> >= HUB_SIZE² in the sum); after
+    # collapse the largest block is knob-sized, not hub-sized
+    ss_raw, mx_raw = _sum_sq_cluster_sizes(hub_corpus)
+    ss_col, mx_col = _sum_sq_cluster_sizes(reps, id_col="vec_id", vec_col="v")
+    assert mx_raw >= HUB_SIZE
+    assert ss_raw >= HUB_SIZE * HUB_SIZE
+    assert mx_col < HUB_SIZE
+    assert ss_col < ss_raw
+
+    # collapsed semdedup emits no intra-hub pairs; the duplication mass
+    # survives in group_size (100 copies -> weight 100 on one node)
+    pairs = semdedup_pairs(
+        reps, n_clusters=N_CLUSTERS, threshold=0.999, id_col="vec_id", vec_col="v"
+    )
+    assert pairs.filter((F.col("id_a") >= N_BG) & (F.col("id_b") >= N_BG)).count() == 0
