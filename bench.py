@@ -32,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # heavy one), similarity, text, temporal, multimodal, streaming.
 HEADLINE = [
     "q01_pricing_summary",
-    "q03_top_orders",
+    # q03_top_orders RETIRED in round 9 (the add-one-retire-one byte rule
+    # below): its simple join+top-k family stays covered by q05/q13/q08.
     "q05_region_revenue",
     "q13_order_distribution",
     "join_salted",
@@ -103,6 +104,10 @@ HEADLINE = [
     "vector_ivf_pq_topk",
     "ml_leakage_check",
     "text_zipf_fit",
+    # round-9 representative (1 in, 1 out — q03 retired above): the
+    # deterministic bus-replay stream (envelope codec + 4-micro-batch
+    # DataSource-V2 drain), the round's single new operator.
+    "stream_bus_replay",
 ]
 
 
