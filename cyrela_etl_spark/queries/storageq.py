@@ -1103,3 +1103,86 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderstatus
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# storage_txn_acid — the optimistic-concurrency commit protocol
+# (sources/txn.py, VERDICT r7 item 3 / r8 item 2) driven END-TO-END under
+# the oracle: a manifest-log table is INITialized from an orders subset,
+# an optimistic UPSERT bumps every 10th order's total, a MERGE-DELETE
+# forgets every 7th key, and the LATEST version is read back through the
+# manifest and aggregated per status. The oracle replays the same three
+# commits relationally, so the merge semantics, the version-log read path
+# and the delete semantics are all value-certified (the two-writer
+# conflict races live in tests/test_txn_acid.py — races are not
+# oracle-expressible, but the committed-state algebra is).
+# n_versions pins the manifest log length: init + upsert + delete = 3.
+# ---------------------------------------------------------------------------
+def storage_txn_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from cyrela_etl_spark.sources.txn import (
+        latest_version,
+        txn_delete_rows,
+        txn_init,
+        txn_read,
+        txn_upsert,
+    )
+
+    root = tempfile.mkdtemp(prefix="txn_acid_q_")
+    store = ZoneStore(spark=spark, root=root)
+    try:
+        base = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderkey") <= 20000)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        txn_init(store, "curated", "ord", base)
+        updates = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        txn_upsert(store, "curated", "ord", updates, "o_orderkey")
+        forget = base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+        txn_delete_rows(store, "curated", "ord", forget, "o_orderkey")
+        n_versions = latest_version(store, "curated", "ord")
+        out = (
+            txn_read(store, "curated", "ord")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("n_versions", F.lit(n_versions).cast("long"))
+        )
+        # detach from the temp-rooted snapshot before it is removed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    "storage_txn_acid",
+    storage_txn_acid,
+    """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey <= 20000
+),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % 10 <> 0
+),
+final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(3 AS BIGINT) AS n_versions
+FROM final
+GROUP BY o_orderstatus
+""",
+)
