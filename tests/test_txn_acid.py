@@ -132,3 +132,49 @@ def test_delete_rows_and_time_travel_and_vacuum(spark, store):
     with pytest.raises(Exception):
         txn_read(store, "curated", "accounts", version=1)
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (3, 300)}
+
+
+def test_crash_debris_does_not_corrupt_the_log(spark, store):
+    """Crash artifacts a real deployment will leave behind: a _tmp
+    manifest from a writer that died mid-publish, and an orphan snapshot
+    directory from a writer that died before publishing. Neither may
+    affect version resolution or reads."""
+    from cyrela_etl_spark.sources.txn import _txn_dir, _write_bytes
+
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    txn_upsert(store, "curated", "accounts", _accounts(spark, [(2, 200)]), "account_id")
+
+    # debris 1: a temp manifest that never got renamed
+    tdir = _txn_dir(store, "curated", "accounts")
+    _write_bytes(store, f"{tdir}/_tmp-deadbeef.json", b'{"version": 99}')
+    # debris 2: an orphan snapshot dir with plausible data
+    _accounts(spark, [(9, 900)]).write.parquet(
+        store.path("curated", "accounts/_snapshots/v00000000000000000099-dead")
+    )
+
+    assert latest_version(store, "curated", "accounts") == 2
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
+    # and the log still advances cleanly past the debris
+    assert txn_upsert(
+        store, "curated", "accounts", _accounts(spark, [(3, 300)]), "account_id"
+    ) == 3
+
+
+def test_losing_writer_cleans_its_orphan_snapshot(spark, store):
+    """A conflicting commit must not leak its unpublished snapshot: the
+    loser's data directory is removed when TxnConflictError is raised."""
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = latest_version(store, "curated", "accounts")
+    # another writer wins version 2 first
+    txn_commit(store, "curated", "accounts", _accounts(spark, [(1, 111)]), read_version=v)
+    with pytest.raises(TxnConflictError):
+        txn_commit(store, "curated", "accounts", _accounts(spark, [(1, 222)]), read_version=v)
+    snaps_dir = store.path("curated", "accounts/_snapshots")
+    names = [
+        s.getPath().getName()
+        for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(snaps_dir))
+    ]
+    # exactly the two PUBLISHED snapshots remain (v1 + the winner's v2)
+    assert len(names) == 2
+    assert all(n.startswith(("v00000000000000000001", "v00000000000000000002")) for n in names)
