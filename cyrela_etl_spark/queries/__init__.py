@@ -47,26 +47,29 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 # Scoring-priority order: the driver walks the returned dict in insertion
 # order and scores AT MOST ~50 entries per round. Round-9 slot allocation
 # (VERDICT r8 "next round" item 1: drain the whole remaining queue to ZERO
-# and hold the freeze — at most 3 new operators; round 9 adds TWO):
+# and hold the freeze — at most 3 new operators; round 9 adds THREE):
 #   block B (35): the round-8 additions, never driver-scored (deliberately
 #     queued behind the r8 backlog drain). All 35 were judge-verified green
 #     in the r8 session (18-sample oracle run + dual 253/253 sweeps); this
 #     round they get their driver rows.
 #   block A spill (2): search_hybrid_rrf + stream_upsert_sink — code
 #     changed in round 7, their re-scores spilled past r8's 50 budget.
-#   new (2): stream_bus_replay — the deterministic unbounded-source entry
+#   new (3): stream_bus_replay — the deterministic unbounded-source entry
 #     VERDICT r7 item 7 / r8 item 3 asked for (file-backed bus-envelope
-#     replay through the DataSource-V2 micro-batch path) — and
-#     storage_txn_acid, which drives the round's new optimistic-
-#     concurrency commit protocol (r8 item 2) under the oracle. The only
-#     additions in round 9; the freeze holds (2 ≤ 3).
+#     replay through the DataSource-V2 micro-batch path); storage_txn_acid,
+#     which drives the round's new optimistic-concurrency commit protocol
+#     (r8 item 2) under the oracle; and vector_exact_collapse, the
+#     semdedup mass-dup pre-collapse (r8 item 5) under the oracle. The
+#     freeze holds exactly (3 ≤ 3).
 #   code-changed (1): dedup_dup_ngram_fraction — persist added in r8
 #     after its r7 green.
 #   r3-stale (9): entries whose latest green is the r3 row (valid, code
 #     untouched since) — re-scored now that the queue finally fits.
-#   35 + 2 + 2 + 1 + 9 = 49 ≤ 50: after round 9 every registry entry's
-#   latest driver row postdates its last code change. One slot stays in
-#   reserve (round-9 hygiene edits to already-green query files are
+#   35 + 2 + 3 + 1 + 9 = 50 ≤ 50: after round 9 every registry entry's
+#   latest driver row postdates its last code change. Zero reserve; if
+#   the driver budget lands at 49, the deliberate spill is the LAST
+#   entry, wallet_features — it holds a valid r3 green over code
+#   untouched since (round-9 hygiene edits to green query files are
 #   comment-only, so nothing was staled by them).
 _PRIORITY: list[str] = [
     # -- block B: new in round 8, never driver-scored -----------------------
@@ -108,9 +111,10 @@ _PRIORITY: list[str] = [
     # -- block A spill: code changed in round 7, re-score spilled past r8 ---
     "search_hybrid_rrf",
     "stream_upsert_sink",
-    # -- new in round 9 (2 of the <=3 permitted additions) -------------------
+    # -- new in round 9 (exactly the 3 permitted additions) ------------------
     "stream_bus_replay",
     "storage_txn_acid",
+    "vector_exact_collapse",
     # -- code changed in round 8 after its green ----------------------------
     "dedup_dup_ngram_fraction",
     # -- r3-stale singles: valid r3 greens over since-untouched code --------

@@ -1064,3 +1064,58 @@ FROM w2
 
 
 register("vector_power_iteration_pca", vector_power_iteration_pca, _power_iter_oracle())
+
+
+# ---------------------------------------------------------------------------
+# vector_exact_collapse — the mass-dup pre-collapse operator
+# (operators/similarity.collapse_exact_embeddings, round 9) under the
+# oracle: plant exact duplicates (every 5th vector re-enters with a
+# shifted id — a deterministic stand-in for boilerplate embedded many
+# times), collapse to representatives, and profile the group-size
+# distribution. The oracle groups by the raw embedding list (exact float
+# equality — planted copies are bit-identical), so the collapse's
+# grouping, representative choice (min id) and mass accounting
+# (group_size) are all value-certified. Scale rationale: README's
+# semdedup hub-stress curve — this is the one-hash-shuffle pass that
+# keeps Σ|cluster|² knob-governed.
+# ---------------------------------------------------------------------------
+def vector_exact_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cyrela_etl_spark.operators.similarity import collapse_exact_embeddings
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dup = base.unionByName(
+        base.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+        )
+    )
+    reps, _membership = collapse_exact_embeddings(dup)
+    return reps.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("group_size").cast("long").alias("n_rows"),
+        F.min("vec_id").cast("long").alias("min_rep"),
+        F.max("vec_id").cast("long").alias("max_rep"),
+    )
+
+
+register(
+    "vector_exact_collapse",
+    vector_exact_collapse,
+    """
+WITH dup AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+),
+groups AS (
+  SELECT min(vec_id) AS rep_id, CAST(count(*) AS BIGINT) AS group_size
+  FROM dup GROUP BY embedding
+)
+SELECT group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(group_size) AS BIGINT) AS n_rows,
+       CAST(min(rep_id) AS BIGINT) AS min_rep,
+       CAST(max(rep_id) AS BIGINT) AS max_rep
+FROM groups
+GROUP BY group_size
+""",
+)
