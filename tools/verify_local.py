@@ -11,6 +11,7 @@ emulation of the round driver's own session.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -79,9 +80,14 @@ def main() -> int:
     if plain:
         from pyspark.sql import SparkSession
 
+        # SPARK_GRAFT_VERIFY_SHUFFLE overrides the shuffle width (e.g. 200
+        # = the stock Spark default the real round driver runs with) so
+        # registry-wide width-invariance can be demonstrated empirically
+        # rather than assumed; default stays 32 for wall-time.
+        shuffle = os.environ.get("SPARK_GRAFT_VERIFY_SHUFFLE", "32")
         spark = (
             SparkSession.builder.master("local[16]")
-            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.shuffle.partitions", shuffle)
             .config("spark.ui.enabled", "false")
             .appName("verify-local-plain")
             .getOrCreate()
