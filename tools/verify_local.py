@@ -105,6 +105,10 @@ def main() -> int:
     for name, (fn, oracle) in sorted(registry.items()):
         if only and name not in only:
             continue
+        # the registry cache contract (queries/__init__): operators may
+        # persist plan-backing frames; the CALLER releases them between
+        # queries so a 256-query sweep doesn't accumulate storage blocks
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
