@@ -178,3 +178,50 @@ def test_losing_writer_cleans_its_orphan_snapshot(spark, store):
     # exactly the two PUBLISHED snapshots remain (v1 + the winner's v2)
     assert len(names) == 2
     assert all(n.startswith(("v00000000000000000001", "v00000000000000000002")) for n in names)
+
+
+# -- model-based property test ------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OP = st.one_of(
+    st.tuples(
+        st.just("upsert"),
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 999)),
+            min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+        ),
+    ),
+    st.tuples(st.just("delete"), st.lists(st.integers(0, 5), min_size=1, max_size=3)),
+)
+
+
+@settings(
+    max_examples=6,  # every op is a Spark write + commit — keep it bounded
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_OP, min_size=1, max_size=5))
+def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
+    """Any sequence of keyed upserts/deletes applied through the commit
+    protocol must equal the same sequence applied to a plain dict, and
+    the manifest log must advance exactly once per operation — the
+    serializability statement in model-checked form."""
+    store = ZoneStore(spark=spark, root=str(tmp_path_factory.mktemp("txn_model")))
+    model = {0: 42}
+    txn_init(store, "curated", "t", _accounts(spark, [(0, 42)]))
+    for kind, payload in ops:
+        if kind == "upsert":
+            txn_upsert(store, "curated", "t", _accounts(spark, payload), "account_id")
+            model.update(dict(payload))
+        else:
+            txn_delete_rows(
+                store, "curated", "t",
+                spark.createDataFrame([(k,) for k in payload], "account_id INT"),
+                "account_id",
+            )
+            for k in payload:
+                model.pop(k, None)
+    got = {r["account_id"]: r["balance"] for r in txn_read(store, "curated", "t").collect()}
+    assert got == model
+    assert latest_version(store, "curated", "t") == 1 + len(ops)
