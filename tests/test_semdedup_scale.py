@@ -86,3 +86,39 @@ def test_collapse_removes_hub_quadratic_term(spark, hub_corpus):
         reps, n_clusters=N_CLUSTERS, threshold=0.999, id_col="vec_id", vec_col="v"
     )
     assert pairs.filter((F.col("id_a") >= N_BG) & (F.col("id_b") >= N_BG)).count() == 0
+
+
+# -- model-based property test ------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VEC = st.tuples(st.integers(-2, 2), st.integers(-2, 2), st.integers(-2, 2))
+
+
+@settings(
+    max_examples=6,  # each example runs Spark jobs — keep it bounded
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(vecs=st.lists(_VEC, min_size=1, max_size=12))
+def test_collapse_matches_python_model(spark, vecs):
+    """collapse_exact_embeddings must reproduce plain-Python grouping:
+    identical vectors share one representative (min id), group sizes sum
+    to the corpus, and membership maps every id to its group's rep.
+    Small integer-valued vectors make equality exact by construction."""
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    reps, membership = collapse_exact_embeddings(df)
+
+    model = {}
+    for i, v in enumerate(vecs):
+        model.setdefault(v, []).append(i)
+    expect_reps = {(min(ids), len(ids)) for ids in model.values()}
+    got_reps = {(r["vec_id"], r["group_size"]) for r in reps.collect()}
+    assert got_reps == expect_reps
+
+    expect_members = {
+        (i, min(ids)) for ids in model.values() for i in ids
+    }
+    got_members = {(r["vec_id"], r["rep_id"]) for r in membership.collect()}
+    assert got_members == expect_members
