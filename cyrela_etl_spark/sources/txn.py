@@ -10,8 +10,7 @@ same commit discipline Delta's PROTOCOL.md describes, over plain parquet:
   snapshot directory that IS that version's data.
 - A commit is **put-if-absent** of the next version file: the manifest is
   fully written to a temp name, then published with a rename that FAILS
-  if the destination exists (verified semantics of Hadoop local/HDFS
-  ``FileSystem.rename``; readers therefore never observe a partial
+  if the destination exists (readers therefore never observe a partial
   manifest). Two writers racing to version N+1 — exactly one rename
   wins; the loser gets ``TxnConflictError`` and must re-read the new
   snapshot and re-derive its change (no lost update possible, because a
@@ -21,10 +20,21 @@ same commit discipline Delta's PROTOCOL.md describes, over plain parquet:
 
 Scale notes: manifests are a few hundred bytes of driver-side metadata —
 no executor involvement; snapshots are normal distributed parquet writes.
-On HDFS and ABFS the rename is atomic as required. On S3A it is NOT
-(rename = copy+delete, no put-if-absent) — there, as for Delta itself,
-the version-file publish needs an external coordinator (a DynamoDB-style
-lock table / S3 conditional PUT); the seam is ``_publish`` below.
+Atomicity of the dest-exists rename failure is per-filesystem: HDFS gives
+it as a namenode-atomic operation; the LOCAL filesystem implements it as
+check-then-rename (`RawLocalFileSystem` probes the destination before
+renaming), which preserves an existing destination but leaves a window
+in which two racing writers could in principle both pass the probe —
+adequate for this single-JVM test harness, NOT a durability claim. On
+S3A neither holds (rename = copy+delete, no put-if-absent) — there, as
+for Delta itself, the version-file publish needs an external coordinator
+(S3 conditional PUT / a DynamoDB-style lock table). The publish step is
+therefore isolated behind the ``Publisher`` interface below:
+``RenamePublisher`` (default) is the rename spelling; ``LockFilePublisher``
+is the claim-record shape an external-coordinator publisher takes (one
+create-if-absent claim deciding the race, à la Delta's S3 LogStore). The
+module-level ``_publish`` remains the single documented swap seam and
+simply invokes the store's configured publisher.
 
 Reference provenance: the zone lifecycle being protected is the
 reference's processing→curated promotion (dags/s3-etl-wallet-csv.py:
@@ -40,6 +50,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from cyrela_etl_spark.sources.zones import ZoneStore
 
@@ -113,12 +124,21 @@ def latest_version(store: ZoneStore, zone: str, key: str) -> int:
 
 
 def read_manifest(store: ZoneStore, zone: str, key: str, version: int) -> dict:
-    return _read_json(store, _manifest_path(store, zone, key, version))
+    fs, _ = store._fs()
+    mpath = _manifest_path(store, zone, key, version)
+    if not fs.exists(_jpath(store, mpath)):
+        raise FileNotFoundError(
+            f"version {version} of {store.path(zone, key)!r} has no manifest "
+            "(never committed, or removed by vacuum)"
+        )
+    return _read_json(store, mpath)
 
 
 def txn_read(store: ZoneStore, zone: str, key: str, version: int | None = None) -> DataFrame:
     """Read the table at ``version`` (default: latest) — time travel over
-    retained snapshots, Delta's ``versionAsOf``."""
+    retained snapshots, Delta's ``versionAsOf``. A vacuumed (or never
+    committed) version raises ``FileNotFoundError`` cleanly, before any
+    Spark job is launched."""
     v = latest_version(store, zone, key) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version of {store.path(zone, key)!r}")
@@ -126,21 +146,98 @@ def txn_read(store: ZoneStore, zone: str, key: str, version: int | None = None) 
     return store.spark.read.parquet(m["snapshot"])
 
 
+class RenamePublisher:
+    """Default publish primitive: full temp write, then a rename that
+    fails if the version file already exists (put-if-absent). Correct as
+    an atomic claim on HDFS; on the local filesystem the dest-exists
+    failure is check-then-rename (see module docstring) — adequate for
+    the single-JVM harness."""
+
+    def publish(self, store: ZoneStore, zone: str, key: str, version: int, manifest: dict) -> bool:
+        fs, _ = store._fs()
+        tdir = _txn_dir(store, zone, key)
+        fs.mkdirs(_jpath(store, tdir))
+        tmp = f"{tdir}/_tmp-{uuid.uuid4().hex}.json"
+        _write_bytes(store, tmp, json.dumps(manifest, sort_keys=True).encode("utf-8"))
+        won = bool(
+            fs.rename(_jpath(store, tmp), _jpath(store, _manifest_path(store, zone, key, version)))
+        )
+        if not won:
+            fs.delete(_jpath(store, tmp), False)
+        return won
+
+
+class LockFilePublisher:
+    """The external-coordinator shape: the race is decided by a single
+    create-if-absent CLAIM record (``<version>.lock``, holding the
+    writer's id), and only the claim winner writes the manifest — the
+    structure a conditional-PUT (S3 If-None-Match) or DynamoDB lock-table
+    publisher has, with the claim primitive being the one call the store
+    must make atomic. Liveness: a writer crashing between claim and
+    manifest write leaves the version claimed-but-unpublished, which
+    would wedge the log (``latest_version`` ignores manifest-less claims,
+    so every successor retries the same version) — answered the way
+    Delta's DynamoDB LogStore answers it: a claim with no manifest older
+    than ``stale_claim_ttl_sec`` is broken and re-taken. The TTL must
+    exceed any real writer's claim→manifest publish latency (it covers
+    two metadata writes, not the snapshot write, so seconds — the default
+    is generous). Lock files are swept by ``vacuum`` with their
+    manifests."""
+
+    def __init__(self, stale_claim_ttl_sec: float = 900.0):
+        self.stale_claim_ttl_sec = stale_claim_ttl_sec
+
+    def _claim(self, fs, lock) -> bool:
+        try:
+            out = fs.create(lock, False)  # the atomic claim primitive
+        except Exception:
+            return False  # FileAlreadyExistsException: claim lost
+        try:
+            out.write(json.dumps({"writer": uuid.uuid4().hex}).encode("utf-8"))
+        finally:
+            out.close()
+        return True
+
+    def publish(self, store: ZoneStore, zone: str, key: str, version: int, manifest: dict) -> bool:
+        fs, _ = store._fs()
+        tdir = _txn_dir(store, zone, key)
+        fs.mkdirs(_jpath(store, tdir))
+        lock = _jpath(store, f"{tdir}/{version:020d}.lock")
+        mpath = _jpath(store, _manifest_path(store, zone, key, version))
+        if not self._claim(fs, lock):
+            if fs.exists(mpath):
+                return False  # fairly lost: the version is published
+            # claimed but unpublished: break the claim iff it is stale
+            age_sec = (time.time() * 1000 - fs.getFileStatus(lock).getModificationTime()) / 1000
+            if age_sec <= self.stale_claim_ttl_sec:
+                return False  # live contender mid-publish
+            fs.delete(lock, False)
+            if not self._claim(fs, lock):
+                return False  # someone else re-took the broken claim first
+        # claim held: nobody else will write this manifest; temp+rename so
+        # readers still never observe partial JSON
+        tmp = f"{tdir}/_tmp-{uuid.uuid4().hex}.json"
+        _write_bytes(store, tmp, json.dumps(manifest, sort_keys=True).encode("utf-8"))
+        if not fs.rename(_jpath(store, tmp), mpath):
+            raise IOError(f"manifest rename failed under a held claim: {tdir} v{version}")
+        return True
+
+
+_DEFAULT_PUBLISHER = RenamePublisher()
+
+
+def _publisher(store: ZoneStore):
+    """The store's configured publisher (a ``publisher`` attribute set on
+    the ZoneStore, e.g. ``store.publisher = LockFilePublisher()``), else
+    the module default. THIS indirection is the S3A swap seam: one
+    attribute swaps every commit path to a conditional-PUT publisher."""
+    return getattr(store, "publisher", None) or _DEFAULT_PUBLISHER
+
+
 def _publish(store: ZoneStore, zone: str, key: str, version: int, manifest: dict) -> bool:
-    """Atomically publish manifest ``version``: full temp write, then a
-    rename that fails if the version file already exists (put-if-absent).
-    Returns False when a concurrent writer won the version. THIS is the
-    single primitive to swap on stores without atomic rename (S3A →
-    conditional PUT / lock service)."""
-    fs, _ = store._fs()
-    tdir = _txn_dir(store, zone, key)
-    fs.mkdirs(_jpath(store, tdir))
-    tmp = f"{tdir}/_tmp-{uuid.uuid4().hex}.json"
-    _write_bytes(store, tmp, json.dumps(manifest, sort_keys=True).encode("utf-8"))
-    won = bool(fs.rename(_jpath(store, tmp), _jpath(store, _manifest_path(store, zone, key, version))))
-    if not won:
-        fs.delete(_jpath(store, tmp), False)
-    return won
+    """Publish manifest ``version`` via the store's publisher. Returns
+    False when a concurrent writer won the version."""
+    return _publisher(store).publish(store, zone, key, version, manifest)
 
 
 def txn_commit(
@@ -198,7 +295,27 @@ def txn_upsert(
     contains BOTH writers' changes — the lost-update prevention the plain
     snapshot-rebind catalog cannot give (VERDICT r7 item 3 / r8 item 2).
     One anti-join shuffle per attempt; retries are conflict-rate-bound,
-    not data-bound."""
+    not data-bound.
+
+    ``updates`` must be key-unique: a batch carrying the same merge key
+    twice has no defined merge outcome (both rows would land, silently
+    breaking the keyed-table invariant the anti-join maintains — ADVICE
+    r9), so it is rejected up front with ``ValueError``. The check is one
+    bounded aggregation over the updates batch, run once per call, not
+    per retry."""
+    dup = (
+        updates.groupBy(merge_key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates batch is not key-unique on {merge_key!r} "
+            f"(e.g. {merge_key}={dup[0][0]!r} appears {dup[0]['n']} times); "
+            "deduplicate before txn_upsert"
+        )
     for _ in range(max_retries):
         v = latest_version(store, zone, key)
         current = txn_read(store, zone, key, v)
@@ -251,5 +368,7 @@ def vacuum(store: ZoneStore, zone: str, key: str, keep_last: int = 1) -> list[in
         m = _read_json(store, mpath)
         fs.delete(_jpath(store, m["snapshot"]), True)
         fs.delete(_jpath(store, mpath), False)
+        # sweep the claim record too, if a LockFilePublisher left one
+        fs.delete(_jpath(store, f"{_txn_dir(store, zone, key)}/{v:020d}.lock"), False)
         removed.append(v)
     return removed

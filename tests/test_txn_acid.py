@@ -180,6 +180,183 @@ def test_losing_writer_cleans_its_orphan_snapshot(spark, store):
     assert all(n.startswith(("v00000000000000000001", "v00000000000000000002")) for n in names)
 
 
+def test_publish_loss_cleans_orphan_snapshot_deterministically(spark, store, monkeypatch):
+    """ADVICE r9: the rename-loses branch (txn_commit's _publish returns
+    False -> delete own snapshot -> raise) was only reachable
+    probabilistically through the thread race, because the latest_version
+    pre-check conflicts a stale writer before it writes anything. Here the
+    pre-check is blinded (a stale cached view of the log), so the writer
+    REALLY writes its snapshot and REALLY loses the publish — the cleanup
+    path runs deterministically."""
+    import cyrela_etl_spark.sources.txn as txn
+
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    # a competing writer takes version 2 for real
+    txn_commit(store, "curated", "accounts", _accounts(spark, [(1, 111)]), read_version=1)
+    # the stale writer's view of the log is frozen at version 1
+    monkeypatch.setattr(txn, "latest_version", lambda *a, **k: 1)
+    with pytest.raises(TxnConflictError):
+        txn_commit(store, "curated", "accounts", _accounts(spark, [(1, 222)]), read_version=1)
+    monkeypatch.undo()
+    # the loser wrote a v2 snapshot and must have removed it again
+    snaps_dir = store.path("curated", "accounts/_snapshots")
+    names = [
+        s.getPath().getName()
+        for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(snaps_dir))
+    ]
+    assert len(names) == 2  # v1 + the winner's v2 only
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 111)}
+
+
+def test_upsert_rejects_duplicate_merge_keys(spark, store):
+    """A batch carrying the same key twice has no defined merge outcome;
+    it must be rejected before any version is consumed (ADVICE r9)."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    with pytest.raises(ValueError, match="key-unique"):
+        txn_upsert(
+            store, "curated", "accounts",
+            _accounts(spark, [(2, 200), (2, 201)]), "account_id",
+        )
+    # nothing committed, log did not advance
+    assert latest_version(store, "curated", "accounts") == 1
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100)}
+
+
+def test_lockfile_publisher_full_protocol(spark, store):
+    """The external-coordinator publisher shape (create-if-absent claim
+    record) drives the same protocol end-to-end: commits, claim-loss
+    against a live foreign claim (with loser snapshot cleanup), TTL-based
+    breaking of a stale claim, and vacuum sweeping claim records with
+    their manifests."""
+    import time as _time
+
+    from cyrela_etl_spark.sources.txn import LockFilePublisher, _txn_dir, _write_bytes
+
+    store.publisher = LockFilePublisher()
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    txn_upsert(store, "curated", "accounts", _accounts(spark, [(2, 200)]), "account_id")
+    # claim records exist alongside manifests
+    tdir = _txn_dir(store, "curated", "accounts")
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(f"{tdir}/{1:020d}.lock"))
+
+    # a foreign writer holds a FRESH claim on version 3 (crashed or slow
+    # mid-publish): under the default TTL our commit must lose the claim
+    # deterministically and clean its orphan snapshot
+    _write_bytes(store, f"{tdir}/{3:020d}.lock", b'{"writer": "foreign"}')
+    with pytest.raises(TxnConflictError):
+        txn_commit(store, "curated", "accounts", _accounts(spark, [(9, 9)]), read_version=2)
+    snaps = [
+        s.getPath().getName()
+        for s in fs.listStatus(
+            jvm.org.apache.hadoop.fs.Path(store.path("curated", "accounts/_snapshots"))
+        )
+    ]
+    assert len(snaps) == 2  # loser's v3 snapshot was removed
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
+
+    # once the claim is STALE (ttl elapsed, still no manifest) it is
+    # broken and the version becomes winnable again — the liveness answer
+    store.publisher = LockFilePublisher(stale_claim_ttl_sec=0.05)
+    _time.sleep(0.2)
+    txn_upsert(store, "curated", "accounts", _accounts(spark, [(3, 300)]), "account_id")
+    assert latest_version(store, "curated", "accounts") == 3
+    assert vacuum(store, "curated", "accounts", keep_last=1) == [1, 2]
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{tdir}/{1:020d}.lock"))
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200), (3, 300)}
+
+
+def test_lockfile_publisher_two_thread_race(spark, store):
+    """The thread race of test_two_threads_racing_upserts_all_land, under
+    the claim-record publisher: serialization must hold there too."""
+    from cyrela_etl_spark.sources.txn import LockFilePublisher
+
+    store.publisher = LockFilePublisher()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(0, 0)]))
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(base: int):
+        try:
+            barrier.wait(timeout=30)
+            for k in range(base, base + 3):
+                txn_upsert(
+                    store, "curated", "accounts",
+                    _accounts(spark, [(k, k * 10)]), "account_id",
+                )
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in (100, 200)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    got = _rows(txn_read(store, "curated", "accounts"))
+    assert got == {(0, 0)} | {(k, k * 10) for b in (100, 200) for k in range(b, b + 3)}
+    assert latest_version(store, "curated", "accounts") == 7
+
+
+def test_time_travel_of_vacuumed_version_fails_cleanly(spark, store):
+    """VERDICT r9 item 4: reading a vacuumed version must raise a clean
+    FileNotFoundError naming the cause — not a py4j Java stack — and must
+    not launch a Spark job."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    txn_commit(store, "curated", "accounts", _accounts(spark, [(1, 101)]), read_version=1)
+    txn_commit(store, "curated", "accounts", _accounts(spark, [(1, 102)]), read_version=2)
+    assert vacuum(store, "curated", "accounts", keep_last=1) == [1, 2]
+    with pytest.raises(FileNotFoundError, match="removed by vacuum|no manifest"):
+        txn_read(store, "curated", "accounts", version=1)
+    # latest unaffected
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 102)}
+
+
+def test_vacuum_under_concurrent_writer_never_removes_winnable_version(spark, store):
+    """VERDICT r9 item 4: vacuum(keep_last=2) racing a committing writer.
+    Safety statement: vacuum only ever removes versions <= latest-2 AT ITS
+    LIST TIME, and versions only grow — so the latest and latest-1 any
+    reader or retrying writer can land on are never removed. Asserted by
+    interleaving vacuums with live commits and reading the top-2 versions
+    after every sweep."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(0, 0)]))
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        try:
+            for k in range(1, 7):
+                txn_upsert(
+                    store, "curated", "accounts",
+                    _accounts(spark, [(k, k)]), "account_id",
+                )
+        except Exception as e:
+            errors.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    removed_log: list[tuple[int, list[int]]] = []
+    while not stop.is_set():
+        latest_before = latest_version(store, "curated", "accounts")
+        removed = vacuum(store, "curated", "accounts", keep_last=2)
+        removed_log.append((latest_before, removed))
+        # top-2 at any later point must be readable
+        lv = latest_version(store, "curated", "accounts")
+        assert txn_read(store, "curated", "accounts", version=lv).count() >= 1
+        if lv >= 2:
+            assert txn_read(store, "curated", "accounts", version=lv - 1).count() >= 1
+    t.join(timeout=300)
+    assert not errors, errors
+    # every removed version was below the keep window of its own sweep
+    for latest_before, removed in removed_log:
+        assert all(v <= latest_before - 2 for v in removed)
+    # final state intact
+    assert _rows(txn_read(store, "curated", "accounts")) == {(k, k) for k in range(0, 7)}
+
+
 # -- model-based property test ------------------------------------------------
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
