@@ -902,11 +902,20 @@ def collapse_exact_embeddings(
     data: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_digits: int = 6,
+    round_digits: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Mass-duplicate pre-collapse for SemDeDup: one md5 hash-groupBy over
-    the ROUNDED vector keeps a single representative (min id, its raw
-    vector via min_by) per exact-duplicate group, with the group size.
+    the vector keeps a single representative (min id, its raw vector via
+    min_by) per exact-duplicate group, with the group size.
+
+    Grouping is EXACT vector equality by default (``round_digits=None``),
+    matching what a SQL ``GROUP BY embedding`` gives: each component is
+    normalized ``x + 0.0`` first, so signed zero collapses the way SQL
+    equality treats it (-0.0 = 0.0), then stringified at full double
+    precision — bit-faithful otherwise. Pass ``round_digits`` to opt into
+    quantized collapse (vectors agreeing to that many digits merge); that
+    is a near-dup heuristic, deliberately NOT the default, because it
+    silently diverges from exact-equality oracles (ADVICE r9).
 
     Why it exists (the hub stress): a mass-duplicated vector — the same
     boilerplate page embedded millions of times — lands its whole copy
@@ -928,11 +937,11 @@ def collapse_exact_embeddings(
     broadcast-able join.
     """
     d = data.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
-    canon = F.md5(
-        F.concat_ws(
-            ",", F.transform(F.col("v"), lambda x: F.round(x, round_digits).cast("string"))
-        )
-    )
+    if round_digits is None:
+        component = lambda x: (x + F.lit(0.0)).cast("string")  # noqa: E731
+    else:
+        component = lambda x: F.round(x, round_digits).cast("string")  # noqa: E731
+    canon = F.md5(F.concat_ws(",", F.transform(F.col("v"), component)))
     keyed = d.select("vec_id", "v", canon.alias("_h"))
     groups = keyed.groupBy("_h").agg(
         F.min("vec_id").alias("rep_id"),

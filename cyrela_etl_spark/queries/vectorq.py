@@ -1073,9 +1073,12 @@ register("vector_power_iteration_pca", vector_power_iteration_pca, _power_iter_o
 # shifted id — a deterministic stand-in for boilerplate embedded many
 # times), collapse to representatives, and profile the group-size
 # distribution. The oracle groups by the raw embedding list (exact float
-# equality — planted copies are bit-identical), so the collapse's
-# grouping, representative choice (min id) and mass accounting
-# (group_size) are all value-certified. Scale rationale: README's
+# equality — planted copies are bit-identical), and since round 10 the
+# operator's default grouping IS exact equality (signed-zero-normalized
+# full-precision hashing, ADVICE r9) — the two sides share semantics by
+# construction, not by data-dependent luck. So the collapse's grouping,
+# representative choice (min id) and mass accounting (group_size) are
+# all value-certified. Scale rationale: README's
 # semdedup hub-stress curve — this is the one-hash-shuffle pass that
 # keeps Σ|cluster|² knob-governed.
 # ---------------------------------------------------------------------------

@@ -88,6 +88,25 @@ def test_collapse_removes_hub_quadratic_term(spark, hub_corpus):
     assert pairs.filter((F.col("id_a") >= N_BG) & (F.col("id_b") >= N_BG)).count() == 0
 
 
+def test_collapse_signed_zero_and_exactness(spark):
+    """ADVICE r9: default collapse must share exact-equality semantics
+    with a SQL GROUP BY embedding — signed zeros merge (-0.0 = 0.0), but
+    vectors agreeing only to 1e-7 stay distinct (the old round-to-6
+    default would have merged them). Quantized collapse remains opt-in."""
+    rows = [
+        (0, [0.0, 1.0]),
+        (1, [-0.0, 1.0]),
+        (2, [1e-7, 1.0]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    reps, _ = collapse_exact_embeddings(df)
+    assert {(r["vec_id"], r["group_size"]) for r in reps.collect()} == {(0, 3), (2, 1)}
+    # opt-in quantization merges the 1e-7 neighbor too
+    reps_q, _ = collapse_exact_embeddings(df, round_digits=6)
+    assert {(r["vec_id"], r["group_size"]) for r in reps_q.collect()} == {(0, 4)}
+
+
 # -- model-based property test ------------------------------------------------
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
