@@ -232,3 +232,39 @@ def test_q20_reuses_partkey_suppkey_exchange(spark, sf_dir):
     # exactly two lineitem scans feed exactly two aggregate pairs — no
     # correlated rescan per supplier
     assert plan.count("lineitem.parquet") == 2
+
+
+def test_curriculum_stages_has_no_global_window(spark, sf_dir):
+    """VERDICT r9 item 1: corpus_curriculum_stages was the repo's last
+    full-table global-order window (row_number/ntile OVER (ORDER BY ...)
+    = one partition sorting every document at 100 TB). The re-planned
+    query computes the total order distributed: every window in the
+    executed plan must carry a partition spec (the range id), and the
+    result must still be the exact ntile(4) assignment."""
+    from cyrela_etl_spark.queries.textq import corpus_curriculum_stages
+
+    df = corpus_curriculum_stages(spark, sf_dir)
+    plan = _plan(df)
+    specs = [
+        seg.split(")", 1)[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "expected the pid-partitioned local-rank window in the plan"
+    for spec in specs:
+        # a partition-less window starts its spec with the ORDER columns;
+        # the partitioned one leads with the range-partition id
+        assert spec.startswith("pid#"), f"global-order window survived: {spec}"
+    # and the values are exactly the windowed ntile semantics
+    n = df.count()
+    q, r = divmod(n, 4)
+    sizes = {row["stage"]: row["cnt"] for row in
+             df.groupBy("stage").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    expect = {s: q + 1 if s <= r else q for s in range(1, 5) if (q + 1 if s <= r else q) > 0}
+    assert sizes == expect
+    # positions are a permutation of 1..n and align with stage boundaries
+    got = df.select("position", "stage").collect()
+    assert sorted(p["position"] for p in got) == list(range(1, n + 1))
+    for row in got:
+        p = row["position"]
+        s = row["stage"]
+        assert (p + (q + 1 - 1)) // (q + 1) == s if p <= r * (q + 1) else True
