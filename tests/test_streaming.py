@@ -366,3 +366,85 @@ def test_bus_replay_is_multi_micro_batch(spark, sf_dir, tmp_path):
         spark.catalog.dropTempView("t_bus_replay_batches")
         spark.streams.resetTerminated()
         shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+def test_checkpoint_recovery_resumes_replay_exactly_once(spark, sf_dir, tmp_path):
+    """VERDICT r9 item 3: stream_bus_replay proves multi-batch incremental
+    execution, but every drain ran start-to-finish. This drives the
+    RESTART path: drain the first half of a replay log with a persistent
+    checkpoint, stop, append the second half, resume from the SAME
+    checkpoint, and assert (a) the final aggregate equals the one-shot
+    batch answer — exactly-once across restart, no double count of the
+    already-committed files — and (b) the checkpoint's offset log shows
+    the second run CONTINUED the batch sequence instead of rescanning
+    (batches 0..1 before restart, 2..3 after)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.sources.parquet import read_events
+    from cyrela_etl_spark.streaming import (
+        replay_bus_stream,
+        run_available_now,
+        write_bus_envelopes,
+    )
+
+    events = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    ddl = "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE"
+    log_dir = str(tmp_path / "bus_log")
+    ckpt = str(tmp_path / "ckpt")
+
+    def agg_of(typed):
+        return typed.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+
+    # phase 1: only the first half exists; 2 files -> 2 micro-batches
+    env_schema = write_bus_envelopes(
+        first, key_col="user_id", topic="events", ts_col="ts", path=log_dir, n_files=2
+    )
+    mid = run_available_now(
+        agg_of(replay_bus_stream(spark, log_dir, env_schema, ddl)),
+        "t_ckpt_recovery", output_mode="complete", checkpoint_dir=ckpt,
+    ).collect()
+    assert {r["event_type"] for r in mid}  # produced something
+    offsets_1 = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()
+    )
+    assert offsets_1 == ["0", "1"]
+
+    # the second half ARRIVES: encode to a staging dir, append its
+    # segment files to the log (distinct part-file names, no collision)
+    staging = str(tmp_path / "staging")
+    write_bus_envelopes(
+        second, key_col="user_id", topic="events", ts_col="ts", path=staging, n_files=2
+    )
+    for f in os.listdir(staging):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staging, f), os.path.join(log_dir, f))
+
+    # phase 2: resume from the SAME checkpoint with a FRESH query object
+    final = run_available_now(
+        agg_of(replay_bus_stream(spark, log_dir, env_schema, ddl)),
+        "t_ckpt_recovery", output_mode="complete", checkpoint_dir=ckpt,
+    )
+    got = {tuple(r) for r in final.collect()}
+    expect = {tuple(r) for r in agg_of(events).collect()}
+    assert got == expect
+
+    # offset log continued the sequence: recovery re-read state, not files
+    offsets_2 = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()
+    )
+    assert offsets_2 == ["0", "1", "2", "3"]
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+    )
+    assert commits == ["0", "1", "2", "3"]
+    spark.catalog.dropTempView("t_ckpt_recovery")
