@@ -38,3 +38,39 @@ def test_released_cache_releases_on_error_too(spark):
     except RuntimeError:
         pass
     assert _n_cached_rdds(spark) == 0
+
+
+def test_release_plan_caches_is_query_scoped(spark):
+    """VERDICT r9 item 5: the narrow alternative to session-global
+    clearCache — a two-consumer session where releasing one query's
+    caches (INCLUDING the iterative operator's nested per-round persists,
+    which hide inside the outermost cached plan) leaves the other
+    consumer's cache intact and usable."""
+    from cyrela_etl_spark.cache import release_plan_caches
+    from cyrela_etl_spark.operators.graph import integer_pagerank
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "id_a LONG, id_b LONG"
+    )
+    pr = integer_pagerank(edges, iterations=2)
+    assert len(pr.collect()) == 4  # consumer A fully consumed
+    other = spark.range(1000).selectExpr("id", "id * 2 AS y").persist()
+    assert other.count() == 1000  # consumer B still in flight
+    n_rdds_before = _n_cached_rdds(spark)
+    assert n_rdds_before >= 3  # pagerank's rounds + consumer B
+
+    released = release_plan_caches(pr)
+    assert released >= 2  # the outer frame plus nested round caches
+
+    # exactly consumer B's single cache survives, still materialized
+    assert _n_cached_rdds(spark) == 1
+    assert other.storageLevel.useMemory
+    assert other.count() == 1000
+    spark.catalog.clearCache()
+
+
+def test_release_plan_caches_noop_on_uncached_plan(spark):
+    from cyrela_etl_spark.cache import release_plan_caches
+
+    assert release_plan_caches(spark.range(10).selectExpr("id * 3 AS t")) == 0
