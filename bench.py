@@ -56,7 +56,9 @@ HEADLINE = [
     "dedup_components",
     "func_json_extract",
     "temporal_asof_join",
-    "temporal_time_bucket",
+    # temporal_time_bucket RETIRED in round 10 (add-one-retire-one byte
+    # rule): the temporal family stays covered by asof_join, gap_fill,
+    # sessionize and stream_interval_join.
     "temporal_gap_fill",
     "text_term_stats",
     "multimodal_media_meta",
@@ -108,6 +110,11 @@ HEADLINE = [
     # deterministic bus-replay stream (envelope codec + 4-micro-batch
     # DataSource-V2 drain), the round's single new operator.
     "stream_bus_replay",
+    # round-10 representative (1 in, 1 out — temporal_time_bucket retired
+    # above): the optimistic-concurrency commit protocol (init + upsert +
+    # delete + reads through the manifest log), so the ACID path's
+    # overhead is tracked round-over-round (VERDICT r9 item 6).
+    "storage_txn_acid",
 ]
 
 
