@@ -45,88 +45,82 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and scores AT MOST ~50 entries per round. Round-9 slot allocation
-# (VERDICT r8 "next round" item 1: drain the whole remaining queue to ZERO
-# and hold the freeze — at most 3 new operators; round 9 adds THREE):
-#   block B (35): the round-8 additions, never driver-scored (deliberately
-#     queued behind the r8 backlog drain). All 35 were judge-verified green
-#     in the r8 session (18-sample oracle run + dual 253/253 sweeps); this
-#     round they get their driver rows.
-#   block A spill (2): search_hybrid_rrf + stream_upsert_sink — code
-#     changed in round 7, their re-scores spilled past r8's 50 budget.
-#   new (3): stream_bus_replay — the deterministic unbounded-source entry
-#     VERDICT r7 item 7 / r8 item 3 asked for (file-backed bus-envelope
-#     replay through the DataSource-V2 micro-batch path); storage_txn_acid,
-#     which drives the round's new optimistic-concurrency commit protocol
-#     (r8 item 2) under the oracle; and vector_exact_collapse, the
-#     semdedup mass-dup pre-collapse (r8 item 5) under the oracle. The
-#     freeze holds exactly (3 ≤ 3).
-#   code-changed (1): dedup_dup_ngram_fraction — persist added in r8
-#     after its r7 green.
-#   r3-stale (9): entries whose latest green is the r3 row (valid, code
-#     untouched since) — re-scored now that the queue finally fits.
-#   35 + 2 + 3 + 1 + 9 = 50 ≤ 50: after round 9 every registry entry's
-#   latest driver row postdates its last code change. Zero reserve; if
-#   the driver budget lands at 49, the deliberate spill is the LAST
-#   entry, wallet_features — it holds a valid r3 green over code
-#   untouched since (round-9 hygiene edits to green query files are
-#   comment-only, so nothing was staled by them).
+# order and scores AT MOST ~50 entries per round. Round-10 slot allocation
+# (VERDICT r9 "next round" item 2: ZERO new operators — the freeze holds
+# at 0/3 — and the budget goes to re-certifying the aging tail, oldest
+# rows first, so no entry's latest driver row predates round 5):
+#   code-changed (3): the three entries whose implementing code changed
+#     this round — corpus_curriculum_stages (re-planned off its global-
+#     order window, r9 item 1), vector_exact_collapse (operator default
+#     now exact-equality hashing, ADVICE r9), storage_txn_acid (publisher
+#     extraction + upsert key-uniqueness guard, r9 item 4 + ADVICE).
+#     Their r9 greens are stale; they go FIRST.
+#   r4-era (21): every entry whose latest green is the round-4 row —
+#     those rows predate the harness clearCache fix, the ANSI-session
+#     emulation and three rounds of shared helpers.
+#   r5-era (26 of 42): the heavier/riskier half of the round-5 cohort
+#     (dedup + vector + storage + multimodal + curation + the remaining
+#     TPC-H), complex-first so any spill lands on a simple entry.
+#   3 + 21 + 26 = 50. The 16 r5-era entries left out (filter_project,
+#   topk_global, set_ops, set_intersect, join_anti/semi/outer/
+#   broadcast_dim, group_rollup, window_rank/frames/lag_running,
+#   q01_pricing_summary, q03_top_orders, text_token_counts,
+#   text_term_stats) hold valid r5 greens over since-untouched code and
+#   are the simplest plans in the registry; they head round 11's queue.
 _PRIORITY: list[str] = [
-    # -- block B: new in round 8, never driver-scored -----------------------
-    "q02_min_cost_supplier",
-    "q11_important_parts",
-    "q16_part_supplier_counts",
-    "q20_excess_shippers",
-    "text_zipf_fit",
-    "text_hapax_heaps",
-    "text_vocab_growth",
-    "corpus_temperature_mix",
-    "corpus_epoch_plan",
-    "ml_leakage_check",
-    "events_power_pareto",
-    "agg_entropy",
-    "ml_woe_iv",
-    "ml_class_weights",
-    "window_percent_rank_cume",
-    "func_maps",
-    "graph_bfs_frontier",
-    "graph_kcore_peel",
-    "temporal_overlap_join",
-    "vector_cluster_quality",
-    "vector_ivf_pq_topk",
-    "multimodal_duplicate_assets",
-    "vector_jl_projection",
-    "graph_degree_distribution",
-    "func_struct_ops",
-    "temporal_asof_tolerance",
-    "scale_partition_balance",
-    "corpus_quality_ablation",
-    "agg_percentile_cont",
-    "events_conversion_wilson",
-    "vector_centroid_shift",
-    "graph_component_sizes",
-    "events_funnel_conversion_time",
-    "dedup_shingle_size_sensitivity",
-    "corpus_token_length_histogram",
-    # -- block A spill: code changed in round 7, re-score spilled past r8 ---
-    "search_hybrid_rrf",
-    "stream_upsert_sink",
-    # -- new in round 9 (exactly the 3 permitted additions) ------------------
-    "stream_bus_replay",
-    "storage_txn_acid",
+    # -- code changed in round 10: stale greens, must re-score --------------
+    "corpus_curriculum_stages",
     "vector_exact_collapse",
-    # -- code changed in round 8 after its green ----------------------------
-    "dedup_dup_ngram_fraction",
-    # -- r3-stale singles: valid r3 greens over since-untouched code --------
-    "distinct_agg",
-    "func_arrays",
-    "func_datetime",
-    "func_math",
-    "func_string",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "sql_q04_exists",
-    "wallet_features",
+    "storage_txn_acid",
+    # -- r4-era rows (oldest in the registry) -------------------------------
+    "func_hof",
+    "fuzzy_match_names",
+    "fuzzy_match_names_indel",
+    "join_bucketed",
+    "join_salted",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_nation_profit",
+    "q10_returned_revenue",
+    "q13_order_distribution",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "sql_correlated_subquery",
+    "sql_q6",
+    "sql_scalar_subquery",
+    "storage_csv_roundtrip",
+    "stream_rate_windowed",
+    "vector_l2_topk",
+    "window_analytics",
+    # -- r5-era rows, complex-first ----------------------------------------
+    "curation_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "dedup_components",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "vector_rhp_lsh_topk",
+    "vector_ivf_topk",
+    "vector_neardup_pairs",
+    "vector_cosine_topk",
+    "multimodal_byte_histogram",
+    "multimodal_frame_sample",
+    "storage_zone_promote",
+    "storage_snapshot_diff",
+    "storage_incremental_agg",
+    "storage_table_roundtrip",
+    "q21_waiting_supplier",
+    "q15_top_supplier",
+    "q05_region_revenue",
+    "text_winnow_fingerprints",
+    "text_repetition",
+    "text_quality",
+    "text_language_id",
+    "text_fingerprint",
 ]
 
 
