@@ -55,18 +55,21 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 #     now exact-equality hashing, ADVICE r9), storage_txn_acid (publisher
 #     extraction + upsert key-uniqueness guard, r9 item 4 + ADVICE).
 #     Their r9 greens are stale; they go FIRST.
-#   r4-era (21): every entry whose latest green is the round-4 row —
-#     those rows predate the harness clearCache fix, the ANSI-session
-#     emulation and three rounds of shared helpers.
-#   r5-era (26 of 42): the heavier/riskier half of the round-5 cohort
+#   r4-era (20): every still-registered entry whose latest green is the
+#     round-4 row (the 21st r4 name, stream_rate_windowed, was retired/
+#     renamed after r4 and no longer exists) — those rows predate the
+#     harness clearCache fix, the ANSI-session emulation and three
+#     rounds of shared helpers.
+#   r5-era (27 of 42): the heavier/riskier part of the round-5 cohort
 #     (dedup + vector + storage + multimodal + curation + the remaining
-#     TPC-H), complex-first so any spill lands on a simple entry.
-#   3 + 21 + 26 = 50. The 16 r5-era entries left out (filter_project,
+#     TPC-H + the text battery core), complex-first so any spill lands
+#     on a simple entry.
+#   3 + 20 + 27 = 50. The 15 r5-era entries left out (filter_project,
 #   topk_global, set_ops, set_intersect, join_anti/semi/outer/
 #   broadcast_dim, group_rollup, window_rank/frames/lag_running,
-#   q01_pricing_summary, q03_top_orders, text_token_counts,
-#   text_term_stats) hold valid r5 greens over since-untouched code and
-#   are the simplest plans in the registry; they head round 11's queue.
+#   q01_pricing_summary, q03_top_orders, text_term_stats) hold valid r5
+#   greens over since-untouched code and are the simplest plans in the
+#   registry; they head round 11's queue.
 _PRIORITY: list[str] = [
     # -- code changed in round 10: stale greens, must re-score --------------
     "corpus_curriculum_stages",
@@ -91,7 +94,6 @@ _PRIORITY: list[str] = [
     "sql_q6",
     "sql_scalar_subquery",
     "storage_csv_roundtrip",
-    "stream_rate_windowed",
     "vector_l2_topk",
     "window_analytics",
     # -- r5-era rows, complex-first ----------------------------------------
@@ -121,6 +123,7 @@ _PRIORITY: list[str] = [
     "text_quality",
     "text_language_id",
     "text_fingerprint",
+    "text_token_counts",
 ]
 
 
