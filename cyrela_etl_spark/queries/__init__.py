@@ -24,6 +24,10 @@ then ``spark.catalog.clearCache()`` (what bench.py and both correctness
 harnesses do between queries). Long-lived sessions embedding these
 operators without clearing the cache will accumulate MEMORY_AND_DISK
 blocks — spillable, bounded by the storage fraction, but not free.
+Sessions with CONCURRENT consumers, where a global clear would drop
+caches another query still needs, should release per-plan instead:
+``cyrela_etl_spark.cache.release_plan_caches(df)`` uncaches exactly the
+frames (transitively) backing one returned DataFrame.
 """
 
 from __future__ import annotations
