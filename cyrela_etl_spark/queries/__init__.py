@@ -53,32 +53,38 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 # (VERDICT r9 "next round" item 2: ZERO new operators — the freeze holds
 # at 0/3 — and the budget goes to re-certifying the aging tail, oldest
 # rows first, so no entry's latest driver row predates round 5):
-#   code-changed (3): the three entries whose implementing code changed
-#     this round — corpus_curriculum_stages (re-planned off its global-
-#     order window, r9 item 1), vector_exact_collapse (operator default
-#     now exact-equality hashing, ADVICE r9), storage_txn_acid (publisher
-#     extraction + upsert key-uniqueness guard, r9 item 4 + ADVICE).
-#     Their r9 greens are stale; they go FIRST.
+#   code-changed (4): the entries whose implementing code changed this
+#     round — corpus_curriculum_stages (re-planned off its global-order
+#     window, r9 item 1), vector_exact_collapse (operator default now
+#     exact-equality hashing, ADVICE r9), storage_txn_acid (publisher
+#     extraction + upsert key-uniqueness guard, r9 item 4 + ADVICE), and
+#     text_zipf_fit (top-30 moved from a full-vocabulary rank window to
+#     two-phase TakeOrdered — the audit follow-up to item 1; value-
+#     identical under the total order, plan pinned in
+#     tests/test_plan_quality.py). Their r9 greens are stale; they go
+#     FIRST.
 #   r4-era (20): every still-registered entry whose latest green is the
 #     round-4 row (the 21st r4 name, stream_rate_windowed, was retired/
 #     renamed after r4 and no longer exists) — those rows predate the
 #     harness clearCache fix, the ANSI-session emulation and three
 #     rounds of shared helpers.
-#   r5-era (27 of 42): the heavier/riskier part of the round-5 cohort
+#   r5-era (26 of 42): the heavier/riskier part of the round-5 cohort
 #     (dedup + vector + storage + multimodal + curation + the remaining
 #     TPC-H + the text battery core), complex-first so any spill lands
 #     on a simple entry.
-#   3 + 20 + 27 = 50. The 15 r5-era entries left out (filter_project,
-#   topk_global, set_ops, set_intersect, join_anti/semi/outer/
-#   broadcast_dim, group_rollup, window_rank/frames/lag_running,
-#   q01_pricing_summary, q03_top_orders, text_term_stats) hold valid r5
-#   greens over since-untouched code and are the simplest plans in the
-#   registry; they head round 11's queue.
+#   4 + 20 + 26 = 50. text_token_counts (the previously-documented spill,
+#   queued last) gives up its slot to the zipf re-score; it and the 15
+#   r5-era entries left out (filter_project, topk_global, set_ops,
+#   set_intersect, join_anti/semi/outer/broadcast_dim, group_rollup,
+#   window_rank/frames/lag_running, q01_pricing_summary, q03_top_orders,
+#   text_term_stats) hold valid r5 greens over since-untouched code and
+#   are the simplest plans in the registry; they head round 11's queue.
 _PRIORITY: list[str] = [
     # -- code changed in round 10: stale greens, must re-score --------------
     "corpus_curriculum_stages",
     "vector_exact_collapse",
     "storage_txn_acid",
+    "text_zipf_fit",
     # -- r4-era rows (oldest in the registry) -------------------------------
     "func_hof",
     "fuzzy_match_names",
@@ -127,7 +133,6 @@ _PRIORITY: list[str] = [
     "text_quality",
     "text_language_id",
     "text_fingerprint",
-    "text_token_counts",
 ]
 
 

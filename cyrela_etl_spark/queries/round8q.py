@@ -37,10 +37,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # text_zipf_fit — least-squares slope of ln(freq) vs ln(rank) over the top
-# terms (Zipf's law says slope ≈ -1). The term table is vocabulary-sized,
-# so the rank window runs over a bounded relation regardless of corpus
-# size; the regression sums fold rounded-ln decimals (exact), and the
-# slope/intercept are single double divisions at the output boundary.
+# terms (Zipf's law says slope ≈ -1). Top-30 selection is two-phase
+# TakeOrdered (vocabulary grows with the corpus under Heaps' law, so it is
+# NOT a safe global-window frame — round-10 fix); the rank window runs
+# over the 30-row result only. The regression sums fold rounded-ln
+# decimals (exact), and the slope/intercept are single double divisions
+# at the output boundary.
 # ---------------------------------------------------------------------------
 _ZIPF_TOP = 30
 
@@ -48,12 +50,17 @@ _ZIPF_TOP = 30
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(F.explode(X.tokens(F.col("text"))).alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    ranked = (
-        counts.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("term").asc())),
-        )
-        .filter(F.col("rank") <= _ZIPF_TOP)
+    # Top-30 via orderBy().limit() = TakeOrderedAndProject (each partition
+    # keeps 30, the driver merges — no single-reducer vocabulary sort; the
+    # round-10 audit found this was the last window whose input grows with
+    # the data, vocabulary being Heaps-law-unbounded). The rank window then
+    # runs over the 30-row result; (freq desc, term asc) is a total order,
+    # so top-30-then-rank is value-identical to rank-then-filter — the
+    # oracle keeps the windowed spelling.
+    top = counts.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(_ZIPF_TOP)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("term").asc())),
     )
     xy = ranked.select(
         F.round(F.log(F.col("rank").cast("double")), 6).cast(LN_DEC).alias("x"),

@@ -268,3 +268,30 @@ def test_curriculum_stages_has_no_global_window(spark, sf_dir):
         p = row["position"]
         s = row["stage"]
         assert (p + (q + 1 - 1)) // (q + 1) == s if p <= r * (q + 1) else True
+
+
+def test_zipf_topk_is_take_ordered_not_vocab_window(spark, sf_dir):
+    """Round-10 audit follow-up: text_zipf_fit ranked the FULL vocabulary
+    through a partition-less row_number window before keeping rank<=30 —
+    vocabulary grows with the corpus (Heaps' law), so that frame is not
+    scale-bounded the way the histogram/limit-backed windows are. The fix
+    selects top-30 via orderBy().limit() (TakeOrderedAndProject: per-
+    partition top-30, driver merge) and windows only the 30-row result.
+    (freq desc, term asc) is a total order, so the rewrite is value-
+    identical; this pins the plan shape."""
+    from cyrela_etl_spark.queries.round8q import text_zipf_fit
+
+    df = text_zipf_fit(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, "top-k must be two-phase TakeOrdered"
+    # the surviving (partition-less) window must sit ABOVE the TakeOrdered
+    # limit, i.e. its input is the 30-row result, never the vocab agg: in
+    # the printed tree the window line is indented shallower (closer to
+    # root) than the TakeOrderedAndProject feeding it
+    lines = plan.splitlines()
+    w_idx = [i for i, l in enumerate(lines) if "Window" in l and "windowspecdefinition" in l]
+    t_idx = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert w_idx and t_idx
+    assert max(w_idx) < min(t_idx), "rank window must consume the TakeOrdered output"
+    row = df.collect()[0]
+    assert row["n_terms"] == 30 and row["zipf_slope"] < 0
