@@ -1,0 +1,72 @@
+"""Model check for the union-merge as-of join: random small corpora
+through ``asof_join`` (both directions) vs a plain-Python reference
+(round-9/10 model-test pattern — the DuckDB ASOF oracle certifies it on
+the real tables; this certifies the SEMANTICS on adversarial shapes:
+empty sides, all-ties timestamps, keys present on one side only,
+duplicate left rows).
+
+The right side is generated key-unique per timestamp because the
+operator's documented tie rule for simultaneous right rows is
+"pre-dedup if you need a stricter break" (operators/temporal.py) — the
+model only pins the unambiguous contract: backward = value at the
+LATEST right ts <= left ts, forward = value at the EARLIEST right
+ts >= left ts, null when no such row.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cyrela_etl_spark.operators.temporal import asof_join
+
+_LEFT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=0, max_size=12
+)
+_RIGHT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(-5, 5)),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: (r[0], r[1]),  # key-unique per ts: the documented contract
+)
+
+
+def _model(left, right, direction):
+    out = []
+    for i, (k, ts) in enumerate(left):
+        if direction == "backward":
+            cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+            pick = max(cands) if cands else None
+        else:
+            cands = [(rts, v) for rk, rts, v in right if rk == k and rts >= ts]
+            pick = min(cands) if cands else None
+        out.append((i, k, ts, pick[1] if pick else None))
+    return sorted(out)
+
+
+@given(left=_LEFT, right=_RIGHT, direction=st.sampled_from(["backward", "forward"]))
+@settings(
+    max_examples=25,  # each example is a Spark job — keep it bounded
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_asof_join_matches_python_model(spark, left, right, direction):
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)] or [(None, None, None)],
+        "row_id long, key long, lts long",
+    )
+    if not left:
+        ldf = ldf.filter("row_id is not null")
+    rdf = spark.createDataFrame(
+        list(right) or [(None, None, None)], "key long, rts long, val long"
+    )
+    if not right:
+        rdf = rdf.filter("key is not null")
+    got = asof_join(
+        ldf, rdf, on="key", left_ts="lts", right_ts="rts",
+        right_value_cols=["val"], direction=direction,
+    ).collect()
+    got_rows = sorted(
+        (r["row_id"], r["key"], r["lts"], r["val_asof"]) for r in got
+    )
+    assert got_rows == _model(left, right, direction)

@@ -1,4 +1,4 @@
-"""1x/10x scale curve for the round-10 re-planned corpus_curriculum_stages
+"""1x/10x/100x scale curve for the round-10 re-planned corpus_curriculum_stages
 (the distributed-total-order plan: range partitions + per-range ranks +
 prefix offsets — VERDICT r9 item 1).
 
@@ -10,7 +10,7 @@ the union fan-in), replicas get shifted doc_ids so the total order grows
 match the q/q+1 rule, and the executed plan contains no partition-less
 window. Run on an idle box:
 
-    python tools/scale_curve_curriculum.py
+    python tools/scale_curve_curriculum.py [scales...]   (default: 1 10 100)
 """
 
 from __future__ import annotations
@@ -79,7 +79,8 @@ def main() -> None:
 
     corpus_curriculum_stages(spark, BASE).count()
     spark.catalog.clearCache()
-    for mult in (1, 10):
+    scales = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    for mult in scales:
         path = BASE if mult == 1 else os.path.dirname(build_corpus(spark, mult))
         if mult != 1:
             # the query reads <dir>/documents.parquet
