@@ -166,6 +166,22 @@ def main() -> None:
     ).collect()
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
+    def _cpu_ticks() -> dict[str, int] | None:
+        # Host-contention witness (round-10 addition): a microVM guest can
+        # read idle loadavg while the HOST steals cycles — three full runs
+        # this round spread 113.8–122.0 s on an idle guest with individual
+        # queries swinging 3x between runs (NOTES "Bench host-noise
+        # episode"). steal% over the run makes that visible per-artifact.
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+            return dict(zip(names, map(int, parts[1:9])))
+        except Exception:
+            return None
+
+    ticks_start = _cpu_ticks()
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     # Diagnostics embedded in the artifact (VERDICT r5 item 3: the r4
@@ -209,6 +225,12 @@ def main() -> None:
     # line grew it past the driver's ~2 KB tail capture and BENCH_r06
     # recorded `parsed: null` despite rc=0 (VERDICT r6 item 2). The
     # compact contract line must be the LAST stdout line.
+    ticks_end = _cpu_ticks()
+    cpu_pct: dict[str, float] | None = None
+    if ticks_start and ticks_end:
+        delta = {k: ticks_end[k] - ticks_start[k] for k in ticks_start}
+        tot_ticks = sum(delta.values()) or 1
+        cpu_pct = {k: round(100.0 * v / tot_ticks, 2) for k, v in delta.items()}
     diag_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DIAG.json")
     with open(diag_path, "w") as fh:
         json.dump({
@@ -222,6 +244,9 @@ def main() -> None:
                 "waits_15s": load_waits,
                 "passed": load_ok,
             },
+            # whole-run guest CPU mix; "steal" > a few percent means the
+            # host was contended and wall times are upper bounds
+            "cpu_pct_over_run": cpu_pct,
         }, fh, indent=1)
     # `load_ok` in the contract line self-certifies the run: False means
     # the host never went idle within the bounded wait and the numbers
