@@ -41,19 +41,16 @@ def build(spark, scale: int) -> str:
     if os.path.exists(f"{path}/_SUCCESS"):
         return path
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    reps = [
-        events.select(
-            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
-            "event_type",
-            "value",
-        )
-        for i in range(scale)
-    ]
-    out = reps[0]
-    for r in reps[1:]:
-        out = out.unionByName(r)
+    # broadcast crossJoin replication, not a scale-arm union: the plan
+    # stays constant-size at any replication factor
+    reps = F.broadcast(spark.range(scale).select(F.col("id").alias("__k")))
+    out = events.crossJoin(reps).select(
+        (F.col("event_id") + F.col("__k") * F.lit(100_000_000)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__k") * F.lit(10_000_000)).alias("user_id"),
+        "event_type",
+        "value",
+    )
     out.repartition(max(32, 4 * scale)).write.mode("overwrite").parquet(path)
     return path
 

@@ -35,11 +35,16 @@ def build_corpus(spark, mult: int) -> str:
         return path
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     n = docs.count()
-    out = docs
-    for k in range(1, mult):
-        out = out.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n))
-        )
+    # Replicate via a broadcast crossJoin with range(mult), NOT a
+    # mult-arm unionByName: a 1000-arm union plan costs minutes of
+    # driver analysis/GC and polluted the first 1000x measurement
+    # (116 s vs the true ~13 s once the corpus pre-existed).
+    reps = F.broadcast(spark.range(mult).select(F.col("id").alias("__k")))
+    out = (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__k") * F.lit(n))
+        .drop("__k")
+    )
     out.write.mode("overwrite").parquet(path)
     return path
 
