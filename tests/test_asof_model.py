@@ -70,3 +70,55 @@ def test_asof_join_matches_python_model(spark, left, right, direction):
         (r["row_id"], r["key"], r["lts"], r["val_asof"]) for r in got
     )
     assert got_rows == _model(left, right, direction)
+
+
+_R_LEFT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=0, max_size=10
+)
+_R_RIGHT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(-5, 5)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(left=_R_LEFT, right=_R_RIGHT, window=st.sampled_from([1, 60, 120]))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_range_join_buckets_matches_python_model(spark, left, right, window):
+    """Same model pattern for the bucketized range join: the two-probe
+    bucket equi-join must produce EXACTLY the pairs with same key and
+    left.ts <= right.ts < left.ts + window — no candidate lost at a
+    bucket boundary, none double-counted when left and right share a
+    bucket. Timestamps are epoch-seconds here because the operator
+    buckets on unix_timestamp."""
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.operators.temporal import range_join_buckets
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)] or [(None, None, None)],
+        "lid long, key long, lts long",
+    ).select("lid", "key", F.timestamp_seconds("lts").alias("lts"))
+    if not left:
+        ldf = ldf.filter("lid is not null")
+    rdf = spark.createDataFrame(
+        [(j, k, ts, v) for j, (k, ts, v) in enumerate(right)] or [(None, None, None, None)],
+        "rid long, rkey long, rts long, val long",
+    ).select("rid", "rkey", F.timestamp_seconds("rts").alias("rts"), "val")
+    if not right:
+        rdf = rdf.filter("rid is not null")
+    got = range_join_buckets(
+        ldf, rdf.withColumnRenamed("rkey", "key"),
+        on="key", left_ts="lts", right_ts="rts", window_seconds=window,
+    ).select("lid", "rid").collect()
+    want = sorted(
+        (i, j)
+        for i, (lk, lts) in enumerate(left)
+        for j, (rk, rts, _v) in enumerate(right)
+        if lk == rk and lts <= rts < lts + window
+    )
+    assert sorted((r["lid"], r["rid"]) for r in got) == want
