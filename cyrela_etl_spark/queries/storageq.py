@@ -1109,20 +1109,25 @@ GROUP BY o.o_orderstatus
 # storage_txn_acid — the optimistic-concurrency commit protocol
 # (sources/txn.py, VERDICT r7 item 3 / r8 item 2) driven END-TO-END under
 # the oracle: a manifest-log table is INITialized from an orders subset,
-# an optimistic UPSERT bumps every 10th order's total, a MERGE-DELETE
-# forgets every 7th key, and the LATEST version is read back through the
-# manifest and aggregated per status. The oracle replays the same three
-# commits relationally, so the merge semantics, the version-log read path
-# and the delete semantics are all value-certified (the two-writer
-# conflict races live in tests/test_txn_acid.py — races are not
-# oracle-expressible, but the committed-state algebra is).
-# n_versions pins the manifest log length: init + upsert + delete = 3.
+# an optimistic UPSERT bumps every 10th order's total, an APPEND commit
+# (round 10: the Delta add-file path — only the new rows are written, the
+# manifest chains the delta dir, the read unions the chain) adds the next
+# 1000-key order block, a MERGE-DELETE forgets every 7th key, and the
+# LATEST version is read back through the manifest and aggregated per
+# status. The oracle replays the same four commits relationally, so the
+# merge semantics, the chain-read path and the delete semantics are all
+# value-certified (the two-writer conflict races live in
+# tests/test_txn_acid.py — races are not oracle-expressible, but the
+# committed-state algebra is). n_versions pins the manifest log length:
+# init + upsert + append + delete = 4. The delete commit writes a full
+# snapshot, so it also exercises the chain reset.
 # ---------------------------------------------------------------------------
 def storage_txn_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from cyrela_etl_spark.sources.txn import (
         latest_version,
+        txn_append,
         txn_delete_rows,
         txn_init,
         txn_read,
@@ -1132,17 +1137,21 @@ def storage_txn_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="txn_acid_q_")
     store = ZoneStore(spark=spark, root=root)
     try:
-        base = (
-            spark.read.parquet(f"{sf_dir}/orders.parquet")
-            .filter(F.col("o_orderkey") <= 20000)
-            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
         )
+        base = orders.filter(F.col("o_orderkey") <= 20000)
         txn_init(store, "curated", "ord", base)
         updates = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
             "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
         )
-        txn_upsert(store, "curated", "ord", updates, "o_orderkey")
-        forget = base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+        v = txn_upsert(store, "curated", "ord", updates, "o_orderkey")
+        extra = orders.filter(
+            (F.col("o_orderkey") > 20000) & (F.col("o_orderkey") <= 21000)
+        )
+        txn_append(store, "curated", "ord", extra, read_version=v)
+        forget_src = base.unionByName(extra)
+        forget = forget_src.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
         txn_delete_rows(store, "curated", "ord", forget, "o_orderkey")
         n_versions = latest_version(store, "curated", "ord")
         out = (
@@ -1177,11 +1186,17 @@ merged AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice
   FROM base WHERE o_orderkey % 10 <> 0
 ),
-final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+appended AS (
+  SELECT * FROM merged
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey > 20000 AND o_orderkey <= 21000
+),
+final AS (SELECT * FROM appended WHERE o_orderkey % 7 <> 0)
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-       CAST(3 AS BIGINT) AS n_versions
+       CAST(4 AS BIGINT) AS n_versions
 FROM final
 GROUP BY o_orderstatus
 """,

@@ -17,6 +17,17 @@ same commit discipline Delta's PROTOCOL.md describes, over plain parquet:
   stale writer cannot publish over a version it never saw).
 - Readers take the **highest contiguous version** and read its snapshot;
   old snapshots stay for time travel until vacuumed.
+- **Append commits** (``txn_append``) are Delta's add-file action: the
+  commit writes ONLY the new rows' parquet directory and a manifest whose
+  ``snapshots`` list is the parent's list plus the new delta dir — no
+  table rewrite, so appending 1k rows to a 100 TB table costs the 1k-row
+  write plus one manifest, not a copy of the table. Each append manifest
+  is SELF-CONTAINED (it carries the full ordered dir list), so readers
+  never walk parent manifests and vacuum may drop old manifests without
+  breaking retained versions; it only deletes a data directory once no
+  retained manifest references it. Full-snapshot commits (overwrite /
+  upsert / delete / ``txn_compact``) reset the chain — the checkpoint
+  role Delta's periodic parquet checkpoints play.
 
 Scale notes: manifests are a few hundred bytes of driver-side metadata —
 no executor involvement; snapshots are normal distributed parquet writes.
@@ -134,16 +145,24 @@ def read_manifest(store: ZoneStore, zone: str, key: str, version: int) -> dict:
     return _read_json(store, mpath)
 
 
+def _version_dirs(m: dict) -> list[str]:
+    """The parquet directories whose union IS this version's data: the
+    self-contained ``snapshots`` chain for append commits, the single
+    snapshot otherwise."""
+    return list(m.get("snapshots") or [m["snapshot"]])
+
+
 def txn_read(store: ZoneStore, zone: str, key: str, version: int | None = None) -> DataFrame:
     """Read the table at ``version`` (default: latest) — time travel over
     retained snapshots, Delta's ``versionAsOf``. A vacuumed (or never
     committed) version raises ``FileNotFoundError`` cleanly, before any
-    Spark job is launched."""
+    Spark job is launched. Append-chain versions read the union of their
+    manifest's directory list in ONE multi-path parquet scan."""
     v = latest_version(store, zone, key) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version of {store.path(zone, key)!r}")
     m = read_manifest(store, zone, key, v)
-    return store.spark.read.parquet(m["snapshot"])
+    return store.spark.read.parquet(*_version_dirs(m))
 
 
 class RenamePublisher:
@@ -280,6 +299,60 @@ def txn_init(store: ZoneStore, zone: str, key: str, df: DataFrame) -> int:
     return txn_commit(store, zone, key, df, read_version=0, op="create")
 
 
+def txn_append(
+    store: ZoneStore, zone: str, key: str, df: DataFrame, read_version: int
+) -> int:
+    """Commit ``df`` as APPENDED rows — Delta's add-file commit: only the
+    new rows are written (one delta directory), the manifest's
+    ``snapshots`` list extends the parent's, and the table is never
+    rewritten. Same optimistic-concurrency contract as ``txn_commit``
+    (put-if-absent of the version file; losers get ``TxnConflictError``).
+
+    Appends are raw row additions: they do NOT maintain the keyed-table
+    invariant ``txn_upsert``/``txn_delete_rows`` preserve — appending an
+    existing key duplicates it, exactly like Delta append mode. Keyed
+    tables should upsert. Long append chains grow the manifest (one path
+    string per append) and the read's path list; any full-snapshot commit
+    — including ``txn_compact`` — resets the chain."""
+    if read_version < 1:
+        raise ValueError("txn_append requires an initialized table (read_version >= 1)")
+    target = read_version + 1
+    if latest_version(store, zone, key) != read_version:
+        raise TxnConflictError(store.path(zone, key), target)
+    parent = read_manifest(store, zone, key, read_version)
+    delta = store.path(zone, f"{key}/_snapshots/v{target:020d}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(delta)
+    manifest = {
+        "version": target,
+        "parent": read_version,
+        "snapshot": delta,
+        "snapshots": _version_dirs(parent) + [delta],
+        "op": "append",
+        "committed_at": time.time(),
+    }
+    if not _publish(store, zone, key, target, manifest):
+        fs, _ = store._fs()
+        fs.delete(_jpath(store, delta), True)
+        raise TxnConflictError(store.path(zone, key), target)
+    return target
+
+
+def txn_compact(store: ZoneStore, zone: str, key: str, max_retries: int = 10) -> int:
+    """Rewrite the latest version's append chain as one full snapshot —
+    the checkpoint that bounds chain length (and read path-list size)
+    after a run of appends. A no-op-shaped commit: the data is unchanged,
+    only the layout; concurrent writers serialize through the version log
+    as usual."""
+    for _ in range(max_retries):
+        v = latest_version(store, zone, key)
+        current = txn_read(store, zone, key, v)
+        try:
+            return txn_commit(store, zone, key, current, read_version=v, op="compact")
+        except TxnConflictError:
+            continue
+    raise TxnConflictError(store.path(zone, key), latest_version(store, zone, key) + 1)
+
+
 def txn_upsert(
     store: ZoneStore,
     zone: str,
@@ -355,18 +428,34 @@ def vacuum(store: ZoneStore, zone: str, key: str, keep_last: int = 1) -> list[in
     ``keep_last`` versions — Delta's VACUUM. Returns the versions removed.
     Never touches the latest version; safe-by-construction against the
     put-if-absent log because removed versions are strictly below any
-    version a new commit can take."""
+    version a new commit can take.
+
+    Chain-aware (append commits): a retained version's manifest may
+    reference data directories first written by a now-vacuumable version
+    (an old full base, or earlier deltas in the chain). Those directories
+    are kept as long as ANY retained manifest lists them; only the
+    manifest (and lock record) of the vacuumed version is removed, so
+    time travel to it dies while every retained version stays readable.
+    The reference set is computed from the retained manifests' own
+    ``snapshots`` lists (self-contained — no walk of vacuumed parents)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs, _ = store._fs()
     latest = latest_version(store, zone, key)
+    referenced: set[str] = set()
+    for v in range(max(1, latest - keep_last + 1), latest + 1):
+        mpath = _manifest_path(store, zone, key, v)
+        if fs.exists(_jpath(store, mpath)):
+            referenced.update(_version_dirs(_read_json(store, mpath)))
     removed = []
     for v in range(1, latest - keep_last + 1):
         mpath = _manifest_path(store, zone, key, v)
         if not fs.exists(_jpath(store, mpath)):
             continue
         m = _read_json(store, mpath)
-        fs.delete(_jpath(store, m["snapshot"]), True)
+        for d in _version_dirs(m):
+            if d not in referenced:
+                fs.delete(_jpath(store, d), True)
         fs.delete(_jpath(store, mpath), False)
         # sweep the claim record too, if a LockFilePublisher left one
         fs.delete(_jpath(store, f"{_txn_dir(store, zone, key)}/{v:020d}.lock"), False)

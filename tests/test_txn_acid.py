@@ -370,6 +370,11 @@ _OP = st.one_of(
         ),
     ),
     st.tuples(st.just("delete"), st.lists(st.integers(0, 5), min_size=1, max_size=3)),
+    # append: balances only — FRESH keys are assigned at apply time (raw
+    # appends do not maintain the keyed invariant, so the model stays a
+    # dict by never appending an existing key; that contract is the
+    # operator's own documentation)
+    st.tuples(st.just("append"), st.lists(st.integers(0, 999), min_size=1, max_size=3)),
 )
 
 
@@ -386,11 +391,20 @@ def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
     serializability statement in model-checked form."""
     store = ZoneStore(spark=spark, root=str(tmp_path_factory.mktemp("txn_model")))
     model = {0: 42}
+    next_fresh = 100
     txn_init(store, "curated", "t", _accounts(spark, [(0, 42)]))
     for kind, payload in ops:
         if kind == "upsert":
             txn_upsert(store, "curated", "t", _accounts(spark, payload), "account_id")
             model.update(dict(payload))
+        elif kind == "append":
+            rows = [(next_fresh + i, b) for i, b in enumerate(payload)]
+            next_fresh += len(payload)
+            txn_append(
+                store, "curated", "t", _accounts(spark, rows),
+                read_version=latest_version(store, "curated", "t"),
+            )
+            model.update(dict(rows))
         else:
             txn_delete_rows(
                 store, "curated", "t",
@@ -402,3 +416,91 @@ def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
     got = {r["account_id"]: r["balance"] for r in txn_read(store, "curated", "t").collect()}
     assert got == model
     assert latest_version(store, "curated", "t") == 1 + len(ops)
+
+
+# -- append commits (Delta add-file shape) ------------------------------------
+from cyrela_etl_spark.sources.txn import txn_append, txn_compact
+
+
+def test_append_chain_reads_union_and_time_travel(spark, store):
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v2 = txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+    v3 = txn_append(store, "curated", "accounts", _accounts(spark, [(3, 300)]), read_version=v2)
+    assert (v2, v3) == (2, 3)
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200), (3, 300)}
+    # time travel sees each chain prefix
+    assert _rows(txn_read(store, "curated", "accounts", 2)) == {(1, 100), (2, 200)}
+    assert _rows(txn_read(store, "curated", "accounts", 1)) == {(1, 100)}
+    # the chain manifest is self-contained and grows by one dir per append
+    m3 = read_manifest(store, "curated", "accounts", 3)
+    assert m3["op"] == "append" and len(m3["snapshots"]) == 3
+    assert m3["snapshots"][-1] == m3["snapshot"]
+
+
+def test_append_requires_initialized_table_and_fresh_view(spark, store):
+    with pytest.raises(ValueError):
+        txn_append(store, "curated", "accounts", _accounts(spark, [(1, 1)]), read_version=0)
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+    # a stale appender (still at v1) must conflict, not fork the log
+    with pytest.raises(TxnConflictError):
+        txn_append(store, "curated", "accounts", _accounts(spark, [(9, 9)]), read_version=1)
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
+
+
+def test_append_publish_loss_cleans_orphan_delta(spark, store, monkeypatch):
+    """Blind the pre-check (as in the commit-loss test) so the losing
+    appender REALLY writes its delta and REALLY loses the rename — the
+    orphan delta directory must be removed."""
+    import cyrela_etl_spark.sources.txn as txn
+
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+    monkeypatch.setattr(txn, "latest_version", lambda *a, **k: 1)
+    with pytest.raises(TxnConflictError):
+        txn_append(store, "curated", "accounts", _accounts(spark, [(9, 9)]), read_version=1)
+    monkeypatch.undo()
+    snaps_dir = store.path("curated", "accounts/_snapshots")
+    names = [
+        s.getPath().getName()
+        for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(snaps_dir))
+    ]
+    assert len(names) == 2  # v1 base + v2 delta only; the loser's delta is gone
+
+
+def test_vacuum_keeps_directories_referenced_by_retained_chains(spark, store):
+    """Vacuuming versions whose data directories are still part of a
+    retained append chain must drop their manifests (time travel dies)
+    but keep the directories (the retained version stays readable)."""
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+    txn_append(store, "curated", "accounts", _accounts(spark, [(3, 300)]), read_version=2)
+    removed = vacuum(store, "curated", "accounts", keep_last=1)
+    assert removed == [1, 2]
+    # retained chain fully readable; vacuumed versions fail cleanly
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200), (3, 300)}
+    with pytest.raises(FileNotFoundError):
+        txn_read(store, "curated", "accounts", 2)
+    # all three data dirs survive (every one referenced by v3's manifest)
+    snaps_dir = store.path("curated", "accounts/_snapshots")
+    names = fs.listStatus(jvm.org.apache.hadoop.fs.Path(snaps_dir))
+    assert len(list(names)) == 3
+
+
+def test_compact_resets_chain_and_vacuum_frees_old_dirs(spark, store):
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+    v = txn_compact(store, "curated", "accounts")
+    assert v == 3
+    m = read_manifest(store, "curated", "accounts", 3)
+    assert m["op"] == "compact" and "snapshots" not in m
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
+    # nothing references the old base/delta once the chain is compacted
+    removed = vacuum(store, "curated", "accounts", keep_last=1)
+    assert removed == [1, 2]
+    snaps_dir = store.path("curated", "accounts/_snapshots")
+    assert len(list(fs.listStatus(jvm.org.apache.hadoop.fs.Path(snaps_dir)))) == 1
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
