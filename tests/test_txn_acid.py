@@ -340,19 +340,24 @@ def test_vacuum_under_concurrent_writer_never_removes_winnable_version(spark, st
     t.start()
     removed_log: list[tuple[int, list[int]]] = []
     while not stop.is_set():
-        latest_before = latest_version(store, "curated", "accounts")
         removed = vacuum(store, "curated", "accounts", keep_last=2)
-        removed_log.append((latest_before, removed))
-        # top-2 at any later point must be readable
+        # versions only grow, so the post-call latest is >= vacuum's own
+        # list-time latest: removed <= list-time latest - 2 <= lv - 2.
+        # (Sampling latest BEFORE the call raced the live writer: a commit
+        # between the sample and vacuum's internal listing legitimately
+        # raises vacuum's keep window past the stale sample — caught as a
+        # flake in the round-10 full-suite run.)
         lv = latest_version(store, "curated", "accounts")
+        removed_log.append((lv, removed))
+        # top-2 at any later point must be readable
         assert txn_read(store, "curated", "accounts", version=lv).count() >= 1
         if lv >= 2:
             assert txn_read(store, "curated", "accounts", version=lv - 1).count() >= 1
     t.join(timeout=300)
     assert not errors, errors
     # every removed version was below the keep window of its own sweep
-    for latest_before, removed in removed_log:
-        assert all(v <= latest_before - 2 for v in removed)
+    for lv_after, removed in removed_log:
+        assert all(v <= lv_after - 2 for v in removed)
     # final state intact
     assert _rows(txn_read(store, "curated", "accounts")) == {(k, k) for k in range(0, 7)}
 
