@@ -509,3 +509,19 @@ def test_compact_resets_chain_and_vacuum_frees_old_dirs(spark, store):
     snaps_dir = store.path("curated", "accounts/_snapshots")
     assert len(list(fs.listStatus(jvm.org.apache.hadoop.fs.Path(snaps_dir)))) == 1
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
+
+
+def test_append_chain_reads_as_one_multipath_scan(spark, store):
+    """Scale property of the chain read: txn_read of an N-append chain
+    must plan ONE FileScan whose relation spans all chain directories —
+    not N unioned scans (plan size and scheduler overhead would then grow
+    per append even after predicate pushdown)."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = 1
+    for k in range(2, 6):
+        v = txn_append(store, "curated", "accounts", _accounts(spark, [(k, k * 100)]), read_version=v)
+    df = txn_read(store, "curated", "accounts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert "Union" not in plan
+    assert df.count() == 5
