@@ -122,3 +122,43 @@ def test_range_join_buckets_matches_python_model(spark, left, right, window):
         if lk == rk and lts <= rts < lts + window
     )
     assert sorted((r["lid"], r["rid"]) for r in got) == want
+
+
+_G_EVENTS = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 30)),  # (key, hour index)
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(events=_G_EVENTS)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_gap_fill_matches_python_model(spark, events):
+    """Model check for gap_fill: per key, exactly one row for EVERY hour
+    bucket between that key's first and last event — present buckets
+    carry their exact counts, missing buckets carry zero, nothing outside
+    the key's own span (the per-key spine property: no global calendar,
+    no leaked buckets)."""
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame(
+        [(str(k), h) for k, h in events], "event_type string, h int"
+    ).select(
+        "event_type", F.timestamp_seconds(F.col("h") * 3600 + 7).alias("ts")
+    )  # +7s: inside the bucket, off the boundary
+    rows = gap_fill(df, ts_col="ts", key="event_type", width="1 hour").collect()
+    got = {(r["event_type"], int(r["bucket"].timestamp()) // 3600, r["n_events"]) for r in rows}
+    model = set()
+    by_key: dict[str, list[int]] = {}
+    for k, h in events:
+        by_key.setdefault(str(k), []).append(h)
+    for k, hs in by_key.items():
+        for h in range(min(hs), max(hs) + 1):
+            model.add((k, h, sum(1 for x in hs if x == h)))
+    assert got == model
