@@ -1,9 +1,10 @@
-"""Model check for the union-merge as-of join: random small corpora
-through ``asof_join`` (both directions) vs a plain-Python reference
-(round-9/10 model-test pattern — the DuckDB ASOF oracle certifies it on
-the real tables; this certifies the SEMANTICS on adversarial shapes:
-empty sides, all-ties timestamps, keys present on one side only,
-duplicate left rows).
+"""Model checks for the temporal operator family — asof_join (both
+directions), range_join_buckets, gap_fill, ohlc_downsample — random
+small corpora vs plain-Python references (round-9/10 model-test
+pattern: the DuckDB oracles certify them on the real tables; these
+certify the SEMANTICS on adversarial shapes: empty sides, all-ties
+timestamps, keys present on one side only, duplicate left rows,
+in-bucket ties for open/close).
 
 The right side is generated key-unique per timestamp because the
 operator's documented tie rule for simultaneous right rows is
@@ -161,4 +162,54 @@ def test_gap_fill_matches_python_model(spark, events):
     for k, hs in by_key.items():
         for h in range(min(hs), max(hs) + 1):
             model.add((k, h, sum(1 for x in hs if x == h)))
+    assert got == model
+
+
+_O_EVENTS = st.lists(
+    # (key, second-within-3-hours, tiebreak id is assigned at apply time,
+    #  value) — narrow second range forces ts TIES inside buckets, the
+    # case open/close determinism exists for
+    st.tuples(st.integers(0, 1), st.integers(0, 10799), st.integers(-50, 50)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(events=_O_EVENTS)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_ohlc_matches_python_model(spark, events):
+    """Model check for ohlc_downsample: per (key, hour bucket) the open
+    is the value at the (ts, tiebreak)-minimal event and the close at the
+    maximal one — deterministic even with duplicate timestamps — and
+    high/low/count/turnover are the plain aggregates."""
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.operators.temporal import ohlc_downsample
+
+    rows = [(str(k), s, i, float(v)) for i, (k, s, v) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "sym string, s int, event_id int, value double"
+    ).select("sym", F.timestamp_seconds("s").alias("ts"), "event_id", "value")
+    got = {
+        (r["sym"], int(r["bucket_start"].timestamp()) // 3600): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"],
+            round(r["turnover"], 2),
+        )
+        for r in ohlc_downsample(df, key_cols=["sym"], width="1 hour").collect()
+    }
+    model: dict = {}
+    by_bar: dict = {}
+    for sym, s, eid, v in rows:
+        by_bar.setdefault((sym, s // 3600), []).append((s, eid, v))
+    for bar, evs in by_bar.items():
+        evs.sort()  # (ts, tiebreak) total order
+        vals = [v for _s, _e, v in evs]
+        model[bar] = (
+            evs[0][2], max(vals), min(vals), evs[-1][2], len(evs),
+            round(sum(round(v, 2) for v in vals), 2),
+        )
     assert got == model
