@@ -313,15 +313,41 @@ def txn_append(
     existing key duplicates it, exactly like Delta append mode. Keyed
     tables should upsert. Long append chains grow the manifest (one path
     string per append) and the read's path list; any full-snapshot commit
-    — including ``txn_compact`` — resets the chain."""
+    — including ``txn_compact`` — resets the chain.
+
+    **Schema-on-write** (Delta's append rule — ADVICE r10): ``df`` must
+    carry exactly the table's columns (same names, same types; order and
+    nullability are free). Without this check a drifted batch commits
+    fine and the multi-path chain read (``txn_read``'s footer-schema
+    union, no mergeSchema) silently yields nulls or drops columns
+    depending on which footer supplies the schema — silent corruption.
+    The check is one driver-side footer read of the parent version, no
+    Spark job; the delta is written in the table's column order so every
+    directory in the chain shares one physical layout."""
     if read_version < 1:
         raise ValueError("txn_append requires an initialized table (read_version >= 1)")
     target = read_version + 1
     if latest_version(store, zone, key) != read_version:
         raise TxnConflictError(store.path(zone, key), target)
     parent = read_manifest(store, zone, key, read_version)
+    table_schema = store.spark.read.parquet(*_version_dirs(parent)).schema
+    table_types = {f.name: f.dataType for f in table_schema.fields}
+    batch_types = {f.name: f.dataType for f in df.schema.fields}
+    if table_types != batch_types:
+        missing = sorted(set(table_types) - set(batch_types))
+        extra = sorted(set(batch_types) - set(table_types))
+        retyped = sorted(
+            f"{n}: table {table_types[n].simpleString()} != batch {batch_types[n].simpleString()}"
+            for n in set(table_types) & set(batch_types)
+            if table_types[n] != batch_types[n]
+        )
+        raise ValueError(
+            f"txn_append schema mismatch for {store.path(zone, key)!r}: "
+            f"missing columns {missing}, extra columns {extra}, retyped {retyped}; "
+            "appends are schema-on-write (align the batch or use a full-snapshot commit)"
+        )
     delta = store.path(zone, f"{key}/_snapshots/v{target:020d}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(delta)
+    df.select(*[f.name for f in table_schema.fields]).write.mode("overwrite").parquet(delta)
     manifest = {
         "version": target,
         "parent": read_version,

@@ -525,3 +525,84 @@ def test_append_chain_reads_as_one_multipath_scan(spark, store):
     assert plan.count("FileScan") == 1, plan
     assert "Union" not in plan
     assert df.count() == 5
+
+
+def test_append_rejects_schema_drift(spark, store):
+    """Schema-on-write for appends (ADVICE r10 / VERDICT r10 item 3b): a
+    batch with a missing, extra, or retyped column must be rejected with
+    ValueError BEFORE any data is written — otherwise the multi-path
+    chain read silently yields nulls or drops columns depending on which
+    parquet footer supplies the schema. Column ORDER is free (Delta
+    matches by name); the delta lands in table order."""
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+
+    drifted = [
+        spark.createDataFrame([(2,)], "account_id INT"),  # missing column
+        spark.createDataFrame([(2, 200, "x")], "account_id INT, balance INT, tag STRING"),
+        spark.createDataFrame([(2, 200.0)], "account_id INT, balance DOUBLE"),  # retyped
+        spark.createDataFrame([(2, 200)], "account_id INT, amount INT"),  # renamed
+    ]
+    for bad in drifted:
+        with pytest.raises(ValueError, match="schema mismatch"):
+            txn_append(store, "curated", "accounts", bad, read_version=1)
+    # rejection is up-front: no delta dir was written, no version consumed
+    assert latest_version(store, "curated", "accounts") == 1
+    snaps_dir = store.path("curated", "accounts/_snapshots")
+    assert len(list(fs.listStatus(jvm.org.apache.hadoop.fs.Path(snaps_dir)))) == 1
+
+    # reordered columns are FINE and land in table column order
+    reordered = spark.createDataFrame([(200, 2)], "balance INT, account_id INT")
+    v2 = txn_append(store, "curated", "accounts", reordered, read_version=1)
+    assert v2 == 2
+    chain = txn_read(store, "curated", "accounts")
+    assert chain.columns == ["account_id", "balance"]
+    assert _rows(chain) == {(1, 100), (2, 200)}
+
+
+def test_two_threads_racing_appends_exactly_one_wins_then_retry(spark, store):
+    """A REAL two-appender race (VERDICT r10 item 3a): two driver threads
+    both read v1 and race txn_append for v2. Exactly one publish wins;
+    the loser gets TxnConflictError and its orphan delta directory is
+    cleaned; the loser's retry at the new version succeeds; the final
+    chain read unions BOTH batches with no duplicate or lost rows."""
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(0, 0)]))
+    barrier = threading.Barrier(2)
+    outcomes: dict[int, str] = {}
+    errors: list[Exception] = []
+
+    def appender(k: int):
+        try:
+            barrier.wait(timeout=30)
+            try:
+                txn_append(
+                    store, "curated", "accounts",
+                    _accounts(spark, [(k, k * 10)]), read_version=1,
+                )
+                outcomes[k] = "won"
+            except TxnConflictError:
+                outcomes[k] = "lost"
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(k,)) for k in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert sorted(outcomes.values()) == ["lost", "won"], outcomes
+    loser = next(k for k, o in outcomes.items() if o == "lost")
+
+    # the loser's orphan delta was cleaned: only v1 base + winner's delta
+    snaps_dir = store.path("curated", "accounts/_snapshots")
+    assert len(list(fs.listStatus(jvm.org.apache.hadoop.fs.Path(snaps_dir)))) == 2
+    assert latest_version(store, "curated", "accounts") == 2
+
+    # loser retries at the fresh version and succeeds
+    v3 = txn_append(
+        store, "curated", "accounts", _accounts(spark, [(loser, loser * 10)]), read_version=2
+    )
+    assert v3 == 3
+    assert _rows(txn_read(store, "curated", "accounts")) == {(0, 0), (1, 10), (2, 20)}
