@@ -3,7 +3,8 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+     "agg": "median_of_3", "queries": {"q01_pricing_summary": sec, ...},
+     "sf": 0.1}
 
 One shared SparkSession for the whole run (no per-query spin-up); each
 query is timed to full materialization (count + a per-column xxhash64
@@ -251,10 +252,16 @@ def main() -> None:
     # `load_ok` in the contract line self-certifies the run: False means
     # the host never went idle within the bounded wait and the numbers
     # should be read as upper bounds (VERDICT r7 item 2).
+    # `agg` makes the sampling discipline part of the contract itself
+    # (VERDICT r10 item 2): every per-query number is the median of
+    # `runs` timed executions and `value` is the sum of those medians,
+    # so a single noisy sample (the documented 122→107 s host episode)
+    # can neither hide nor fake a regression; raw samples in BENCH_DIAG.
     print(json.dumps({
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
+        "agg": f"median_of_{runs}",
         "queries": timings,
         "sf": sf,
         "load_ok": load_ok,
