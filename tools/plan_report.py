@@ -2,12 +2,23 @@
 
 One row per registered query with the structural counters that decide
 100 TB behavior: shuffle exchanges (hash + range), broadcast exchanges,
-file scans, partition-less window specs, nested-loop joins, cartesian
+file scans, partition-less window sites, nested-loop joins, cartesian
 products. The pytest sweep (tests/test_plan_sweep.py) FAILS on cartesians
 and unreviewed BNLJs; this tool makes the whole distribution auditable in
 one artifact — which plans shuffle most, where the broadcasts are, and
 that the only partition-less windows left run over limit/histogram-sized
 frames (per-site audit in NOTES "global-window audit").
+
+Counters are DISTINCT physical operator sites, not textual occurrences
+(VERDICT r10 item 5): the report parses the FORMATTED explain, where
+every operator gets one numbered detail section and a reused subtree
+prints as ``ReusedExchange [Reuses operator id: N]`` instead of
+re-printing its whole subplan. The tree-string counts the old report
+used multiplied every shared subtree by its fan-out — iterative queries
+(kcore's per-peel self-union) reported "180 shuffles / 1116 scans" for
+a plan whose true structure is a few distinct exchange sites per round —
+making the artifact useless as a regression gate for exactly the
+queries where plan structure matters most.
 
 Builds every query at sf0.001 like the sweep does (streaming entries
 execute their AvailableNow drains as part of construction).
@@ -18,6 +29,7 @@ Usage: python tools/plan_report.py   (writes PLAN_REPORT.md)
 from __future__ import annotations
 
 import os
+import re
 import sys
 import time
 
@@ -25,18 +37,92 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.001"
 
+# a numbered operator detail section: "(12) Exchange"
+_SECTION_SPLIT = re.compile(r"^\(\d+\) ", re.M)
+# a sort-order argument: "x#3L ASC NULLS FIRST" / "y#9 DESC NULLS LAST"
+_SORT_RE = re.compile(r"\s(ASC|DESC)(\sNULLS\s(FIRST|LAST))?$")
 
-def _windowless_specs(plan: str) -> int:
-    """Count windowspecdefinitions with NO partition columns: the spec's
-    first comma-segment is a sort column (ends 'ASC'/'DESC' qualifier)
-    when partitionBy is empty; partitioned specs lead with plain column
-    refs."""
-    n = 0
-    for seg in plan.split("windowspecdefinition(")[1:]:
-        head = seg.split(",", 1)[0]
-        if " ASC" in head or " DESC" in head:
-            n += 1
-    return n
+
+def _sections(formatted: str) -> list[tuple[str, str]]:
+    """(operator name, detail body) per DISTINCT numbered operator in a
+    formatted explain — subqueries included (they get their own numbered
+    sections); ``ReusedExchange`` appears as its own (uncounted) name
+    instead of re-printing the reused subtree."""
+    parts = _SECTION_SPLIT.split(formatted)
+    out = []
+    for body in parts[1:]:
+        name = body.splitlines()[0].strip()
+        out.append((name, body))
+    return out
+
+
+def _spec_args(seg: str) -> list[str]:
+    """Split the argument list following ``windowspecdefinition(`` at
+    TOP-LEVEL commas (balanced-paren scan — ADVICE r10: the old first-
+    comma-segment heuristic miscounted any spec whose leading expression
+    itself contained commas)."""
+    args: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in seg:
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break  # closing paren of the windowspecdefinition itself
+            depth -= 1
+        cur.append(ch)
+    args.append("".join(cur).strip())
+    return args
+
+
+def _has_partitionless_spec(body: str) -> bool:
+    """True if any windowspecdefinition in this operator's detail section
+    has ZERO partition columns: every top-level argument is either a
+    sort-order spec or the specifiedwindowframe."""
+    for seg in body.split("windowspecdefinition(")[1:]:
+        n_part = sum(
+            1
+            for a in _spec_args(seg)
+            if a
+            and not a.startswith("specifiedwindowframe(")
+            and not _SORT_RE.search(a)
+        )
+        if n_part == 0:
+            return True
+    return False
+
+
+def plan_stats(formatted: str) -> dict[str, int]:
+    """Distinct-site structural counters from a formatted explain."""
+    stats = {
+        "shuffles": 0,
+        "bcast": 0,
+        "scans": 0,
+        "nopart_windows": 0,
+        "bnlj": 0,
+        "cartesian": 0,
+    }
+    for name, body in _sections(formatted):
+        if name == "Exchange":
+            if "hashpartitioning(" in body or "rangepartitioning(" in body:
+                stats["shuffles"] += 1
+        elif name.startswith("BroadcastExchange"):
+            stats["bcast"] += 1
+        elif name.startswith("Scan ") and " ExistingRDD" not in name:
+            stats["scans"] += 1
+        elif name.startswith(("Window", "WindowGroupLimit")):
+            if _has_partitionless_spec(body):
+                stats["nopart_windows"] += 1
+        elif name.startswith("BroadcastNestedLoopJoin"):
+            stats["bnlj"] += 1
+        elif name.startswith("CartesianProduct"):
+            stats["cartesian"] += 1
+    return stats
 
 
 def main() -> None:
@@ -45,26 +131,19 @@ def main() -> None:
 
     spark = get_spark(app_name="plan-report")
     spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     reg = load_all()
     rows = []
     t0 = time.perf_counter()
     for name, (fn, _oracle) in reg.items():
-        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-        rows.append(
-            {
-                "name": name,
-                "shuffles": plan.count("Exchange hashpartitioning")
-                + plan.count("Exchange rangepartitioning"),
-                "bcast": plan.count("BroadcastExchange"),
-                "scans": plan.count("FileScan"),
-                "nopart_windows": _windowless_specs(plan),
-                "bnlj": plan.count("BroadcastNestedLoopJoin"),
-                "cartesian": plan.count("CartesianProduct"),
-            }
-        )
+        formatted = fn(spark, SF)._jdf.queryExecution().explainString(mode)
+        rows.append({"name": name, **plan_stats(formatted)})
         spark.catalog.clearCache()
     wall = time.perf_counter() - t0
 
+    if not rows:
+        print("registry is empty; nothing to report")
+        return
     rows.sort(key=lambda r: (-r["shuffles"], r["name"]))
     tot = {k: sum(r[k] for r in rows) for k in rows[0] if k != "name"}
     out_path = os.path.join(
@@ -74,9 +153,13 @@ def main() -> None:
         fh.write(
             "# Physical-plan statistics (all registered queries, sf0.001)\n\n"
             f"Generated by tools/plan_report.py in {wall:.0f}s. "
-            f"{len(rows)} queries; totals: {tot['shuffles']} shuffle exchanges, "
-            f"{tot['bcast']} broadcasts, {tot['scans']} file scans, "
-            f"{tot['nopart_windows']} partition-less window specs "
+            "Counters are DISTINCT operator sites from the formatted explain "
+            "(a reused exchange/scan subtree counts once, not once per "
+            "consumer — VERDICT r10 item 5), so iterative plans report true "
+            f"structure. {len(rows)} queries; totals: "
+            f"{tot['shuffles']} shuffle-exchange sites, "
+            f"{tot['bcast']} broadcast sites, {tot['scans']} scan sites, "
+            f"{tot['nopart_windows']} partition-less window sites "
             "(each over a limit/histogram-bounded frame — per-site audit in "
             f"NOTES), {tot['bnlj']} nested-loop joins (all allowlisted 1-row/"
             f"k-row broadcasts), {tot['cartesian']} cartesian products.\n\n"
