@@ -37,8 +37,12 @@ def _cos_like_spark(q, v):
     for x in v:
         nb = nb + x * x
     c = dot / (math.sqrt(na) * math.sqrt(nb))
-    # Spark round(double, 6) = BigDecimal HALF_UP on the exact binary value
-    return float(Decimal(c).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    # Spark round(double, 6) goes through BigDecimal.valueOf, which takes
+    # Double.toString's SHORTEST decimal repr — model with Decimal(repr(c)),
+    # not Decimal(c) (the exact binary expansion), which can HALF_UP the
+    # other way when the exact value sits just below a halfway boundary
+    # whose shortest repr lands exactly on it (ADVICE r10).
+    return float(Decimal(repr(c)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
 @given(data=_DATA, qids=_QIDS, k=st.sampled_from([1, 3, 5]))
