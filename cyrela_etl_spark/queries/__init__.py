@@ -49,90 +49,81 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and scores AT MOST ~50 entries per round. Round-10 slot allocation
-# (VERDICT r9 "next round" item 2: ZERO new operators — the freeze holds
-# at 0/3 — and the budget goes to re-certifying the aging tail, oldest
-# rows first, so no entry's latest driver row predates round 5):
-#   code-changed (4): the entries whose implementing code changed this
-#     round — corpus_curriculum_stages (re-planned off its global-order
-#     window, r9 item 1), vector_exact_collapse (operator default now
-#     exact-equality hashing, ADVICE r9), storage_txn_acid (publisher
-#     extraction + upsert key-uniqueness guard, r9 item 4 + ADVICE), and
-#     text_zipf_fit (top-30 moved from a full-vocabulary rank window to
-#     two-phase TakeOrdered — the audit follow-up to item 1; value-
-#     identical under the total order, plan pinned in
-#     tests/test_plan_quality.py). Their r9 greens are stale; they go
-#     FIRST.
-#   r4-era (20): every still-registered entry whose latest green is the
-#     round-4 row (the 21st r4 name, stream_rate_windowed, was retired/
-#     renamed after r4 and no longer exists) — those rows predate the
-#     harness clearCache fix, the ANSI-session emulation and three
-#     rounds of shared helpers.
-#   r5-era (26 of 42): the heavier/riskier part of the round-5 cohort
-#     (dedup + vector + storage + multimodal + curation + the remaining
-#     TPC-H + the text battery core), complex-first so any spill lands
-#     on a simple entry.
-#   4 + 20 + 26 = 50. text_token_counts (the previously-documented spill,
-#   queued last) gives up its slot to the zipf re-score; it and the 15
-#   r5-era entries left out (filter_project, topk_global, set_ops,
-#   set_intersect, join_anti/semi/outer/broadcast_dim, group_rollup,
-#   window_rank/frames/lag_running, q01_pricing_summary, q03_top_orders,
-#   text_term_stats) hold valid r5 greens over since-untouched code and
-#   are the simplest plans in the registry; they head round 11's queue.
+# order and scores AT MOST ~50 entries per round. Round-11 slot allocation
+# (VERDICT r10 item 1: freeze holds at 0 new operators; finish the
+# aging-tail drain so NO registry entry's latest green predates round 6):
+#   code-changed (1): storage_txn_acid — sources/txn.py gained append
+#     schema-on-write enforcement this round; its r10 green is stale.
+#   r5-era (16): every remaining entry whose latest green is the round-5
+#     row — the simple-plan tail the r10 queue deliberately deferred
+#     (filter_project .. text_token_counts below).
+#   r6-era (33 of 45): the round-6 cohort complex-first — all eight
+#     streaming drains (side-effectful, heaviest), the vector
+#     quantization family, contamination, the temporal battery, the
+#     corpus curation ops, storage profiling/roundtrip, and the
+#     remaining heavy singles; spill-risk ordering puts the simplest
+#     last. 1 + 16 + 33 = 50. The 12 r6-era entries left out
+#     (agg_filtered, agg_cube, agg_grouping_sets, agg_pivot,
+#     agg_unpivot, agg_exact_median, agg_approx_distinct,
+#     agg_approx_percentile, func_json_extract, minmax_normalize_window,
+#     temporal_time_bucket, quality_classifier_filter) are the cohort's
+#     simplest plans over since-untouched code; their r6 greens already
+#     satisfy the no-green-predates-r6 bar and they head round 12's
+#     queue.
 _PRIORITY: list[str] = [
-    # -- code changed in round 10: stale greens, must re-score --------------
-    "corpus_curriculum_stages",
-    "vector_exact_collapse",
+    # -- code changed in round 11: stale green, must re-score ---------------
     "storage_txn_acid",
-    "text_zipf_fit",
-    # -- r4-era rows (oldest in the registry) -------------------------------
-    "func_hof",
-    "fuzzy_match_names",
-    "fuzzy_match_names_indel",
-    "join_bucketed",
-    "join_salted",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_nation_profit",
-    "q10_returned_revenue",
-    "q13_order_distribution",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "sql_correlated_subquery",
-    "sql_q6",
-    "sql_scalar_subquery",
-    "storage_csv_roundtrip",
-    "vector_l2_topk",
-    "window_analytics",
-    # -- r5-era rows, complex-first ----------------------------------------
-    "curation_pipeline",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_components",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "vector_rhp_lsh_topk",
-    "vector_ivf_topk",
-    "vector_neardup_pairs",
-    "vector_cosine_topk",
-    "multimodal_byte_histogram",
-    "multimodal_frame_sample",
-    "storage_zone_promote",
-    "storage_snapshot_diff",
-    "storage_incremental_agg",
-    "storage_table_roundtrip",
-    "q21_waiting_supplier",
-    "q15_top_supplier",
-    "q05_region_revenue",
-    "text_winnow_fingerprints",
-    "text_repetition",
-    "text_quality",
-    "text_language_id",
-    "text_fingerprint",
+    # -- r5-era rows (oldest greens left in the registry) -------------------
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "topk_global",
+    "filter_project",
+    "set_ops",
+    "set_intersect",
+    "join_anti",
+    "join_semi",
+    "join_outer",
+    "join_broadcast_dim",
+    "group_rollup",
+    "window_rank",
+    "window_frames",
+    "window_lag_running",
+    "text_term_stats",
+    "text_token_counts",
+    # -- r6-era rows, complex-first (33 of 45) ------------------------------
+    "stream_stateful_running",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "stream_parquet_sink",
+    "storage_jsonl_badrecords",
+    "storage_jsonl_roundtrip",
+    "vector_semdedup_pairs",
+    "vector_pq_adc_topk",
+    "vector_sq_int8_topk",
+    "dedup_contamination",
+    "temporal_asof_join",
+    "temporal_range_join",
+    "temporal_sessionize",
+    "temporal_ohlc",
+    "temporal_gap_fill",
+    "corpus_pii_redact",
+    "corpus_boilerplate_removal",
+    "corpus_stratified_sample",
+    "corpus_weighted_sample",
+    "corpus_dataset_split",
+    "corpus_token_pack",
+    "corpus_chunking",
+    "storage_zorder_cluster",
+    "storage_histogram_drift",
+    "storage_numeric_profile",
+    "scale_skew_profile",
+    "grouped_map_normalize",
+    "text_lm_score",
+    "events_funnel",
 ]
 
 
