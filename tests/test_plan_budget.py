@@ -1,0 +1,77 @@
+"""Per-query shuffle-site budgets — the regression gate the de-inflated
+plan counters enable (VERDICT r10 item 5: "so the artifact can gate
+regressions").
+
+Each entry pins the number of DISTINCT shuffle-exchange sites (formatted
+explain; a reused exchange counts once) a headline query's plan may
+contain, at the value measured for the round-11 PLAN_REPORT.md. A plan
+edit that adds a shuffle site fails here and must either remove the
+shuffle or consciously raise the budget with a justification — exactly
+how the BNLJ allowlist keeps join quality honest. Budgets are an upper
+bound, and a plan that comes in UNDER budget also fails (stale pin), so
+the numbers in this file always state the true structure.
+
+wallet_features' budget of ZERO is the strongest pin: the 23→34-column
+feature chain with its 9 global-max rescales runs as one scan + one
+1-row broadcast — any regression that introduces a shuffle into the
+reference's flagship pipeline is a 100 TB cliff.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
+
+from plan_report import plan_stats  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+# query -> exact distinct shuffle-site count (PLAN_REPORT.md, round 11)
+SHUFFLE_BUDGET = {
+    # flagship wallet chain: scan + broadcast only, NO shuffle
+    "wallet_features": 0,
+    # embedding collapse blocks on broadcast centroids/components
+    "vector_semdedup_pairs": 0,
+    # single-agg relational representatives
+    "q01_pricing_summary": 1,
+    "q05_region_revenue": 1,
+    "text_zipf_fit": 1,
+    "vector_ivf_topk": 1,
+    # multi-stage pipelines
+    "curation_pipeline": 2,
+    "dedup_contamination": 3,
+    "dedup_minhash_lsh": 5,
+    "corpus_curriculum_stages": 6,
+    # iterative graph plans: per-round distinct sites (the rows the old
+    # textual counters inflated to 33-180)
+    "graph_pagerank": 10,
+    "graph_lpa_communities": 17,
+    "graph_kcore_peel": 20,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_site_budget(spark, name):
+    from cyrela_etl_spark.queries import load_all
+
+    fn, _oracle = load_all()[name]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    formatted = fn(spark, SF)._jdf.queryExecution().explainString(mode)
+    spark.catalog.clearCache()
+    got = plan_stats(formatted)["shuffles"]
+    budget = SHUFFLE_BUDGET[name]
+    assert got <= budget, (
+        f"{name} plans {got} distinct shuffle sites, budget {budget} — "
+        "remove the new exchange or justify raising the budget"
+    )
+    assert got == budget, (
+        f"{name} now plans {got} shuffle sites, under its budget {budget} — "
+        "re-pin the budget so the gate stays tight"
+    )

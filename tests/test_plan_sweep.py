@@ -88,15 +88,38 @@ BNLJ_ALLOWED = {
 SF = "/root/testdata/sf0.001"
 
 
+# Registry-wide distinct partition-less window SITES (formatted explain,
+# tools/plan_report.py counters): the 9 surviving sites are all k-bounded
+# frames per the NOTES "global-window audit". A 10th site is an input-
+# unbounded single-partition sort until audited; fewer means a site was
+# re-planned and this pin (plus NOTES) should be updated.
+NOPART_WINDOW_SITES = 9
+
+
 def test_no_cartesian_anywhere_and_bnlj_only_allowlisted(spark):
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from plan_report import plan_stats
+
     from cyrela_etl_spark.queries import load_all
 
     reg = load_all()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     cartesian = []
     surprise_bnlj = []
     stale_allowlist = []
+    nopart_sites = 0
     for name, (fn, _oracle) in reg.items():
-        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        qe = fn(spark, SF)._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        nopart_sites += plan_stats(qe.explainString(mode))["nopart_windows"]
         if "CartesianProduct" in plan:
             cartesian.append(name)
         has_bnlj = "BroadcastNestedLoopJoin" in plan
@@ -112,3 +135,8 @@ def test_no_cartesian_anywhere_and_bnlj_only_allowlisted(spark):
     # keep the allowlist honest: entries whose plans no longer need it
     # should be removed so the guarantee stays tight
     assert stale_allowlist == [], f"allowlist entries with clean plans now: {stale_allowlist}"
+    assert nopart_sites == NOPART_WINDOW_SITES, (
+        f"registry plans {nopart_sites} partition-less window sites, "
+        f"pinned {NOPART_WINDOW_SITES} — audit the new site's frame bound "
+        "(or re-pin after a re-plan) and update NOTES"
+    )
