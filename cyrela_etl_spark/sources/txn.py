@@ -285,6 +285,10 @@ def txn_commit(
         "snapshot": snapshot,
         "op": op,
         "committed_at": time.time(),
+        # Delta's metaData.schemaString: the table schema rides in the
+        # manifest so append-time schema-on-write is a pure metadata
+        # compare (no parquet footer read per append).
+        "schema_json": df.schema.json(),
     }
     if not _publish(store, zone, key, target, manifest):
         # lost the race: drop the orphan snapshot, surface the conflict
@@ -321,16 +325,23 @@ def txn_append(
     fine and the multi-path chain read (``txn_read``'s footer-schema
     union, no mergeSchema) silently yields nulls or drops columns
     depending on which footer supplies the schema — silent corruption.
-    The check is one driver-side footer read of the parent version, no
-    Spark job; the delta is written in the table's column order so every
-    directory in the chain shares one physical layout."""
+    The table schema rides in the manifest (``schema_json`` — Delta's
+    metaData.schemaString), so the check is a pure driver-side metadata
+    compare; manifests from before the field fall back to one parquet
+    footer read. The delta is written in the table's column order so
+    every directory in the chain shares one physical layout."""
     if read_version < 1:
         raise ValueError("txn_append requires an initialized table (read_version >= 1)")
     target = read_version + 1
     if latest_version(store, zone, key) != read_version:
         raise TxnConflictError(store.path(zone, key), target)
     parent = read_manifest(store, zone, key, read_version)
-    table_schema = store.spark.read.parquet(*_version_dirs(parent)).schema
+    if parent.get("schema_json"):
+        from pyspark.sql.types import StructType
+
+        table_schema = StructType.fromJson(json.loads(parent["schema_json"]))
+    else:
+        table_schema = store.spark.read.parquet(*_version_dirs(parent)).schema
     table_types = {f.name: f.dataType for f in table_schema.fields}
     batch_types = {f.name: f.dataType for f in df.schema.fields}
     if table_types != batch_types:
@@ -355,6 +366,9 @@ def txn_append(
         "snapshots": _version_dirs(parent) + [delta],
         "op": "append",
         "committed_at": time.time(),
+        # appends never change the table schema; carry it forward so the
+        # next append's check stays metadata-only
+        "schema_json": table_schema.json(),
     }
     if not _publish(store, zone, key, target, manifest):
         fs, _ = store._fs()

@@ -606,3 +606,37 @@ def test_two_threads_racing_appends_exactly_one_wins_then_retry(spark, store):
     )
     assert v3 == 3
     assert _rows(txn_read(store, "curated", "accounts")) == {(0, 0), (1, 10), (2, 20)}
+
+
+def test_append_schema_check_falls_back_on_pre_schema_manifests(spark, store, tmp_path):
+    """Manifests written before the schema_json field (Delta's
+    metaData.schemaString ride-along) must still support appends: the
+    check falls back to ONE parquet footer read and keeps rejecting
+    drifted batches."""
+    import json as _json
+
+    from cyrela_etl_spark.sources.txn import _manifest_path
+
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    mpath = _manifest_path(store, "curated", "accounts", 1).removeprefix("file:")
+    m = _json.loads(open(mpath).read())
+    assert "schema_json" in m
+    del m["schema_json"]
+    open(mpath, "w").write(_json.dumps(m, sort_keys=True))
+    # the direct rewrite invalidates Hadoop's CRC sidecar; a genuinely
+    # old manifest would have a consistent one
+    import os as _os
+
+    crc = _os.path.join(_os.path.dirname(mpath), f".{_os.path.basename(mpath)}.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        txn_append(
+            store, "curated", "accounts",
+            spark.createDataFrame([(2, 200.0)], "account_id INT, balance DOUBLE"),
+            read_version=1,
+        )
+    v2 = txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+    assert v2 == 2
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
