@@ -1,0 +1,191 @@
+"""Model checks for the hash-fingerprint dedup family: MinHash signatures,
+MinHash-LSH pair generation, SimHash fingerprints, and SimHash pigeonhole
+pairs vs plain-Python references (the round-9/10 model-test pattern —
+mirror the operator's exact arithmetic, then hypothesis-drive corpora).
+
+These operators are "probabilistic" only in their GUARANTEES (collision
+probabilities); the computed values are fully deterministic functions of
+md5, so a bit-faithful Python model exists: base hash = first 15 hex
+chars of md5 as int64 (functions/hashing.py hex_prefix_long), universal
+permutations (a*h + b) mod P with the fixed small-prime parameter
+progression (operators/dedup.py minhash_params), per-occurrence sign
+votes for SimHash. What these tests pin beyond the oracle twins:
+
+- the signature fold's init/sentinel contract (zero-shingle docs carry
+  [P]*K, every real entry < P);
+- the band-key construction (band index + '-'-joined signature slice) —
+  LSH output = {pairs sharing >= 1 band bucket} ∩ {exact Jaccard >=
+  threshold}, NOT all high-Jaccard pairs (missed-band false negatives
+  are part of the contract and the model reproduces them);
+- SimHash's per-OCCURRENCE votes (repeated tokens vote repeatedly), the
+  sum>0 bit rule (ties -> 0), and fingerprint assembly;
+- Manku pigeonhole COMPLETENESS: chunk-blocked candidate generation +
+  exact Hamming verify equals the full <= max_hamming pair set, including
+  the bits-not-divisible-by-chunks case (16 bits / 3 chunks leaves bit 15
+  uncovered; <= max_hamming differing bits still can't dirty every chunk).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cyrela_etl_spark.functions.hashing import MERSENNE_PRIME as P
+from cyrela_etl_spark.operators.dedup import minhash_params
+
+_DOC = st.lists(st.sampled_from(["a", "b", "c", "ab", "xyz"]), min_size=0, max_size=6)
+_DOCS = st.lists(_DOC, min_size=1, max_size=8)
+
+
+def _base_hash(s: str) -> int:
+    # hex_prefix_long: first 15 hex chars of md5 -> int64 (60 bits)
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _model_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.lower()) if t]
+
+
+def _model_shingles(text: str, n: int) -> set[str]:
+    toks = _model_tokens(text)
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _model_signature(text: str, num_hashes: int, shingle_n: int) -> list[int]:
+    params = minhash_params(num_hashes)
+    sig = [P] * num_hashes
+    for sh in _model_shingles(text, shingle_n):
+        h = _base_hash(sh) % P
+        for i, (a, b) in enumerate(params):
+            sig[i] = min(sig[i], (h * a + b) % P)
+    return sig
+
+
+def _model_simhash(text: str, bits: int) -> int:
+    votes = [0] * bits
+    for t in _model_tokens(text):  # per OCCURRENCE, not per distinct token
+        h = _base_hash(t)
+        for j in range(bits):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j in range(bits) if votes[j] > 0)
+
+
+@given(docs=_DOCS, num_hashes=st.sampled_from([4, 8]), shingle_n=st.sampled_from([1, 2]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_minhash_signatures_match_python_model(spark, docs, num_hashes, shingle_n):
+    from cyrela_etl_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {
+        r["id"]: list(r["signature"])
+        for r in minhash_signatures(df, num_hashes=num_hashes, shingle_n=shingle_n).collect()
+    }
+    want = {i: _model_signature(t, num_hashes, shingle_n) for i, t in rows}
+    assert got == want
+    # sentinel contract: zero-shingle docs are exactly the all-P rows
+    for i, t in rows:
+        if not _model_tokens(t):
+            assert got[i] == [P] * num_hashes
+
+
+@given(docs=_DOCS, bands=st.sampled_from([2, 4]), threshold=st.sampled_from([0.0, 0.5]))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_minhash_lsh_pairs_match_banded_model(spark, docs, bands, threshold):
+    """LSH output == {candidate pairs sharing >= 1 band bucket} filtered by
+    EXACT shingle Jaccard >= threshold. The model derives band buckets from
+    the model signatures, so both the false-negative behavior (similar docs
+    sharing no band) and the exact-verify step are pinned."""
+    from cyrela_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    num_hashes, shingle_n = 8, 1
+    rows_per_band = num_hashes // bands
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            df, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, threshold=threshold
+        ).collect()
+    }
+
+    sigs = {i: _model_signature(t, num_hashes, shingle_n) for i, t in rows}
+    sh = {i: _model_shingles(t, shingle_n) for i, t in rows}
+    live = [i for i, t in rows if sh[i]]  # zero-shingle docs are excluded
+
+    def buckets(i):
+        return {
+            (bi, "-".join(str(sigs[i][bi * rows_per_band + r]) for r in range(rows_per_band)))
+            for bi in range(bands)
+        }
+
+    want = set()
+    for i in live:
+        for j in live:
+            if i < j and buckets(i) & buckets(j):
+                jac = len(sh[i] & sh[j]) / len(sh[i] | sh[j])
+                if jac >= threshold:
+                    want.add((i, j, jac))
+    assert got == want
+
+
+@given(docs=_DOCS, bits=st.sampled_from([4, 16]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_simhash_matches_python_model(spark, docs, bits):
+    from cyrela_etl_spark.operators.dedup import simhash
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {r["id"]: r["simhash"] for r in simhash(df, bits=bits).collect()}
+    assert got == {i: _model_simhash(t, bits) for i, t in rows}
+
+
+def test_simhash_repeated_tokens_vote_per_occurrence(spark):
+    """'a a b' must weigh a's bits twice — per-occurrence votes are the
+    Charikar contract (term frequency IS the weight)."""
+    from cyrela_etl_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame([(0, "a a b"), (1, "a b")], "doc_id long, text string")
+    got = {r["id"]: r["simhash"] for r in simhash(df, bits=16).collect()}
+    assert got[0] == _model_simhash("a a b", 16)
+    assert got[1] == _model_simhash("a b", 16)
+    # analytic cross-check: on 'a b' a 1-1 disagreement ties to 0; on
+    # 'a a b' the doubled 'a' wins every disagreement, so doc0's bits are
+    # exactly a's hash bits wherever the two tokens disagree
+    ha, hb = _base_hash("a"), _base_hash("b")
+    for j in range(16):
+        a_j, b_j = (ha >> j) & 1, (hb >> j) & 1
+        if a_j != b_j:
+            assert (got[0] >> j) & 1 == a_j
+            assert (got[1] >> j) & 1 == 0
+
+
+@given(docs=_DOCS, bits=st.sampled_from([16]), max_hamming=st.sampled_from([1, 2, 3]))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_simhash_pairs_pigeonhole_is_complete(spark, docs, bits, max_hamming):
+    """Chunk-blocked candidates + exact verify == ALL pairs within
+    max_hamming (Manku pigeonhole completeness), including max_hamming=2
+    where 16 bits / 3 chunks leaves bit 15 chunk-uncovered."""
+    from cyrela_etl_spark.operators.dedup import simhash_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(df, bits=bits, max_hamming=max_hamming).collect()
+    }
+    fps = {i: _model_simhash(t, bits) for i, t in rows}
+    want = {
+        (i, j, bin(fps[i] ^ fps[j]).count("1"))
+        for i in fps
+        for j in fps
+        if i < j and bin(fps[i] ^ fps[j]).count("1") <= max_hamming
+    }
+    assert got == want
