@@ -1,0 +1,106 @@
+"""Model checks for the text-fingerprinting operators (operators/text.py):
+winnowing fingerprints and word-n-gram repetition features vs plain-Python
+references (the round-9/10 model-test pattern — both are pure functions of
+md5 and exact integer arithmetic).
+
+What these pin beyond the oracle twins:
+
+- winnow_fingerprints: the k-gram construction with its short-document
+  floor (a document shorter than k grams still yields one padded gram —
+  slice trims, concat_ws joins what exists), the sliding window-min
+  selection with VALUE tie-breaking, the trailing short window when
+  n_grams < window, and the per-document distinct before explode. Also
+  the Schleimer guarantee itself: any shared token run of length >=
+  window+k-1 produces a shared fingerprint (asserted on constructed
+  overlapping docs).
+- repetition_features: word_grams' multiset (NON-distinct) gram counts,
+  the absent-row contract for documents with < n tokens, and the exact
+  top/dup occurrence fractions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_DOC = st.lists(st.sampled_from(["a", "b", "c", "d", "ee"]), min_size=0, max_size=10)
+_DOCS = st.lists(_DOC, min_size=1, max_size=8)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.lower()) if t]
+
+
+def _model_winnow(text: str, k: int, window: int) -> set[int]:
+    toks = _toks(text)
+    n_grams = max(len(toks) - (k - 1), 1)
+    # slice pads: the i-th gram joins whatever of toks[i-1 : i-1+k] exists
+    hs = [_h60(" ".join(toks[i : i + k])) for i in range(n_grams)]
+    n_windows = max(len(hs) - (window - 1), 1)
+    return {min(hs[i : i + window]) for i in range(n_windows)}
+
+
+@given(docs=_DOCS, k=st.sampled_from([2, 3]), window=st.sampled_from([2, 4]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_winnow_fingerprints_match_python_model(spark, docs, k, window):
+    from cyrela_etl_spark.operators.text import winnow_fingerprints
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnow_fingerprints(df, k=k, window=window).collect()
+    }
+    want = {(i, fp) for i, t in rows for fp in _model_winnow(t, k, window)}
+    assert got == want
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Schleimer et al. theorem: two documents sharing a token run of
+    >= window+k-1 tokens MUST share at least one fingerprint."""
+    from cyrela_etl_spark.operators.text import winnow_fingerprints
+
+    k, window = 3, 4
+    shared = "one two three four five six"  # 6 tokens = window+k-1
+    rows = [(0, "x y " + shared + " p q"), (1, "m " + shared + " r s t u")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps: dict[int, set[int]] = {0: set(), 1: set()}
+    for r in winnow_fingerprints(df, k=k, window=window).collect():
+        fps[r["doc_id"]].add(r["fingerprint"])
+    assert fps[0] & fps[1]
+    # and the model agrees on both documents
+    for i, t in rows:
+        assert fps[i] == _model_winnow(t, k, window)
+
+
+@given(docs=_DOCS, n=st.sampled_from([1, 2]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_repetition_features_match_python_model(spark, docs, n):
+    from cyrela_etl_spark.operators.text import repetition_features
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["top_gram_n"], r["top_gram_frac"], r["dup_gram_frac"])
+        for r in repetition_features(df, n=n).collect()
+    }
+    want = {}
+    for i, t in rows:
+        toks = _toks(t)
+        grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        if not grams:
+            continue  # absent-row contract: < n tokens emits nothing
+        counts = Counter(grams)
+        total = sum(counts.values())
+        top = max(counts.values())
+        dup = sum(c for c in counts.values() if c >= 2)
+        want[i] = (total, top, top / total, dup / total)
+    assert got == want
