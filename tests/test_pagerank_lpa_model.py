@@ -87,6 +87,46 @@ def test_integer_pagerank_matches_python_model(spark, edges, iterations):
     spark.catalog.clearCache()  # operator persists edge/degree tables (cache contract)
 
 
+def _model_link_prediction(edges, top_n, scale=1_000_000):
+    nbr = _neighbors(edges)
+    deg = {v: len(vs) for v, vs in nbr.items()}
+    scored: dict[tuple[int, int], list[int]] = {}
+    for z, vs in nbr.items():
+        term = scale // deg[z]
+        for x in vs:
+            for y in vs:
+                if x < y:
+                    s = scored.setdefault((x, y), [0, 0])
+                    s[0] += 1
+                    s[1] += term
+    existing = set(edges)
+    cands = [
+        (lo, hi, n, ra)
+        for (lo, hi), (n, ra) in scored.items()
+        if (lo, hi) not in existing
+    ]
+    cands.sort(key=lambda t: (-t[3], -t[2], t[0], t[1]))
+    return cands[:top_n]
+
+
+@given(edges=_EDGES, top_n=st.sampled_from([3, 50]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_link_prediction_matches_python_model(spark, edges, top_n):
+    """RA index as exact ppm integer sums, the wedge pair emission
+    (once per common neighbor), the anti-join against existing edges,
+    and the total (ra desc, n_common desc, lo, hi) order incl. the
+    top_n cut."""
+    from cyrela_etl_spark.operators.graph import link_prediction
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(2)
+    got = [
+        (r["lo"], r["hi"], r["n_common"], r["ra_ppm"])
+        for r in link_prediction(df, top_n=top_n).collect()
+    ]
+    assert got == _model_link_prediction(edges, top_n)
+    spark.catalog.clearCache()
+
+
 @given(edges=_EDGES, iterations=st.sampled_from([1, 2, 3]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_label_propagation_matches_python_model(spark, edges, iterations):
