@@ -334,16 +334,35 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # merge-hint the shingle side: its array payloads deserialize to many
-    # times their on-disk estimate, so a size-based broadcast decision can
-    # OOM the driver (observed at 10× sf0.1: "Not enough memory to build
-    # and broadcast"). A shuffled join on id is safe at every scale.
-    sh = base.select("id", "shingles").hint("merge")
+    # Verification join strategy: build a per-partition hash table on the
+    # CANDIDATE side (shuffle_hash hint) and stream the shingle relation
+    # through it. The candidate relation is two longs per row and bounded
+    # by the banded-join pair mass (cap-guarded), so the build never
+    # outgrows a partition; the shingle side's fat array payloads are
+    # never sorted OR broadcast. The two alternatives both fail at scale:
+    # a size-based broadcast of shingles OOMs the driver (arrays
+    # deserialize to many times their on-disk estimate — observed at 10×
+    # sf0.1: "Not enough memory to build and broadcast"), and a merge
+    # join sorts the full shingle relation TWICE (measured 112 s vs 15 s
+    # for this phase at 5 M docs — the sort spill was the only
+    # superlinear term in the 1x/10x/100x/1000x curve, NOTES round 11).
+    # Join 1 builds on the bare candidate relation (two longs per row —
+    # cheap, bounded by the cap-guarded banded pair mass). Join 2 is left
+    # to the optimizer ON PURPOSE: its left side now carries one shingle
+    # array per candidate, and forcing a hash BUILD over array payloads
+    # was measured to heap-OOM the 5 M-doc leg (every concurrent task
+    # holds its build partition's arrays pinned); the streamed/sorted
+    # forms only spill. AQE re-plans join 2 from RUNTIME shuffle sizes,
+    # so the historical static-misestimate broadcast of shingles (driver
+    # OOM at 10× sf0.1) cannot recur at sizes where it would hurt.
+    sh = base.select("id", "shingles")
     inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
     union = F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+    half = candidates.hint("shuffle_hash").join(
+        sh.alias("sa"), F.col("id_a") == F.col("sa.id")
+    )
     return (
-        candidates.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        half.join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -52,8 +52,12 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 # order and scores AT MOST ~50 entries per round. Round-11 slot allocation
 # (VERDICT r10 item 1: freeze holds at 0 new operators; finish the
 # aging-tail drain so NO registry entry's latest green predates round 6):
-#   code-changed (1): storage_txn_acid — sources/txn.py gained append
-#     schema-on-write enforcement this round; its r10 green is stale.
+#   code-changed (2): storage_txn_acid — sources/txn.py gained append
+#     schema-on-write enforcement this round; dedup_minhash_lsh — the
+#     verification joins were re-planned (candidate-side shuffle_hash
+#     build instead of merge-sorting the shingle relation twice; 5
+#     shuffle sites -> 3, pinned in tests/test_plan_budget.py). Both
+#     r10 greens are stale.
 #   r5-era (16): every remaining entry whose latest green is the round-5
 #     row — the simple-plan tail the r10 queue deliberately deferred
 #     (filter_project .. text_token_counts below).
@@ -62,17 +66,19 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 #     quantization family, contamination, the temporal battery, the
 #     corpus curation ops, storage profiling/roundtrip, and the
 #     remaining heavy singles; spill-risk ordering puts the simplest
-#     last. 1 + 16 + 33 = 50. The 12 r6-era entries left out
+#     last. 2 + 16 + 32 = 50. The 13 r6-era entries left out
 #     (agg_filtered, agg_cube, agg_grouping_sets, agg_pivot,
 #     agg_unpivot, agg_exact_median, agg_approx_distinct,
 #     agg_approx_percentile, func_json_extract, minmax_normalize_window,
-#     temporal_time_bucket, quality_classifier_filter) are the cohort's
-#     simplest plans over since-untouched code; their r6 greens already
-#     satisfy the no-green-predates-r6 bar and they head round 12's
-#     queue.
+#     temporal_time_bucket, quality_classifier_filter, events_funnel —
+#     the last yielded its slot to the dedup_minhash_lsh re-plan) are
+#     the cohort's simplest plans over since-untouched code; their r6
+#     greens already satisfy the no-green-predates-r6 bar and they head
+#     round 12's queue.
 _PRIORITY: list[str] = [
     # -- code changed in round 11: stale green, must re-score ---------------
     "storage_txn_acid",
+    "dedup_minhash_lsh",  # verify-join re-plan (SMJ sorts -> cand-side SHJ)
     # -- r5-era rows (oldest greens left in the registry) -------------------
     "q01_pricing_summary",
     "q03_top_orders",
@@ -123,7 +129,9 @@ _PRIORITY: list[str] = [
     "scale_skew_profile",
     "grouped_map_normalize",
     "text_lm_score",
-    "events_funnel",
+    # events_funnel yielded its slot to dedup_minhash_lsh (code-changed
+    # round 11); its r6 green still satisfies the freshness bar and it
+    # joins the round-12 queue head with the other 13 r6-era leftovers.
 ]
 
 

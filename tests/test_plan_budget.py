@@ -47,7 +47,10 @@ SHUFFLE_BUDGET = {
     # multi-stage pipelines
     "curation_pipeline": 2,
     "dedup_contamination": 3,
-    "dedup_minhash_lsh": 5,
+    # verify joins re-planned round 11 (candidate-side shuffle_hash +
+    # AQE-planned second join): 5 sites -> 3 (the two SMJ sort-exchange
+    # pairs collapsed)
+    "dedup_minhash_lsh": 3,
     "corpus_curriculum_stages": 6,
     # iterative graph plans: per-round distinct sites (the rows the old
     # textual counters inflated to 33-180)

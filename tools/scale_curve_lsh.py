@@ -38,20 +38,33 @@ SF_DIR = "/root/testdata/sf0.1"
 def build(spark, scale: int) -> str:
     path = f"/tmp/scale_lsh_{scale}x"
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
-    reps = []
-    for i in range(scale):
-        tag = f"r{i}x"
-        reps.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                F.concat(
-                    F.lit(tag), F.regexp_replace(F.col("text"), r"\s+", f" {tag}")
-                ).alias("text"),
+    if scale <= 100:
+        reps = []
+        for i in range(scale):
+            tag = f"r{i}x"
+            reps.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    F.concat(
+                        F.lit(tag), F.regexp_replace(F.col("text"), r"\s+", f" {tag}")
+                    ).alias("text"),
+                )
             )
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+    else:
+        # beyond ~100 replicas an N-arm union costs minutes of driver
+        # analysis (NOTES round-5/7 protocol) — replicate via broadcast
+        # crossJoin with range(scale) and a COLUMN-valued tag instead
+        reps = F.broadcast(spark.range(scale).select(F.col("id").alias("rep")))
+        tag = F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit("x"))
+        out = docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.concat(
+                tag, F.regexp_replace(F.col("text"), F.lit(r"\s+"), F.concat(F.lit(" "), tag))
+            ).alias("text"),
         )
-    out = reps[0]
-    for r in reps[1:]:
-        out = out.unionByName(r)
     out.repartition(max(4, scale)).write.mode("overwrite").parquet(
         f"{path}/documents.parquet"
     )
@@ -61,6 +74,8 @@ def build(spark, scale: int) -> str:
 def main() -> None:
     scales = [int(s) for s in sys.argv[1:]] or [1, 10, 100]
     from cyrela_etl_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    import os
 
     legs = [
         ("minhash_md5", lambda df: minhash_lsh_pairs(df, max_bucket_size=1000)),
@@ -75,6 +90,10 @@ def main() -> None:
             ),
         ),
     ]
+    only = os.environ.get("SPARK_GRAFT_LSH_LEGS")
+    if only:
+        wanted = {x.strip() for x in only.split(",")}
+        legs = [leg for leg in legs if leg[0] in wanted]
     spark = get_spark(app_name="scale-curve-lsh")
     spark.sparkContext.setLogLevel("ERROR")
     for scale in scales:
