@@ -49,89 +49,84 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and scores AT MOST ~50 entries per round. Round-11 slot allocation
-# (VERDICT r10 item 1: freeze holds at 0 new operators; finish the
-# aging-tail drain so NO registry entry's latest green predates round 6):
-#   code-changed (2): storage_txn_acid — sources/txn.py gained append
-#     schema-on-write enforcement this round; dedup_minhash_lsh — the
-#     verification joins were re-planned (candidate-side shuffle_hash
-#     build instead of merge-sorting the shingle relation twice; 5
-#     shuffle sites -> 3, pinned in tests/test_plan_budget.py). Both
-#     r10 greens are stale.
-#   r5-era (16): every remaining entry whose latest green is the round-5
-#     row — the simple-plan tail the r10 queue deliberately deferred
-#     (filter_project .. text_token_counts below).
-#   r6-era (33 of 45): the round-6 cohort complex-first — all eight
-#     streaming drains (side-effectful, heaviest), the vector
-#     quantization family, contamination, the temporal battery, the
-#     corpus curation ops, storage profiling/roundtrip, and the
-#     remaining heavy singles; spill-risk ordering puts the simplest
-#     last. 2 + 16 + 32 = 50. The 13 r6-era entries left out
-#     (agg_filtered, agg_cube, agg_grouping_sets, agg_pivot,
-#     agg_unpivot, agg_exact_median, agg_approx_distinct,
-#     agg_approx_percentile, func_json_extract, minmax_normalize_window,
-#     temporal_time_bucket, quality_classifier_filter, events_funnel —
-#     the last yielded its slot to the dedup_minhash_lsh re-plan) are
-#     the cohort's simplest plans over since-untouched code; their r6
-#     greens already satisfy the no-green-predates-r6 bar and they head
-#     round 12's queue.
+# order and scores AT MOST ~50 entries per round. Round-12 slot allocation
+# (VERDICT r11 items 2/3/5: drain driver freshness to r7+, re-score the
+# two entries whose code changes this round):
+#   code-changed (2): storage_txn_acid — the r11 +38% wall regression is
+#     being A/B-isolated and the entry needs a fresh green at
+#     r10-comparable wall (VERDICT r11 item 2); vector_power_iteration_pca
+#     — the registry-heaviest plan (23 shuffle / 31 broadcast / 24 scan
+#     sites) gets a persist-and-reuse diet pass (item 5).
+#   r6-era (13): the whole remaining cohort whose latest driver green is
+#     the round-6 row — judge pre-verified all 13 green in the round-11
+#     session, so this is pure bookkeeping; after this round no entry's
+#     latest driver score predates r7.
+#   r7-era (35 of 49): the round-7 cohort complex-first — the two
+#     streaming drains (side-effectful, heaviest), the graph family,
+#     vector/kmeans, the events battery, text indexing, dedup, corpus,
+#     scale sketches, storage lifecycle, quality, temporal SCD/CUSUM.
+#     2 + 13 + 35 = 50. The 14 r7-era entries left out (agg_mode,
+#     agg_weighted_median, temporal_ewma, temporal_interpolate,
+#     text_url_extraction, text_readability, ml_feature_hash,
+#     ml_target_encode, multimodal_mp3_meta, storage_moments_profile,
+#     storage_winsorize_profile, storage_correlation_profile,
+#     storage_integrity_checksum, sql_lateral_topn) are the cohort's
+#     simplest plans over since-untouched code; they head round 13's
+#     queue.
 _PRIORITY: list[str] = [
-    # -- code changed in round 11: stale green, must re-score ---------------
-    "storage_txn_acid",
-    "dedup_minhash_lsh",  # verify-join re-plan (SMJ sorts -> cand-side SHJ)
-    # -- r5-era rows (oldest greens left in the registry) -------------------
-    "q01_pricing_summary",
-    "q03_top_orders",
-    "topk_global",
-    "filter_project",
-    "set_ops",
-    "set_intersect",
-    "join_anti",
-    "join_semi",
-    "join_outer",
-    "join_broadcast_dim",
-    "group_rollup",
-    "window_rank",
-    "window_frames",
-    "window_lag_running",
-    "text_term_stats",
-    "text_token_counts",
-    # -- r6-era rows, complex-first (33 of 45) ------------------------------
-    "stream_stateful_running",
-    "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_static_enrich",
-    "stream_parquet_sink",
-    "storage_jsonl_badrecords",
-    "storage_jsonl_roundtrip",
-    "vector_semdedup_pairs",
-    "vector_pq_adc_topk",
-    "vector_sq_int8_topk",
-    "dedup_contamination",
-    "temporal_asof_join",
-    "temporal_range_join",
-    "temporal_sessionize",
-    "temporal_ohlc",
-    "temporal_gap_fill",
-    "corpus_pii_redact",
-    "corpus_boilerplate_removal",
-    "corpus_stratified_sample",
-    "corpus_weighted_sample",
-    "corpus_dataset_split",
-    "corpus_token_pack",
-    "corpus_chunking",
-    "storage_zorder_cluster",
-    "storage_histogram_drift",
-    "storage_numeric_profile",
-    "scale_skew_profile",
-    "grouped_map_normalize",
-    "text_lm_score",
-    # events_funnel yielded its slot to dedup_minhash_lsh (code-changed
-    # round 11); its r6 green still satisfies the freshness bar and it
-    # joins the round-12 queue head with the other 13 r6-era leftovers.
+    # -- code changed in round 12: stale green, must re-score ---------------
+    "storage_txn_acid",  # r11 +38% A/B isolation (VERDICT r11 item 2)
+    "vector_power_iteration_pca",  # plan diet (VERDICT r11 item 5)
+    # -- r6-era rows (oldest greens left in the registry) --------------------
+    "events_funnel",
+    "func_json_extract",
+    "minmax_normalize_window",
+    "quality_classifier_filter",
+    "temporal_time_bucket",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_cube",
+    "agg_exact_median",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_unpivot",
+    # -- r7-era rows, complex-first (35 of 49) -------------------------------
+    "stream_dedup_expiry",
+    "stream_window_topk",
+    "graph_lpa_communities",
+    "graph_pagerank",
+    "graph_link_prediction",
+    "vector_kmeans_clusters",
+    "vector_matryoshka_topk",
+    "vector_recall_report",
+    "text_tfidf_doc_pairs",
+    "text_positional_index",
+    "text_pmi_collocations",
+    "text_phrase_search",
+    "events_attribution",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "events_rfm_segments",
+    "events_rolling_active_users",
+    "events_sequence_trigrams",
+    "events_ab_test",
+    "events_anomaly_mad",
+    "events_bot_regularity",
+    "dedup_containment_pairs",
+    "dedup_keep_best",
+    "corpus_domain_mix",
+    "corpus_dsir_weights",
+    "scale_bloom_prefilter",
+    "scale_countmin_estimate",
+    "scale_join_cardinality",
+    "storage_forget_user",
+    "storage_equidepth_histogram",
+    "storage_schema_evolution",
+    "quality_gopher_rules",
+    "quality_perplexity_buckets",
+    "temporal_scd2_intervals",
+    "temporal_cusum_drift",
 ]
 
 

@@ -298,6 +298,25 @@ def txn_commit(
     return target
 
 
+def _strip_nullability(dt):
+    """Recursively normalize a DataType to nullable=True everywhere, so the
+    append schema check compares STRUCTURE (names + types), not nullability.
+    DataType equality includes nested-field nullability — without this a
+    batch differing only in an array element's or struct field's
+    containsNull/nullable flag would be rejected (ADVICE r11)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [StructField(f.name, _strip_nullability(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True)
+    return dt
+
+
 def txn_init(store: ZoneStore, zone: str, key: str, df: DataFrame) -> int:
     """Create version 1 of a transactional table."""
     return txn_commit(store, zone, key, df, read_version=0, op="create")
@@ -342,8 +361,8 @@ def txn_append(
         table_schema = StructType.fromJson(json.loads(parent["schema_json"]))
     else:
         table_schema = store.spark.read.parquet(*_version_dirs(parent)).schema
-    table_types = {f.name: f.dataType for f in table_schema.fields}
-    batch_types = {f.name: f.dataType for f in df.schema.fields}
+    table_types = {f.name: _strip_nullability(f.dataType) for f in table_schema.fields}
+    batch_types = {f.name: _strip_nullability(f.dataType) for f in df.schema.fields}
     if table_types != batch_types:
         missing = sorted(set(table_types) - set(batch_types))
         extra = sorted(set(batch_types) - set(table_types))

@@ -560,6 +560,63 @@ def test_append_rejects_schema_drift(spark, store):
     assert _rows(chain) == {(1, 100), (2, 200)}
 
 
+def test_append_accepts_nested_nullability_drift(spark, store):
+    """Nullability is free at EVERY nesting level (ADVICE r11): DataType
+    equality includes nested containsNull/nullable flags, so the check
+    must strip them recursively — a batch whose struct field or array
+    element differs only in nullability is the same table schema."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base_schema = StructType([
+        StructField("account_id", IntegerType(), True),
+        StructField(
+            "meta",
+            StructType([StructField("tag", StringType(), True)]),
+            True,
+        ),
+        StructField("scores", ArrayType(IntegerType(), containsNull=True), True),
+    ])
+    base = spark.createDataFrame([(1, ("a",), [1, 2])], base_schema)
+    txn_init(store, "curated", "nested", base)
+
+    # same structure, non-null everywhere below the top level
+    tight_schema = StructType([
+        StructField("account_id", IntegerType(), False),
+        StructField(
+            "meta",
+            StructType([StructField("tag", StringType(), False)]),
+            False,
+        ),
+        StructField("scores", ArrayType(IntegerType(), containsNull=False), False),
+    ])
+    tight = spark.createDataFrame([(2, ("b",), [3])], tight_schema)
+    v2 = txn_append(store, "curated", "nested", tight, read_version=1)
+    assert v2 == 2
+    chain = txn_read(store, "curated", "nested")
+    assert chain.count() == 2
+    assert {r["account_id"] for r in chain.select("account_id").collect()} == {1, 2}
+
+    # a genuinely retyped NESTED field is still rejected
+    retyped_schema = StructType([
+        StructField("account_id", IntegerType(), True),
+        StructField(
+            "meta",
+            StructType([StructField("tag", IntegerType(), True)]),
+            True,
+        ),
+        StructField("scores", ArrayType(IntegerType(), True), True),
+    ])
+    retyped = spark.createDataFrame([(3, (9,), [4])], retyped_schema)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        txn_append(store, "curated", "nested", retyped, read_version=2)
+
+
 def test_two_threads_racing_appends_exactly_one_wins_then_retry(spark, store):
     """A REAL two-appender race (VERDICT r10 item 3a): two driver threads
     both read v1 and race txn_append for v2. Exactly one publish wins;

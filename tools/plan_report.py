@@ -113,7 +113,10 @@ def plan_stats(formatted: str) -> dict[str, int]:
                 stats["shuffles"] += 1
         elif name.startswith("BroadcastExchange"):
             stats["bcast"] += 1
-        elif name.startswith("Scan ") and " ExistingRDD" not in name:
+        elif name.startswith(("Scan parquet", "Scan csv", "Scan json", "Scan text", "Scan orc")):
+            # Count only file-source scans: 'Scan OneRowRelation' (literal
+            # queries) and 'Scan ExistingRDD' (createDataFrame) are not
+            # data reads and would inflate the totals (ADVICE r11).
             stats["scans"] += 1
         elif name.startswith(("Window", "WindowGroupLimit")):
             if _has_partitionless_spec(body):
