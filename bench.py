@@ -119,6 +119,62 @@ HEADLINE = [
 ]
 
 
+# --- Host-calibration probe (VERDICT r11 item 1) ---------------------------
+# Two fixed CPU-bound reference kernels, run before AND after the query
+# sweep. Their wall time on an idle, unthrottled host is pinned below
+# (tools/calibrate_probe.py); the measured/pinned ratio estimates how much
+# slower THIS run's host is than the calibration host, and
+# normalized_total = total / ratio reports what the sweep would have cost
+# at calibration speed. r9/r10/r11 totals swung ±16% on unchanged code —
+# without this, the 2× baseline gate measures host weather, not the engine.
+#
+# Kernel choice: the Spark leg (constant-size range → hash → shuffle →
+# hash-agg, 32 fixed input partitions) exercises the JVM/codegen/shuffle
+# path every benched query lives on; the pure-Python md5 leg is a
+# single-thread CPU witness independent of the JVM, so frequency
+# throttling vs scheduler contention are distinguishable in BENCH_DIAG.
+# Pinned 2026-08-15 (round 12) by tools/calibrate_probe.py, 7 reps on an
+# idle guest (1-min load 0.75): spark 0.789-0.920 median 0.831, py
+# 0.680-0.745 median 0.716. Re-pin ONLY after a deliberate kernel change.
+PROBE_REF = {"spark": 0.831, "py": 0.716}
+
+
+def probe_once(spark) -> tuple[float, float]:
+    """One probe sample: (spark_sec, python_sec). Fixed work, no I/O."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    # per-row compute must DOMINATE task-scheduling overhead or the probe
+    # measures local-mode scheduler jitter, not host speed (measured: a
+    # plain xxhash64 over 240M rows swung ±35% rep-to-rep; 12 nested
+    # hashes per row brought the spread under ±10%)
+    h = F.col("id")
+    for _ in range(12):
+        h = F.xxhash64(h)
+    spark.range(0, 120_000_000, 1, 32).select(
+        (h % 997).alias("k"), h.alias("h")
+    ).groupBy("k").agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")).collect()
+    spark_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    data = b"x" * 4096
+    acc = b""
+    for i in range(100_000):
+        acc = hashlib.md5(data + i.to_bytes(4, "little") + acc[:4]).digest()
+    py_sec = time.perf_counter() - t0
+    return spark_sec, py_sec
+
+
+def probe_median(spark, reps: int = 3) -> tuple[float, float]:
+    samples = [probe_once(spark) for _ in range(reps)]
+    return (
+        statistics.median(s for s, _ in samples),
+        statistics.median(p for _, p in samples),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -183,6 +239,11 @@ def main() -> None:
 
     ticks_start = _cpu_ticks()
 
+    # Host-calibration probe, leg 1 of 2 (VERDICT r11 item 1): runs AFTER
+    # warmup so JVM startup isn't charged to it, BEFORE the sweep so a
+    # throttled start is visible even if the host recovers mid-run.
+    probe_before = probe_median(spark)
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     # Diagnostics embedded in the artifact (VERDICT r5 item 3: the r4
@@ -221,6 +282,20 @@ def main() -> None:
         samples_by_query[name] = [round(s, 3) for s in samples]
 
     total = round(sum(timings.values()), 3)
+
+    # Host-calibration probe, leg 2 of 2, then the normalization. ratio is
+    # the mean over the two kernels of (mean(before, after) / pinned ref):
+    # ratio 1.0 = calibration-speed host, 1.2 = this run's host was ~20%
+    # slower, and normalized_total = total / ratio estimates what the
+    # sweep would cost at calibration speed. Ratio is clamped at >= 0.85:
+    # a probe reading meaningfully FASTER than the pinned idle-host ref is
+    # measurement noise, and letting it inflate normalized_total would
+    # manufacture regressions on a healthy host.
+    probe_after = probe_median(spark)
+    ratio_spark = (probe_before[0] + probe_after[0]) / (2 * PROBE_REF["spark"])
+    ratio_py = (probe_before[1] + probe_after[1]) / (2 * PROBE_REF["py"])
+    host_ratio = max(0.85, (ratio_spark + ratio_py) / 2)
+    normalized_total = round(total / host_ratio, 3)
     # Diagnostics (per-run samples, uptime, loadavg — VERDICT r5 item 3)
     # go to a SIBLING file, not stdout: embedding them in the contract
     # line grew it past the driver's ~2 KB tail capture and BENCH_r06
@@ -248,6 +323,18 @@ def main() -> None:
             # whole-run guest CPU mix; "steal" > a few percent means the
             # host was contended and wall times are upper bounds
             "cpu_pct_over_run": cpu_pct,
+            # host-calibration probe (VERDICT r11 item 1): median-of-3
+            # (spark_sec, py_sec) before and after the sweep vs the
+            # pinned idle-host reference; per-kernel ratios expose
+            # JVM-wide contention vs single-thread frequency throttling
+            "probe": {
+                "before": [round(x, 3) for x in probe_before],
+                "after": [round(x, 3) for x in probe_after],
+                "ref": [PROBE_REF["spark"], PROBE_REF["py"]],
+                "ratio_spark": round(ratio_spark, 3),
+                "ratio_py": round(ratio_py, 3),
+                "host_ratio": round(host_ratio, 3),
+            },
         }, fh, indent=1)
     # `load_ok` in the contract line self-certifies the run: False means
     # the host never went idle within the bounded wait and the numbers
@@ -257,6 +344,13 @@ def main() -> None:
     # `runs` timed executions and `value` is the sum of those medians,
     # so a single noisy sample (the documented 122→107 s host episode)
     # can neither hide nor fake a regression; raw samples in BENCH_DIAG.
+    # `probe_sec` = [spark_before, py_before, spark_after, py_after] vs the
+    # pinned PROBE_REF (constant above, echoed in BENCH_DIAG so the
+    # artifact pair is self-contained); `host_ratio` = measured/pinned
+    # averaged over kernels; `normalized_total` = value / host_ratio — the
+    # round-over-round comparable number (VERDICT r11 item 1). Kept
+    # compact: the contract line must stay under the driver's ~2 KB
+    # stdout-tail capture (measured 1890 bytes at 61 queries pre-probe).
     print(json.dumps({
         "metric": "total_wall_sec",
         "value": total,
@@ -265,6 +359,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "load_ok": load_ok,
+        "probe_sec": [
+            round(probe_before[0], 2), round(probe_before[1], 2),
+            round(probe_after[0], 2), round(probe_after[1], 2),
+        ],
+        "host_ratio": round(host_ratio, 3),
+        "normalized_total": normalized_total,
     }))
 
 

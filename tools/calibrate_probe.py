@@ -1,0 +1,41 @@
+"""Calibrate bench.py's host-normalization probe (VERDICT r11 item 1).
+
+Runs the two fixed CPU-bound reference kernels N times on an idle host and
+prints per-rep times + the median — the medians get pinned in bench.py as
+PROBE_REF. Rerun this ONLY to re-pin after a deliberate probe change; the
+whole point of the pin is that it never moves with host weather.
+
+Usage: python tools/calibrate_probe.py [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import probe_once  # noqa: E402
+
+from cyrela_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    spark = get_spark(app_name="probe-calibration")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM + codegen, same as bench
+    probe_once(spark)
+    sp, py = [], []
+    for i in range(reps):
+        s, p = probe_once(spark)
+        sp.append(s)
+        py.append(p)
+        print(f"rep {i + 1}/{reps}: spark={s:.3f}s py={p:.3f}s")
+    print(f"median: spark={statistics.median(sp):.3f} py={statistics.median(py):.3f}")
+    print(f"spread: spark={min(sp):.3f}-{max(sp):.3f} py={min(py):.3f}-{max(py):.3f}")
+
+
+if __name__ == "__main__":
+    main()
