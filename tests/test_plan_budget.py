@@ -52,6 +52,9 @@ SHUFFLE_BUDGET = {
     # pairs collapsed)
     "dedup_minhash_lsh": 3,
     "corpus_curriculum_stages": 6,
+    # r12 persist diet (VERDICT r11 item 5): E + per-round s + w2 cached,
+    # 23 sites -> 5 (one dr + one s agg per round, one final λ agg)
+    "vector_power_iteration_pca": 5,
     # iterative graph plans: per-round distinct sites (the rows the old
     # textual counters inflated to 33-180)
     "graph_pagerank": 10,
