@@ -71,7 +71,132 @@ def build(spark, scale: int) -> str:
     return path
 
 
+def minhash_phase_split(spark, docs, variant: str, hash_fn: str = "xxhash64") -> None:
+    """Phase-timed MinHash-LSH with a swappable storage strategy for the
+    base relation (VERDICT r11 item 6). Mirrors the shipped plan of
+    operators/dedup.py:minhash_lsh_pairs (same params, same joins, same
+    hints) with ONE knob — how the (id, shingles, signature) relation is
+    retained between the candidate and verify phases:
+
+      deser     — shipped: persist() default = MEMORY_AND_DISK_DESER
+      ser       — MEMORY_AND_DISK (PySpark naming: serialized): smaller
+                  cache footprint for the fat shingle arrays, CPU to
+                  re-inflate on every read
+      localckpt — localCheckpoint (lazy; materialized by the p1 count,
+                  same as the persists): cuts lineage and stores
+                  serialized blocks via the block manager (the "temp
+                  table checkpoint" a cluster job would use)
+      slim      — persist only (id, signature); the verify phase
+                  RE-DERIVES shingles from the input (drops the fat array
+                  from the cache at the price of re-scanning + re-hashing
+                  the corpus twice, once per join side)
+
+    Phases: p1 = build+materialize base (count), p2 = banded self-join
+    candidate generation (count; candidates then persisted so p3 is pure
+    verification), p3 = exact-Jaccard verify (final pair count). Keep the
+    shipped plan unless an alternative is CLEARLY better at 1000x.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from cyrela_etl_spark.operators.dedup import (
+        _cap_buckets,
+        _minhash_banded,
+        minhash_signature_expr,
+        word_shingles,
+    )
+
+    num_hashes, bands, shingle_n, threshold, cap = 16, 4, 3, 0.5, 1000
+    rows_per_band = num_hashes // bands
+    t0 = time.perf_counter()
+    full = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            word_shingles(F.col("text"), shingle_n).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn(
+            "signature", minhash_signature_expr(F.col("shingles"), num_hashes, hash_fn)
+        )
+    )
+    if variant == "deser":
+        base = full.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        sh = base.select("id", "shingles")
+    elif variant == "ser":
+        base = full.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = base.select("id", "shingles")
+    elif variant == "localckpt":
+        base = full.localCheckpoint(eager=False)
+        sh = base.select("id", "shingles")
+    elif variant == "slim":
+        base = full.select("id", "signature").persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        sh = docs.select(
+            F.col("doc_id").alias("id"),
+            word_shingles(F.col("text"), shingle_n).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+    else:
+        raise ValueError(f"unknown variant {variant}")
+    n_docs = base.count()
+    p1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    banded = _cap_buckets(
+        _minhash_banded(base.select("id", "signature"), bands, rows_per_band),
+        ["band", "bucket"],
+        cap,
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    n_cand = candidates.count()
+    p2 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    inter = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union = F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+    half = candidates.hint("shuffle_hash").join(
+        sh.alias("sa"), F.col("id_a") == F.col("sa.id")
+    )
+    pairs = (
+        half.join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .count()
+    )
+    p3 = time.perf_counter() - t0
+    print(
+        f"PHASES variant={variant} docs={n_docs} candidates={n_cand} pairs={pairs} "
+        f"p1_signature={p1:.1f}s p2_candidates={p2:.1f}s p3_verify={p3:.1f}s "
+        f"total={p1 + p2 + p3:.1f}s",
+        flush=True,
+    )
+    spark.catalog.clearCache()
+
+
+def phases_main(argv: list[str]) -> None:
+    scale = int(argv[0]) if argv else 1000
+    variants = argv[1:] or ["deser", "ser", "localckpt", "slim"]
+    spark = get_spark(app_name="scale-curve-lsh-phases")
+    spark.sparkContext.setLogLevel("ERROR")
+    path = build(spark, scale)
+    docs = spark.read.parquet(f"{path}/documents.parquet")
+    print(f"SCALE {scale}x docs={docs.count()}", flush=True)
+    for v in variants:
+        minhash_phase_split(spark, docs, v)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "phases":
+        phases_main(sys.argv[2:])
+        return
     scales = [int(s) for s in sys.argv[1:]] or [1, 10, 100]
     from cyrela_etl_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
 
