@@ -184,9 +184,19 @@ def main() -> None:
         wanted = {x.strip() for x in only.split(",")}
         legs = [leg for leg in legs if leg[0] in wanted]
 
-    spark = get_spark(
-        app_name="scale-curve-graph", extra_conf={"spark.ui.enabled": "true"}
-    )
+    conf = {"spark.ui.enabled": "true"}
+    # Root-cause knob for shuffle-byte curve analysis: at small scales AQE
+    # converts node-scale join sides (degree tables, label relations, the
+    # canonical edge set) to broadcasts, so their bytes never hit the
+    # shuffle counters; once those relations outgrow the threshold the
+    # bytes step back in, which reads as superlinear byte growth even
+    # when per-row work is exactly linear. Set
+    # SPARK_GRAFT_GRAPH_BCAST=-1 to forbid broadcasts and measure the
+    # all-shuffle byte baseline at any scale.
+    bcast = os.environ.get("SPARK_GRAFT_GRAPH_BCAST")
+    if bcast:
+        conf["spark.sql.autoBroadcastJoinThreshold"] = bcast
+    spark = get_spark(app_name="scale-curve-graph", extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
     build_base(spark)
     spark.catalog.clearCache()
