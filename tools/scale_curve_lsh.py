@@ -182,11 +182,21 @@ def minhash_phase_split(spark, docs, variant: str, hash_fn: str = "xxhash64") ->
 
 
 def phases_main(argv: list[str]) -> None:
+    import os
+
     scale = int(argv[0]) if argv else 1000
     variants = argv[1:] or ["deser", "ser", "localckpt", "slim"]
     spark = get_spark(app_name="scale-curve-lsh-phases")
     spark.sparkContext.setLogLevel("ERROR")
-    path = build(spark, scale)
+    # SPARK_GRAFT_LSH_REUSE=1 skips the corpus rebuild when the scaled
+    # parquet already exists — variants that can kill the JVM (the ser
+    # persist heap-OOMs at 1000x) are cheaper to re-run one per process.
+    path = f"/tmp/scale_lsh_{scale}x"
+    if not (
+        os.environ.get("SPARK_GRAFT_LSH_REUSE")
+        and os.path.exists(f"{path}/documents.parquet/_SUCCESS")
+    ):
+        path = build(spark, scale)
     docs = spark.read.parquet(f"{path}/documents.parquet")
     print(f"SCALE {scale}x docs={docs.count()}", flush=True)
     for v in variants:
