@@ -1,9 +1,12 @@
 """Calibrate bench.py's host-normalization probe (VERDICT r11 item 1).
 
 Runs the two fixed CPU-bound reference kernels N times on an idle host and
-prints per-rep times + the median — the medians get pinned in bench.py as
-PROBE_REF. Rerun this ONLY to re-pin after a deliberate probe change; the
-whole point of the pin is that it never moves with host weather.
+prints per-rep times + min/median. bench.py normalizes by the MEAN over
+checkpoints interleaved through the sweep; PROBE_REF is a frozen UNIT
+(median of one idle calibration), not a truth claim — the idle host
+itself drifts 20%+ between calibrations. Rerun this ONLY to re-pin after
+a deliberate KERNEL change; the whole point of the pin is that it never
+moves with host weather.
 
 Usage: python tools/calibrate_probe.py [reps]
 """
@@ -33,7 +36,8 @@ def main() -> None:
         sp.append(s)
         py.append(p)
         print(f"rep {i + 1}/{reps}: spark={s:.3f}s py={p:.3f}s")
-    print(f"median: spark={statistics.median(sp):.3f} py={statistics.median(py):.3f}")
+    print(f"min:    spark={min(sp):.3f} py={min(py):.3f}")
+    print(f"median: spark={statistics.median(sp):.3f} py={statistics.median(py):.3f}  <- pin convention")
     print(f"spread: spark={min(sp):.3f}-{max(sp):.3f} py={min(py):.3f}-{max(py):.3f}")
 
 
