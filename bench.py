@@ -120,10 +120,11 @@ HEADLINE = [
 
 
 # --- Host-calibration probe (VERDICT r11 item 1) ---------------------------
-# Two fixed CPU-bound reference kernels, run before AND after the query
-# sweep. Their wall time on an idle, unthrottled host is pinned below
+# Two fixed CPU-bound reference kernels, sampled at checkpoints
+# INTERLEAVED through the query sweep (see PROBE_EVERY below). Their wall
+# time on an idle, unthrottled host is pinned below
 # (tools/calibrate_probe.py); the measured/pinned ratio estimates how much
-# slower THIS run's host is than the calibration host, and
+# slower THIS run's host was while the queries ran, and
 # normalized_total = total / ratio reports what the sweep would have cost
 # at calibration speed. r9/r10/r11 totals swung ±16% on unchanged code —
 # without this, the 2× baseline gate measures host weather, not the engine.
@@ -329,7 +330,12 @@ def main() -> None:
     #    never had (normalized 74.1 vs idle 103-106, a fake 30% win).
     #    Interleaved checkpoints shrink this error (the mid-run samples
     #    see the load die) and ALSO expose it: spark checkpoint samples
-    #    spreading beyond 30% max/min mark the run unstable.
+    #    spreading beyond 45% max/min mark the run unstable. 45% is
+    #    measured, not guessed: single-checkpoint transients up to 42%
+    #    occur on an otherwise-calm host (one blip in seven samples,
+    #    correctly absorbed by the mean), while every genuine episode
+    #    observed — burner dying mid-run, descending co-tenant legs,
+    #    waxing-waning contention — spread 53-96%.
     # 2. Core-competition contention is handled MODE-AWARE rather than
     #    flagged: a STATIONARY 16-process burner left the sweep nearly
     #    untouched (its queries have spare-thread slack) while the
@@ -358,7 +364,7 @@ def main() -> None:
     spark_drift = (max(sp_samples) - min(sp_samples)) / min(sp_samples)
     kernel_divergence = abs(ratio_spark - ratio_py) / min(ratio_spark, ratio_py)
     probe_mode = "throttle" if kernel_divergence <= 0.20 else "contention"
-    probe_stable = spark_drift <= 0.30 and kernel_divergence <= 0.50
+    probe_stable = spark_drift <= 0.45 and kernel_divergence <= 0.50
     host_ratio = max(0.85, ratio_spark if probe_mode == "throttle" else ratio_py)
     normalized_total = round(total / host_ratio, 3)
     # Diagnostics (per-run samples, uptime, loadavg — VERDICT r5 item 3)
