@@ -1,0 +1,134 @@
+"""Model checks for the text-identity and quality operators
+(operators/text.py: language_id, fingerprint, quality_features) —
+model-check wave 3.
+
+What these pin beyond the `text_language_id` / `text_quality_scores` /
+`dedup_exact_groups` oracle rows:
+
+- language_id: the per-language marker-hit counts, the argmax with the
+  FIXED LANG_ORDER tie-break (markers like 'la' live in two languages,
+  so ties are real), and the 'und' zero-hit contract — on
+  hypothesis-random token mixes rather than one parquet's fixed text.
+- fingerprint: whitespace normalization (runs -> single space, trim) +
+  md5 + hex-prefix int64, vs hashlib (including tabs/double spaces that
+  the fixed testdata never exercises).
+- quality_features: the exact IEEE chain (int/int double divisions,
+  null-on-zero under the engine's ANSI-off session, the NULL-IGNORING
+  `least` that silently turns an empty document's stopword signal into
+  1.0 and its punct signal into 0.0 — behavior worth pinning, since an
+  oracle twin must replicate it), compared bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TOKENS = ["the", "and", "der", "die", "la", "es", "est", "is", "x,y!", "zz.", "a"]
+_DOC = st.lists(st.sampled_from(_TOKENS), min_size=0, max_size=12)
+_DOCS = st.lists(_DOC, min_size=1, max_size=8)
+
+_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text.lower()) if t]
+
+
+@given(docs=_DOCS)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_language_id_matches_python_model(spark, docs):
+    from cyrela_etl_spark.operators.text import language_id
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {
+        r["doc_id"]: (r["lang_pred"], *[r[f"score_{lang}"] for lang in _ORDER])
+        for r in language_id(df).collect()
+    }
+    want = {}
+    for i, t in rows:
+        toks = _toks(t)
+        scores = {lang: sum(1 for x in toks if x in _MARKERS[lang]) for lang in _ORDER}
+        best = max(scores.values())
+        pred = "und" if best == 0 else next(l for l in _ORDER if scores[l] == best)
+        want[i] = (pred, *[scores[lang] for lang in _ORDER])
+    assert got == want
+
+
+@given(docs=_DOCS, sep=st.sampled_from([" ", "  ", "\t", " \t "]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_fingerprint_matches_python_model(spark, docs, sep):
+    from cyrela_etl_spark.operators.text import fingerprint
+
+    rows = [(i, sep + sep.join(d) + sep) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {
+        r["doc_id"]: (r["content_md5"], r["fingerprint64"])
+        for r in fingerprint(df).collect()
+    }
+    want = {}
+    for i, t in rows:
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        h = hashlib.md5(norm.encode("utf-8")).hexdigest()
+        want[i] = (h, int(h[:15], 16))
+    assert got == want
+
+
+def _least_null_ignoring(a, b):
+    """Spark least(): smallest NON-NULL argument; null only if all null."""
+    if a is None:
+        return b
+    return min(a, b)
+
+
+def _model_quality(t: str):
+    toks = _toks(t)
+    n_tok = len(toks)
+    n_chr = len(t)
+    nospace = len(re.sub(r"\s+", "", t))
+    n_punct = sum(1 for ch in t if ch in ".,!?;:")
+    n_stop = sum(
+        1
+        for x in toks
+        if x in ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+                 "that", "for", "on", "as", "with", "was", "at", "by"]
+    )
+    avg_len = nospace / n_tok if n_tok else None
+    punct_ratio = n_punct / n_chr if n_chr else None
+    stop_ratio = n_stop / n_tok if n_tok else None
+    length_sig = min(n_tok, 100) / 100
+    stop_sig = _least_null_ignoring(None if stop_ratio is None else stop_ratio * 4, 1.0)
+    punct_sig = 1.0 - _least_null_ignoring(
+        None if punct_ratio is None else punct_ratio * 10, 1.0
+    )
+    quality = (length_sig + stop_sig + punct_sig) / 3.0
+    return (n_tok, n_chr, avg_len, punct_ratio, stop_ratio, quality)
+
+
+@given(docs=_DOCS)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_quality_features_match_python_model(spark, docs):
+    from cyrela_etl_spark.operators.text import quality_features
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_chars_measured"], r["avg_token_len"],
+            r["punct_ratio"], r["stopword_ratio"], r["quality_score"],
+        )
+        for r in quality_features(df).collect()
+    }
+    want = {i: _model_quality(t) for i, t in rows}
+    assert got == want

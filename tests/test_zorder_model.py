@@ -1,0 +1,109 @@
+"""Model checks for the z-order operators (operators/zorder.py) — model-check
+wave 3 (the round-9..12 pattern: every md5/integer-deterministic operator
+family gets a plain-Python reference model alongside its DuckDB oracle twin).
+
+What these pin beyond the `storage_zorder_cluster` oracle row:
+
+- zvalue_expr: the Morton interleave itself (bit i of d1 -> 2i, bit i of
+  d2 -> 2i+1) on hypothesis-random keys, INCLUDING keys wider than
+  ``bits`` (high bits must be ignored, not folded in) and bits != 16.
+- zvalue_sql: the portable SQL twin evaluated by DuckDB on the same rows
+  must produce bit-identical z-values to the Spark expression (this is
+  the equality the oracle relies on, pinned directly instead of only
+  through one query's fixed inputs).
+- zorder_cluster_stats: bucket key = zvalue >> bucket_shift, per-bucket
+  count and min/max rectangles vs a plain-Python groupby.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_KEY = st.integers(min_value=0, max_value=2**20 - 1)  # wider than bits=16
+_ROWS = st.lists(st.tuples(_KEY, _KEY), min_size=1, max_size=32)
+
+
+def _model_z(d1: int, d2: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((d1 >> i) & 1) << (2 * i)
+        z |= ((d2 >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(rows=_ROWS, bits=st.sampled_from([4, 8, 16]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_zvalue_expr_matches_python_morton(spark, rows, bits):
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.operators.zorder import zvalue_expr
+
+    df = spark.createDataFrame(rows, "d1 long, d2 long").repartition(2)
+    got = {
+        (r["d1"], r["d2"], r["z"])
+        for r in df.select(
+            "d1", "d2", zvalue_expr(F.col("d1"), F.col("d2"), bits).alias("z")
+        ).collect()
+    }
+    want = {(d1, d2, _model_z(d1, d2, bits)) for d1, d2 in rows}
+    assert got == want
+
+
+@given(rows=_ROWS, bits=st.sampled_from([4, 16]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_zvalue_sql_twin_matches_expr_via_duckdb(spark, rows, bits):
+    from pyspark.sql import functions as F
+
+    from cyrela_etl_spark.operators.zorder import zvalue_expr, zvalue_sql
+
+    df = spark.createDataFrame(rows, "d1 long, d2 long")
+    spark_z = [
+        (r["d1"], r["d2"], r["z"])
+        for r in df.select(
+            "d1", "d2", zvalue_expr(F.col("d1"), F.col("d2"), bits).alias("z")
+        ).collect()
+    ]
+    pdf = pd.DataFrame(rows, columns=["d1", "d2"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck_z = {
+        (int(a), int(b), int(z))
+        for a, b, z in con.execute(
+            f"SELECT d1, d2, {zvalue_sql('d1', 'd2', bits)} AS z FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert set(spark_z) == duck_z
+
+
+@given(rows=_ROWS, shift=st.sampled_from([8, 22]))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_zorder_cluster_stats_matches_python_model(spark, rows, shift):
+    from cyrela_etl_spark.operators.zorder import zorder_cluster_stats
+
+    bits = 16
+    df = spark.createDataFrame(rows, "k1 long, k2 long").repartition(2)
+    got = {
+        r["bucket"]: (
+            r["n_rows"], r["min_z"], r["max_z"],
+            r["min_k1"], r["max_k1"], r["min_k2"], r["max_k2"],
+        )
+        for r in zorder_cluster_stats(df, "k1", "k2", bits=bits, bucket_shift=shift).collect()
+    }
+    buckets: dict[int, list[tuple[int, int, int]]] = {}
+    for k1, k2 in rows:
+        z = _model_z(k1, k2, bits)
+        buckets.setdefault(z >> shift, []).append((z, k1, k2))
+    want = {
+        b: (
+            len(members),
+            min(z for z, _, _ in members), max(z for z, _, _ in members),
+            min(k1 for _, k1, _ in members), max(k1 for _, k1, _ in members),
+            min(k2 for _, _, k2 in members), max(k2 for _, _, k2 in members),
+        )
+        for b, members in buckets.items()
+    }
+    assert got == want
