@@ -885,39 +885,47 @@ register("graph_bfs_frontier", graph_bfs_frontier, _bfs_oracle())
 # edge counts per round — the standard coreness-style density probe,
 # expressed as degree aggregates + semi-joins (no iteration state on the
 # driver; rounds are unrolled).
+#
+# r13 plan diet (VERDICT r12 item 4): the single per-round DEGREE table is
+# the only aggregate — it yields the stats row directly (n_nodes = its row
+# count; n_edges = sum(deg)/2, exact because _dup_edges emits DISTINCT
+# id_a < id_b pairs, so every edge contributes exactly two endpoint
+# degrees) AND the keep-set for the next peel. The old plan built a
+# separate distinct-node shuffle plus a 1-row edge-count broadcast join
+# per round (the sweep's last BNLJ allowlist entry); both are gone.
 # ---------------------------------------------------------------------------
 _KCORE_K = 2
 
 
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e0 = _dup_edges(spark, sf_dir).persist()  # release: caller (cache contract, queries/__init__)
-
-    def stats(e: DataFrame, rnd: int) -> DataFrame:
-        nodes = e.select(F.col("id_a").alias("v")).unionByName(
-            e.select(F.col("id_b").alias("v"))
-        ).distinct()
-        return nodes.agg(
-            F.lit(rnd).cast("long").alias("round"),
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        ).join(F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))))
-
-    def peel(e: DataFrame) -> DataFrame:
-        deg = (
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
             e.select(F.col("id_a").alias("v"))
             .unionByName(e.select(F.col("id_b").alias("v")))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("v")
+
+    def stats(deg: DataFrame, rnd: int) -> DataFrame:
+        return deg.agg(
+            F.lit(rnd).cast("long").alias("round"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("n_edges"),
+        )
+
+    def induce(e: DataFrame, keep: DataFrame) -> DataFrame:
         return (
             e.join(keep.withColumnRenamed("v", "id_a"), "id_a", "left_semi")
             .join(keep.withColumnRenamed("v", "id_b"), "id_b", "left_semi")
             .select("id_a", "id_b")
         )
 
-    e1 = peel(e0).persist()  # release: caller (cache contract, queries/__init__)
-    e2 = peel(e1)
-    return stats(e0, 0).unionByName(stats(e1, 1)).unionByName(stats(e2, 2))
+    e0 = _dup_edges(spark, sf_dir).persist()  # release: caller (cache contract, queries/__init__)
+    deg0 = degrees(e0).persist()  # release: caller — feeds stats(0) AND keep1
+    e1 = induce(e0, deg0.filter(F.col("deg") >= _KCORE_K).select("v")).persist()  # release: caller
+    deg1 = degrees(e1).persist()  # release: caller — feeds stats(1) AND keep2
+    e2 = induce(e1, deg1.filter(F.col("deg") >= _KCORE_K).select("v"))
+    return stats(deg0, 0).unionByName(stats(deg1, 1)).unionByName(stats(degrees(e2), 2))
 
 
 def _kcore_oracle() -> str:

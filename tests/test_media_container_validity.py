@@ -97,8 +97,15 @@ def test_jpeg_payloads_walk_as_jfif_segments(media):
             marker = payload[pos + 1]
             if marker == 0xDA:  # SOS: entropy data follows until EOI
                 break
+            assert pos + 4 <= len(payload), (
+                f"truncated segment: marker 0x{marker:02x} at {pos} has no "
+                f"length field (payload {len(payload)} bytes)"
+            )
             (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
             if marker == 0xC0:  # SOF0: baseline dims
+                assert pos + 9 <= len(payload), (
+                    f"truncated SOF0 at {pos}: no room for the dim fields"
+                )
                 h, w = struct.unpack_from(">HH", payload, pos + 5)
                 dims = (w, h)
             pos += 2 + seg_len

@@ -35,8 +35,6 @@ BNLJ_ALLOWED = {
     "events_power_pareto",
     "ml_woe_iv",
     "ml_class_weights",
-    # kcore: per-round 1-row (n_nodes) × 1-row (n_edges) summary joins.
-    "graph_kcore_peel",
     # cluster quality: k-row broadcast centroid assignment (the kmeans
     # pattern) plus the k x k centroid-pair separation join.
     "vector_cluster_quality",
