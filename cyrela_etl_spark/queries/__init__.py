@@ -49,84 +49,79 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and scores AT MOST ~50 entries per round. Round-12 slot allocation
-# (VERDICT r11 items 2/3/5: drain driver freshness to r7+, re-score the
-# two entries whose code changes this round):
-#   code-changed (2): storage_txn_acid — the r11 +38% wall regression is
-#     being A/B-isolated and the entry needs a fresh green at
-#     r10-comparable wall (VERDICT r11 item 2); vector_power_iteration_pca
-#     — the registry-heaviest plan (23 shuffle / 31 broadcast / 24 scan
-#     sites) gets a persist-and-reuse diet pass (item 5).
-#   r6-era (13): the whole remaining cohort whose latest driver green is
-#     the round-6 row — judge pre-verified all 13 green in the round-11
-#     session, so this is pure bookkeeping; after this round no entry's
-#     latest driver score predates r7.
-#   r7-era (35 of 49): the round-7 cohort complex-first — the two
-#     streaming drains (side-effectful, heaviest), the graph family,
-#     vector/kmeans, the events battery, text indexing, dedup, corpus,
-#     scale sketches, storage lifecycle, quality, temporal SCD/CUSUM.
-#     2 + 13 + 35 = 50. The 14 r7-era entries left out (agg_mode,
-#     agg_weighted_median, temporal_ewma, temporal_interpolate,
-#     text_url_extraction, text_readability, ml_feature_hash,
-#     ml_target_encode, multimodal_mp3_meta, storage_moments_profile,
-#     storage_winsorize_profile, storage_correlation_profile,
-#     storage_integrity_checksum, sql_lateral_topn) are the cohort's
-#     simplest plans over since-untouched code; they head round 13's
-#     queue.
+# order and scores AT MOST ~50 entries per round. Round-13 slot allocation
+# (VERDICT r12 items 1/4: drain driver freshness to r8+, re-score the
+# entry whose code changes this round):
+#   code-changed (1): graph_kcore_peel — degree-table plan diet (one deg
+#     agg per round feeds both the stats row and the keep-set; 20 -> 16
+#     shuffle sites, BNLJ gone); needs a fresh green on the new plan.
+#   r7-era (14): the whole remaining cohort whose latest driver green is
+#     the round-7 row — the cohort's simplest plans over since-untouched
+#     code (VERDICT r12 item 1 names exactly this list); after this round
+#     no entry's latest driver score predates r8.
+#   r8-era (35 of 48): the round-8 cohort complex-first — recursive CTE,
+#     the streaming outer interval join, the graph/vector/text/dedup
+#     analysis entries, storage round-trips, events battery. 1 + 14 + 35
+#     = 50. The 13 r8-era entries left out (agg_bool, agg_listagg,
+#     func_bitwise, func_try_safe, join_null_safe, set_ops_all,
+#     window_ignore_nulls, window_time_range_frame, events_peak_days,
+#     events_stickiness, events_new_vs_returning, events_type_diversity,
+#     temporal_week_over_week) are that cohort's simplest plans; they
+#     head round 14's queue.
 _PRIORITY: list[str] = [
-    # -- code changed in round 12: stale green, must re-score ---------------
-    "storage_txn_acid",  # r11 +38% A/B isolation (VERDICT r11 item 2)
-    "vector_power_iteration_pca",  # plan diet (VERDICT r11 item 5)
-    # -- r6-era rows (oldest greens left in the registry) --------------------
-    "events_funnel",
-    "func_json_extract",
-    "minmax_normalize_window",
-    "quality_classifier_filter",
-    "temporal_time_bucket",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_cube",
-    "agg_exact_median",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_unpivot",
-    # -- r7-era rows, complex-first (35 of 49) -------------------------------
-    "stream_dedup_expiry",
-    "stream_window_topk",
-    "graph_lpa_communities",
-    "graph_pagerank",
-    "graph_link_prediction",
-    "vector_kmeans_clusters",
-    "vector_matryoshka_topk",
-    "vector_recall_report",
-    "text_tfidf_doc_pairs",
-    "text_positional_index",
-    "text_pmi_collocations",
-    "text_phrase_search",
-    "events_attribution",
-    "events_markov_transitions",
-    "events_retention_cohorts",
-    "events_rfm_segments",
-    "events_rolling_active_users",
-    "events_sequence_trigrams",
-    "events_ab_test",
-    "events_anomaly_mad",
-    "events_bot_regularity",
-    "dedup_containment_pairs",
-    "dedup_keep_best",
-    "corpus_domain_mix",
-    "corpus_dsir_weights",
-    "scale_bloom_prefilter",
-    "scale_countmin_estimate",
-    "scale_join_cardinality",
-    "storage_forget_user",
-    "storage_equidepth_histogram",
-    "storage_schema_evolution",
-    "quality_gopher_rules",
-    "quality_perplexity_buckets",
-    "temporal_scd2_intervals",
-    "temporal_cusum_drift",
+    # -- code changed in round 13: stale green, must re-score ---------------
+    "graph_kcore_peel",  # degree-table plan diet (VERDICT r12 item 4)
+    # -- r7-era rows (oldest greens left in the registry) --------------------
+    "agg_mode",
+    "agg_weighted_median",
+    "temporal_ewma",
+    "temporal_interpolate",
+    "text_url_extraction",
+    "text_readability",
+    "ml_feature_hash",
+    "ml_target_encode",
+    "multimodal_mp3_meta",
+    "storage_moments_profile",
+    "storage_winsorize_profile",
+    "storage_correlation_profile",
+    "storage_integrity_checksum",
+    "sql_lateral_topn",
+    # -- r8-era rows, complex-first (35 of 48) -------------------------------
+    "sql_recursive_cte",
+    "stream_interval_join_outer",
+    "graph_assortativity",
+    "graph_triangle_stats",
+    "vector_kcenter_select",
+    "vector_knn_classify",
+    "vector_label_margin",
+    "vector_norm_profile",
+    "text_bm25_topk",
+    "text_bpe_pair_stats",
+    "text_language_confusion",
+    "text_ngram_novelty",
+    "text_rake_keywords",
+    "dedup_impact_report",
+    "dedup_minhash_calibration",
+    "corpus_dataset_card",
+    "multimodal_media_meta",
+    "quality_filter_agreement",
+    "storage_csv_dialect",
+    "storage_hive_partition_roundtrip",
+    "storage_nested_json_flatten",
+    "storage_orc_roundtrip",
+    "temporal_asof_forward",
+    "temporal_calendar_dim",
+    "temporal_concurrency_curve",
+    "temporal_session_window_native",
+    "events_alert_debounce",
+    "events_anomaly_zscore",
+    "events_first_touch",
+    "events_forecast_backtest",
+    "events_gap_magnitude_histogram",
+    "events_heatmap_drift",
+    "events_seasonality",
+    "agg_basket_lift",
+    "agg_regression_slope",
 ]
 
 
