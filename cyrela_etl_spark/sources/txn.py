@@ -507,14 +507,22 @@ def vacuum(store: ZoneStore, zone: str, key: str, keep_last: int = 1) -> list[in
         if fs.exists(_jpath(store, mpath)):
             referenced.update(_version_dirs(_read_json(store, mpath)))
     removed = []
+    # Chain manifests share directories (version v's ``snapshots`` lists
+    # every dir back to the base), so without memoizing what's already
+    # gone the delete loop issues sum(v) = O(N^2) filesystem calls over an
+    # N-append chain — ~190 ms/version at N=100, half a million roundtrips
+    # at N=1000 (caught by tools/scale_curve_txn_vacuum.py). Each dir is
+    # deleted exactly once; repeats skip driver-side.
+    deleted: set[str] = set()
     for v in range(1, latest - keep_last + 1):
         mpath = _manifest_path(store, zone, key, v)
         if not fs.exists(_jpath(store, mpath)):
             continue
         m = _read_json(store, mpath)
         for d in _version_dirs(m):
-            if d not in referenced:
+            if d not in referenced and d not in deleted:
                 fs.delete(_jpath(store, d), True)
+                deleted.add(d)
         fs.delete(_jpath(store, mpath), False)
         # sweep the claim record too, if a LockFilePublisher left one
         fs.delete(_jpath(store, f"{_txn_dir(store, zone, key)}/{v:020d}.lock"), False)

@@ -697,3 +697,65 @@ def test_append_schema_check_falls_back_on_pre_schema_manifests(spark, store, tm
     v2 = txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
     assert v2 == 2
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
+
+
+def test_reader_spanning_vacuum_stays_readable(spark, store):
+    """The chain-aware retention guarantee from the READER side (VERDICT
+    r12 item 5): a lazy DataFrame planned on the retained latest version
+    BEFORE vacuum runs must still collect correctly AFTER vacuum removed
+    every older version — vacuum may delete old manifests, but never a
+    data directory the retained chain references, so a reader whose scan
+    spans the vacuum window sees no missing files."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = 1
+    for k in range(2, 8):
+        v = txn_append(
+            store, "curated", "accounts", _accounts(spark, [(k, k * 100)]), read_version=v
+        )
+    # planned before vacuum: its relation lists all 7 chain directories,
+    # 6 of which were first written by versions vacuum is about to remove
+    reader = txn_read(store, "curated", "accounts")
+    assert vacuum(store, "curated", "accounts", keep_last=1) == [1, 2, 3, 4, 5, 6]
+    assert _rows(reader) == {(k, k * 100) for k in range(1, 8)}
+
+
+def test_reader_racing_vacuum_never_fails(spark, store):
+    """A reader thread looping full reads of the retained latest while
+    vacuum deletes the other versions' manifests: every read must succeed
+    with the complete row set — there is no window where the latest
+    version's data is partially removed."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = 1
+    for k in range(2, 13):
+        v = txn_append(
+            store, "curated", "accounts", _accounts(spark, [(k, k * 100)]), read_version=v
+        )
+    want = {(k, k * 100) for k in range(1, 13)}
+    stop = threading.Event()
+    failures: list[BaseException] = []
+    reads = [0]
+
+    def reader():
+        try:
+            # do-while: at least one read always overlaps or follows the
+            # vacuum window, so the race assertion below can't go flaky
+            # when vacuum finishes before the loop's first stop check
+            while True:
+                assert _rows(txn_read(store, "curated", "accounts")) == want
+                reads[0] += 1
+                if stop.is_set():
+                    break
+        except BaseException as e:  # noqa: BLE001 — surface to the main thread
+            failures.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        removed = vacuum(store, "curated", "accounts", keep_last=1)
+    finally:
+        stop.set()
+        t.join()
+    assert removed == list(range(1, 12))
+    assert not failures, failures
+    assert reads[0] >= 1  # the race actually overlapped at least one read
+    assert _rows(txn_read(store, "curated", "accounts")) == want

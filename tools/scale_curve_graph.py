@@ -93,37 +93,39 @@ def build_scaled(spark, scale: int) -> str:
 
 def kcore_rounds(e0: DataFrame) -> DataFrame:
     """Two unrolled k=2 peel rounds — the graph_kcore_peel plan shape
-    (queries/round8q.py:892), parameterized on an edge DataFrame."""
-    e0 = e0.persist()
+    (queries/round8q.py:892, r13 degree-table diet: one deg agg per round
+    feeds both the stats row and the keep-set; n_edges = sum(deg)/2 is
+    exact on distinct id_a < id_b edges), parameterized on an edge
+    DataFrame."""
 
-    def stats(e: DataFrame, rnd: int) -> DataFrame:
-        nodes = (
-            e.select(F.col("id_a").alias("v"))
-            .unionByName(e.select(F.col("id_b").alias("v")))
-            .distinct()
-        )
-        return nodes.agg(
-            F.lit(rnd).cast("long").alias("round"),
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        ).join(F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))))
-
-    def peel(e: DataFrame) -> DataFrame:
-        deg = (
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
             e.select(F.col("id_a").alias("v"))
             .unionByName(e.select(F.col("id_b").alias("v")))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("v")
+
+    def stats(deg: DataFrame, rnd: int) -> DataFrame:
+        return deg.agg(
+            F.lit(rnd).cast("long").alias("round"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("n_edges"),
+        )
+
+    def induce(e: DataFrame, keep: DataFrame) -> DataFrame:
         return (
             e.join(keep.withColumnRenamed("v", "id_a"), "id_a", "left_semi")
             .join(keep.withColumnRenamed("v", "id_b"), "id_b", "left_semi")
             .select("id_a", "id_b")
         )
 
-    e1 = peel(e0).persist()
-    e2 = peel(e1)
-    return stats(e0, 0).unionByName(stats(e1, 1)).unionByName(stats(e2, 2))
+    e0 = e0.persist()
+    deg0 = degrees(e0).persist()
+    e1 = induce(e0, deg0.filter(F.col("deg") >= _KCORE_K).select("v")).persist()
+    deg1 = degrees(e1).persist()
+    e2 = induce(e1, deg1.filter(F.col("deg") >= _KCORE_K).select("v"))
+    return stats(deg0, 0).unionByName(stats(deg1, 1)).unionByName(stats(degrees(e2), 2))
 
 
 def shuffle_totals(spark) -> tuple[int, int]:

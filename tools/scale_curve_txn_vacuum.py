@@ -1,0 +1,157 @@
+"""Vacuum / checkpoint-compaction scaling curves for the txn layer
+(sources/txn.py) against manifest chains of 10/100/1,000 commits —
+VERDICT r12 item 5: append has a flat curve (scale_curve_txn.py);
+vacuum and compaction did not.
+
+Per chain length N (fresh table root each leg):
+
+- build: txn_init + (N-1) txn_appends of a fixed 50-row batch (the
+  variable is CHAIN LENGTH, not data volume); mean append wall is
+  reported as a cross-check against the flat append curve.
+- read_latest: txn_read(latest).count() — the N-directory multi-path
+  scan (one FileScan by contract; tests/test_txn_acid.py pins that).
+- compact: txn_compact — reads the N-dir union, writes ONE full
+  snapshot, commits version N+1. Expected linear in total rows (and in
+  N while rows/commit is constant).
+- vacuum: vacuum(keep_last=1) after the compact — removes N versions'
+  manifests + the N now-unreferenced chain directories. Driver-side
+  fs metadata ops only; expected linear in removed count. A CONCURRENT
+  READER thread loops full reads of the retained latest during the
+  vacuum and must never fail or see a partial row set (the chain-aware
+  retention guarantee; unit twin:
+  tests/test_txn_acid.py::test_reader_racing_vacuum_never_fails).
+- post-checks: latest still reads all rows; a removed version raises
+  FileNotFoundError.
+
+Output: one RESULT line per (N, leg) with wall seconds; the vacuum line
+carries the concurrent reader's iteration count and failure count.
+
+Usage: python tools/scale_curve_txn_vacuum.py [chain_lengths...]
+       (default: 10 100 1000)
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, ".")
+
+from cyrela_etl_spark.session import get_spark  # noqa: E402
+from cyrela_etl_spark.sources.txn import (  # noqa: E402
+    latest_version,
+    txn_append,
+    txn_compact,
+    txn_init,
+    txn_read,
+    vacuum,
+)
+from cyrela_etl_spark.sources.zones import ZoneStore  # noqa: E402
+
+ROWS_PER_COMMIT = 50
+
+
+def batch(spark, start: int):
+    # one file per commit — a 50-row batch spread over the default 32
+    # partitions would write 32 files per append (32k files at N=1000)
+    # and time the task-launch overhead instead of the commit protocol.
+    # JVM-side range, not createDataFrame(list).coalesce(1): coalesce on
+    # a parallelized local collection computes all 32 parent partitions
+    # serially in ONE task (~4 s per tiny batch); range+coalesce is a
+    # single JVM partition from the start (~0.2 s).
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(start, start + ROWS_PER_COMMIT, 1, 1)
+        .select(
+            F.col("id").cast("int").alias("account_id"),
+            (F.col("id") * 3).cast("int").alias("balance"),
+        )
+    )
+
+
+def main() -> None:
+    chains = [int(s) for s in sys.argv[1:]] or [10, 100, 1000]
+    spark = get_spark(app_name="scale-curve-txn-vacuum")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for n in chains:
+        root = f"/tmp/scale_txn_vacuum_{n}"
+        shutil.rmtree(root, ignore_errors=True)
+        store = ZoneStore(spark=spark, root=root)
+
+        t0 = time.perf_counter()
+        v = txn_init(store, "curated", "t", batch(spark, 0))
+        for i in range(1, n):
+            v = txn_append(store, "curated", "t", batch(spark, i * ROWS_PER_COMMIT), read_version=v)
+        build_wall = time.perf_counter() - t0
+        assert latest_version(store, "curated", "t") == n
+        print(
+            f"RESULT chain={n} leg=build wall={build_wall:.1f}s "
+            f"mean_append={build_wall / n * 1000:.0f}ms",
+            flush=True,
+        )
+
+        t0 = time.perf_counter()
+        total = txn_read(store, "curated", "t").count()
+        print(
+            f"RESULT chain={n} leg=read_latest wall={time.perf_counter() - t0:.2f}s "
+            f"rows={total}",
+            flush=True,
+        )
+        assert total == n * ROWS_PER_COMMIT
+
+        t0 = time.perf_counter()
+        cv = txn_compact(store, "curated", "t")
+        print(
+            f"RESULT chain={n} leg=compact wall={time.perf_counter() - t0:.2f}s "
+            f"version={cv}",
+            flush=True,
+        )
+
+        want = n * ROWS_PER_COMMIT
+        stop = threading.Event()
+        failures: list[BaseException] = []
+        reads = [0]
+
+        def reader():
+            try:
+                while True:
+                    got = txn_read(store, "curated", "t").count()
+                    assert got == want, f"reader saw {got} rows, want {want}"
+                    reads[0] += 1
+                    if stop.is_set():
+                        break
+            except BaseException as e:  # noqa: BLE001
+                failures.append(e)
+
+        rt = threading.Thread(target=reader)
+        rt.start()
+        t0 = time.perf_counter()
+        try:
+            removed = vacuum(store, "curated", "t", keep_last=1)
+        finally:
+            stop.set()
+            rt.join()
+        print(
+            f"RESULT chain={n} leg=vacuum wall={time.perf_counter() - t0:.2f}s "
+            f"removed={len(removed)} reader_reads={reads[0]} "
+            f"reader_failures={len(failures)}",
+            flush=True,
+        )
+        assert not failures, failures
+        assert len(removed) == n  # versions 1..n (compact is n+1)
+
+        assert txn_read(store, "curated", "t").count() == want
+        try:
+            txn_read(store, "curated", "t", 1)
+            raise AssertionError("vacuumed version 1 still readable")
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
