@@ -141,6 +141,17 @@ HEADLINE = [
 # on the spark kernel, so no pin is "true"); comparability across
 # rounds only requires that it never moves. Re-pin ONLY after a
 # deliberate kernel change.
+#
+# Re-pin protocol (when a kernel change forces it, or the sandbox fleet
+# moves to different hardware — in which case ALL prior normalized
+# totals become incomparable and the break must be recorded in NOTES):
+# run `python tools/calibrate_probe.py` for >=7 reps on an idle guest
+# (1-min load < 1, check `uptime`), take the per-kernel MEDIANS, update
+# both values here in the same commit as the kernel change, and start a
+# fresh BENCH baseline — never splice normalized totals across a re-pin.
+# Claims finer than the ~10% normalized residual need the same-session
+# interleaved A/B protocol instead (tools/ab_txn_schema_check.py is the
+# template; see README "The ±10% rule").
 PROBE_REF = {"spark": 0.831, "py": 0.716}
 
 

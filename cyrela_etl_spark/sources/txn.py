@@ -259,6 +259,32 @@ def _publish(store: ZoneStore, zone: str, key: str, version: int, manifest: dict
     return _publisher(store).publish(store, zone, key, version, manifest)
 
 
+def _fresh_view_check(store: ZoneStore, zone: str, key: str, read_version: int) -> None:
+    """O(1) optimistic pre-check: raise ``TxnConflictError`` unless
+    ``read_version`` is still the table head.
+
+    Replaces the ``latest_version`` listing the pre-check used through
+    round 12 — that listing iterates every manifest entry through the
+    py4j bridge, so an N-commit chain paid O(N) driver roundtrips PER
+    APPEND and the build of an N-chain paid O(N^2) total (measured by
+    tools/scale_curve_txn_vacuum.py: mean append 212 ms at N=100 vs
+    379 ms at N=1000; on an object store this is a LIST per commit vs
+    two HEADs). Correctness: manifests are contiguous from the vacuum
+    floor to latest (vacuum removes a version prefix, and the publisher's
+    put-if-absent allocates versions densely), so ``read_version`` is the
+    head iff manifest(read_version+1) is absent AND — catching both a
+    vacuumed-away view and a caller inventing a future version —
+    manifest(read_version) itself exists (read_version 0 means an empty
+    table and has no manifest to require)."""
+    fs, _ = store._fs()
+    if fs.exists(_jpath(store, _manifest_path(store, zone, key, read_version + 1))):
+        raise TxnConflictError(store.path(zone, key), read_version + 1)
+    if read_version >= 1 and not fs.exists(
+        _jpath(store, _manifest_path(store, zone, key, read_version))
+    ):
+        raise TxnConflictError(store.path(zone, key), read_version + 1)
+
+
 def txn_commit(
     store: ZoneStore,
     zone: str,
@@ -275,8 +301,7 @@ def txn_commit(
     any other writer committed after ``read_version``."""
     target = read_version + 1
     # cheap pre-check: racing for an already-taken version always loses
-    if latest_version(store, zone, key) != read_version:
-        raise TxnConflictError(store.path(zone, key), target)
+    _fresh_view_check(store, zone, key, read_version)
     snapshot = store.path(zone, f"{key}/_snapshots/v{target:020d}-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(snapshot)
     manifest = {
@@ -352,8 +377,7 @@ def txn_append(
     if read_version < 1:
         raise ValueError("txn_append requires an initialized table (read_version >= 1)")
     target = read_version + 1
-    if latest_version(store, zone, key) != read_version:
-        raise TxnConflictError(store.path(zone, key), target)
+    _fresh_view_check(store, zone, key, read_version)
     parent = read_manifest(store, zone, key, read_version)
     if parent.get("schema_json"):
         from pyspark.sql.types import StructType
