@@ -295,3 +295,22 @@ def test_zipf_topk_is_take_ordered_not_vocab_window(spark, sf_dir):
     assert max(w_idx) < min(t_idx), "rank window must consume the TakeOrdered output"
     row = df.collect()[0]
     assert row["n_terms"] == 30 and row["zipf_slope"] < 0
+
+
+def test_ann_topk_rank_prunes_before_exchange(spark, sf_dir):
+    """The ANN top-k rank must plan a WindowGroupLimit BELOW the window's
+    exchange (Spark 4's rank-limit pushdown): each map partition ships
+    only its local top-k, so the final rank shuffle carries
+    k * partitions * |queries| rows at ANY corpus scale. Found by the r13
+    ANN scale curve (ivf/sq legs showed ~0 shuffle bytes at 2M vectors);
+    this pins it — losing the pushdown (e.g. by breaking the rank
+    expression's filter shape) would make the rank shuffle corpus-sized."""
+    from cyrela_etl_spark.queries.vectorq import vector_ivf_topk, vector_sq_int8_topk
+
+    for fn in (vector_ivf_topk, vector_sq_int8_topk):
+        plan = _plan(fn(spark, sf_dir))
+        assert "WindowGroupLimit" in plan, fn.__name__
+        # the pushdown plants a partial (per-partition) group limit before
+        # the exchange and a final one after — both must be present
+        assert plan.index("WindowGroupLimit") < plan.index("Exchange"), fn.__name__
+    spark.catalog.clearCache()

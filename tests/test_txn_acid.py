@@ -759,3 +759,24 @@ def test_reader_racing_vacuum_never_fails(spark, store):
     assert not failures, failures
     assert reads[0] >= 1  # the race actually overlapped at least one read
     assert _rows(txn_read(store, "curated", "accounts")) == want
+
+
+def test_commit_with_invented_future_version_conflicts(spark, store):
+    """The O(1) fresh-view pre-check (r13) must preserve the old listing
+    check's rejection of a caller passing a read_version ahead of the
+    log head — without it, a buggy caller would fork a gapped version
+    the listing-based latest_version would then treat as latest."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    with pytest.raises(TxnConflictError):
+        txn_commit(
+            store, "curated", "accounts", _accounts(spark, [(2, 2)]),
+            read_version=5,
+        )
+    with pytest.raises(TxnConflictError):
+        txn_append(
+            store, "curated", "accounts", _accounts(spark, [(2, 2)]),
+            read_version=5,
+        )
+    # the log head is untouched
+    assert latest_version(store, "curated", "accounts") == 1
+    assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100)}

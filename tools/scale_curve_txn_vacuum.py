@@ -32,6 +32,7 @@ Usage: python tools/scale_curve_txn_vacuum.py [chain_lengths...]
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import threading
@@ -112,6 +113,10 @@ def main() -> None:
         )
 
         want = n * ROWS_PER_COMMIT
+        # SPARK_GRAFT_VACUUM_READER=0 turns the concurrent reader off for
+        # a clean vacuum wall (attribution: the reader's continuous full
+        # reads compete with vacuum for the py4j gateway and driver)
+        with_reader = os.environ.get("SPARK_GRAFT_VACUUM_READER", "1") != "0"
         stop = threading.Event()
         failures: list[BaseException] = []
         reads = [0]
@@ -128,13 +133,15 @@ def main() -> None:
                 failures.append(e)
 
         rt = threading.Thread(target=reader)
-        rt.start()
+        if with_reader:
+            rt.start()
         t0 = time.perf_counter()
         try:
             removed = vacuum(store, "curated", "t", keep_last=1)
         finally:
             stop.set()
-            rt.join()
+            if with_reader:
+                rt.join()
         print(
             f"RESULT chain={n} leg=vacuum wall={time.perf_counter() - t0:.2f}s "
             f"removed={len(removed)} reader_reads={reads[0]} "
