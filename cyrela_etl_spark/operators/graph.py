@@ -216,6 +216,11 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("lab")).alias("nl"))).alias("w"))
             .select(F.col("dst").alias("v"), (-F.col("w.nl")).cast("long").alias("lab"))
         )
+    # Final labels feed TWO consumers (the size aggregate and the output
+    # join); without a persist both branches re-plan the whole unrolled
+    # iteration (r13 diet — the PCA-w2 pattern). Node-sized,
+    # MEMORY_AND_DISK, spillable.
+    labels = labels.persist()  # release: caller (cache contract, queries/__init__)
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).cast("long").alias("community_size"))
     return labels.join(sizes, "lab").select(
         F.col("v").alias("node"),

@@ -58,7 +58,9 @@ SHUFFLE_BUDGET = {
     # iterative graph plans: per-round distinct sites (the rows the old
     # textual counters inflated to 33-180)
     "graph_pagerank": 10,
-    "graph_lpa_communities": 17,
+    # r13 diet: final labels persisted (two consumers — the size agg and
+    # the output join — each re-planned the whole unrolled iteration)
+    "graph_lpa_communities": 11,
     # r13 degree-table diet: ONE deg agg per round feeds both the stats
     # row (n_nodes = count, n_edges = sum(deg)/2) and the next keep-set;
     # the per-round distinct-nodes shuffle + 1-row edge-count broadcast
