@@ -148,6 +148,11 @@ def kmeans_quality_profile(
     for _ in range(iterations - 1):
         cent = _means(assigned)
         assigned = _assign(base, cent)
+    # cent feeds THREE consumers (the final assignment plus both sides of
+    # the separation self-join); without a persist each re-plans the
+    # corpus-scale means aggregate behind it (r13 diet — the LPA/PCA
+    # two-consumer-tail pattern). k rows.
+    cent = cent.persist()  # release: caller (cache contract, queries/__init__)
     cohesion = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.sum(F.col("dist2").cast("decimal(20,6)")).alias("__inertia"),

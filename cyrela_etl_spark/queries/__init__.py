@@ -52,26 +52,29 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 # order and scores AT MOST ~50 entries per round. Round-13 slot allocation
 # (VERDICT r12 items 1/4: drain driver freshness to r8+, re-score the
 # entry whose code changes this round):
-#   code-changed (3): graph_kcore_peel — degree-table plan diet (one deg
+#   code-changed (4): graph_kcore_peel — degree-table plan diet (one deg
 #     agg per round feeds both the stats row and the keep-set; 20 -> 16
 #     shuffle sites, BNLJ gone); storage_txn_acid — the commit/append
 #     pre-check moved from an O(chain) manifest listing to two O(1)
 #     existence probes and vacuum's delete loop was de-quadraticized
 #     (both caught by tools/scale_curve_txn_vacuum.py);
 #     graph_lpa_communities — final labels persisted (two consumers each
-#     re-planned the whole unrolled iteration; 17 -> 11 shuffle sites).
+#     re-planned the whole unrolled iteration; 17 -> 11 shuffle sites);
+#     vector_cluster_quality — the final k-row centroid table persisted
+#     (three consumers each re-planned the corpus-scale means aggregate;
+#     11 -> 6 shuffle sites). code-changed is 4 total.
 #   r7-era (14): the whole remaining cohort whose latest driver green is
 #     the round-7 row — the cohort's simplest plans over since-untouched
 #     code (VERDICT r12 item 1 names exactly this list); after this round
 #     no entry's latest driver score predates r8.
-#   r8-era (33 of 48): the round-8 cohort complex-first — recursive CTE,
+#   r8-era (32 of 48): the round-8 cohort complex-first — recursive CTE,
 #     the streaming outer interval join, the graph/vector/text/dedup
-#     analysis entries, storage round-trips, events battery. 3 + 14 + 33
-#     = 50. The 15 r8-era entries left out (agg_basket_lift, agg_bool,
+#     analysis entries, storage round-trips, events battery. 4 + 14 + 32
+#     = 50. The 16 r8-era entries left out (agg_basket_lift, agg_bool,
 #     agg_listagg, agg_regression_slope, func_bitwise, func_try_safe,
 #     join_null_safe, set_ops_all, window_ignore_nulls,
-#     window_time_range_frame, events_peak_days, events_stickiness,
-#     events_new_vs_returning, events_type_diversity,
+#     window_time_range_frame, events_peak_days, events_seasonality,
+#     events_stickiness, events_new_vs_returning, events_type_diversity,
 #     temporal_week_over_week) are that cohort's simplest plans; they
 #     head round 14's queue.
 _PRIORITY: list[str] = [
@@ -79,6 +82,7 @@ _PRIORITY: list[str] = [
     "graph_kcore_peel",  # degree-table plan diet (VERDICT r12 item 4)
     "storage_txn_acid",  # O(1) commit pre-check + vacuum de-quadratic (item 5)
     "graph_lpa_communities",  # final-labels persist diet (17 -> 11 sites)
+    "vector_cluster_quality",  # k-row centroid persist diet (11 -> 6 sites)
     # -- r7-era rows (oldest greens left in the registry) --------------------
     "agg_mode",
     "agg_weighted_median",
@@ -94,7 +98,7 @@ _PRIORITY: list[str] = [
     "storage_correlation_profile",
     "storage_integrity_checksum",
     "sql_lateral_topn",
-    # -- r8-era rows, complex-first (33 of 48) -------------------------------
+    # -- r8-era rows, complex-first (32 of 48) -------------------------------
     "sql_recursive_cte",
     "stream_interval_join_outer",
     "graph_assortativity",
@@ -127,7 +131,6 @@ _PRIORITY: list[str] = [
     "events_forecast_backtest",
     "events_gap_magnitude_histogram",
     "events_heatmap_drift",
-    "events_seasonality",
 ]
 
 
