@@ -62,20 +62,25 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 #     re-planned the whole unrolled iteration; 17 -> 11 shuffle sites);
 #     vector_cluster_quality — the final k-row centroid table persisted
 #     (three consumers each re-planned the corpus-scale means aggregate;
-#     11 -> 6 shuffle sites). code-changed is 4 total.
+#     11 -> 6 shuffle sites); graph_degree_distribution — edge set +
+#     histogram persisted (the symmetrizing union recomputed the corpus
+#     self-join; 8 -> 3 shuffle sites); vector_label_margin — sample +
+#     pair set persisted (the corpus window ran three times, the pair
+#     join twice; 8 -> 3 shuffle sites). code-changed is 6 total (label
+#     margin was already queued in the r8-era block and just moves up).
 #   r7-era (14): the whole remaining cohort whose latest driver green is
 #     the round-7 row — the cohort's simplest plans over since-untouched
 #     code (VERDICT r12 item 1 names exactly this list); after this round
 #     no entry's latest driver score predates r8.
-#   r8-era (32 of 48): the round-8 cohort complex-first — recursive CTE,
+#   r8-era (30 of 48): the round-8 cohort complex-first — recursive CTE,
 #     the streaming outer interval join, the graph/vector/text/dedup
-#     analysis entries, storage round-trips, events battery. 4 + 14 + 32
-#     = 50. The 16 r8-era entries left out (agg_basket_lift, agg_bool,
+#     analysis entries, storage round-trips, events battery. 6 + 14 + 30
+#     = 50. The 17 r8-era entries left out (agg_basket_lift, agg_bool,
 #     agg_listagg, agg_regression_slope, func_bitwise, func_try_safe,
 #     join_null_safe, set_ops_all, window_ignore_nulls,
-#     window_time_range_frame, events_peak_days, events_seasonality,
-#     events_stickiness, events_new_vs_returning, events_type_diversity,
-#     temporal_week_over_week) are that cohort's simplest plans; they
+#     window_time_range_frame, events_heatmap_drift, events_peak_days,
+#     events_seasonality, events_stickiness, events_new_vs_returning,
+#     events_type_diversity, temporal_week_over_week) are that cohort's simplest plans; they
 #     head round 14's queue.
 _PRIORITY: list[str] = [
     # -- code changed in round 13: stale green, must re-score ---------------
@@ -83,6 +88,8 @@ _PRIORITY: list[str] = [
     "storage_txn_acid",  # O(1) commit pre-check + vacuum de-quadratic (item 5)
     "graph_lpa_communities",  # final-labels persist diet (17 -> 11 sites)
     "vector_cluster_quality",  # k-row centroid persist diet (11 -> 6 sites)
+    "graph_degree_distribution",  # edge-set + histogram persist (8 -> 3 sites)
+    "vector_label_margin",  # sample + pair-set persist (8 -> 3 sites)
     # -- r7-era rows (oldest greens left in the registry) --------------------
     "agg_mode",
     "agg_weighted_median",
@@ -98,14 +105,13 @@ _PRIORITY: list[str] = [
     "storage_correlation_profile",
     "storage_integrity_checksum",
     "sql_lateral_topn",
-    # -- r8-era rows, complex-first (32 of 48) -------------------------------
+    # -- r8-era rows, complex-first (30 of 48) -------------------------------
     "sql_recursive_cte",
     "stream_interval_join_outer",
     "graph_assortativity",
     "graph_triangle_stats",
     "vector_kcenter_select",
     "vector_knn_classify",
-    "vector_label_margin",
     "vector_norm_profile",
     "text_bm25_topk",
     "text_bpe_pair_stats",
@@ -130,7 +136,6 @@ _PRIORITY: list[str] = [
     "events_first_touch",
     "events_forecast_backtest",
     "events_gap_magnitude_histogram",
-    "events_heatmap_drift",
 ]
 
 

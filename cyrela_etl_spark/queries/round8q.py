@@ -1407,14 +1407,19 @@ register("vector_jl_projection", vector_jl_projection, _jl_oracle())
 # pairwise graph op). Bounded output: one row per distinct degree.
 # ---------------------------------------------------------------------------
 def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = _dup_edges(spark, sf_dir)
+    # persist: the symmetrizing union reads the edge set twice, and with
+    # pair-graph inputs each read would otherwise recompute the corpus
+    # self-joins behind _dup_edges (the integer_pagerank precedent;
+    # r13 multi-consumer-tail sweep)
+    und = _dup_edges(spark, sf_dir).persist()  # release: caller (cache contract, queries/__init__)
     deg = (
         und.select(F.col("id_a").alias("v"))
         .unionByName(und.select(F.col("id_b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    # histogram-sized; feeds both the cumulative window and the 1-row total
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes")).persist()  # release: caller
     tot = hist.agg(F.sum("n_nodes").alias("_tn"))
     w = Window.orderBy(F.col("deg").desc()).rowsBetween(Window.unboundedPreceding, 0)
     return (

@@ -857,15 +857,20 @@ def vector_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double_array("embedding").alias("v"),
     )
     w = Window.partitionBy("label").orderBy("vec_id")
+    # sampled is read twice by its own self-join; pairs feeds intra once
+    # and inter twice (the two union arms) — without persists the corpus
+    # window re-runs three times and the pair join twice (r13
+    # multi-consumer-tail sweep). Both are contractually bounded:
+    # <= _LM_SAMPLE rows per label, and its own pair set.
     sampled = emb.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _LM_SAMPLE
-    ).select("vec_id", "label", "v")
+    ).select("vec_id", "label", "v").persist()  # release: caller (cache contract, queries/__init__)
     a, b = sampled.alias("a"), sampled.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.label").alias("la"),
         F.col("b.label").alias("lb"),
         F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
-    )
+    ).persist()  # release: caller (cache contract, queries/__init__)
     intra = pairs.filter(F.col("la") == F.col("lb")).select(
         F.col("la").alias("label"), F.lit("intra").alias("kind"), "cos"
     )
