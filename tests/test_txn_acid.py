@@ -380,6 +380,15 @@ _OP = st.one_of(
     # dict by never appending an existing key; that contract is the
     # operator's own documentation)
     st.tuples(st.just("append"), st.lists(st.integers(0, 999), min_size=1, max_size=3)),
+    # maintenance ops (r13: exercise the O(1) fresh-view pre-check and
+    # the memoized vacuum delete loop under arbitrary interleavings):
+    # compact commits one content-identical version; vacuum removes a
+    # version prefix and must leave content AND the log head untouched —
+    # in particular, the op AFTER a vacuum commits against a log whose
+    # floor has moved, the exact contiguity case _fresh_view_check's
+    # correctness argument rests on.
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("vacuum"), st.integers(1, 3)),
 )
 
 
@@ -397,11 +406,13 @@ def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
     store = ZoneStore(spark=spark, root=str(tmp_path_factory.mktemp("txn_model")))
     model = {0: 42}
     next_fresh = 100
+    commits = 1
     txn_init(store, "curated", "t", _accounts(spark, [(0, 42)]))
     for kind, payload in ops:
         if kind == "upsert":
             txn_upsert(store, "curated", "t", _accounts(spark, payload), "account_id")
             model.update(dict(payload))
+            commits += 1
         elif kind == "append":
             rows = [(next_fresh + i, b) for i, b in enumerate(payload)]
             next_fresh += len(payload)
@@ -410,6 +421,13 @@ def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
                 read_version=latest_version(store, "curated", "t"),
             )
             model.update(dict(rows))
+            commits += 1
+        elif kind == "compact":
+            txn_compact(store, "curated", "t")
+            commits += 1  # content unchanged, one new version
+        elif kind == "vacuum":
+            vacuum(store, "curated", "t", keep_last=payload)
+            # content, log head, and version numbering all unchanged
         else:
             txn_delete_rows(
                 store, "curated", "t",
@@ -418,9 +436,13 @@ def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
             )
             for k in payload:
                 model.pop(k, None)
-    got = {r["account_id"]: r["balance"] for r in txn_read(store, "curated", "t").collect()}
-    assert got == model
-    assert latest_version(store, "curated", "t") == 1 + len(ops)
+            commits += 1
+        # invariant after EVERY op: the table reads exactly the model
+        assert {
+            r["account_id"]: r["balance"]
+            for r in txn_read(store, "curated", "t").collect()
+        } == model
+    assert latest_version(store, "curated", "t") == commits
 
 
 # -- append commits (Delta add-file shape) ------------------------------------
