@@ -910,7 +910,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return deg.agg(
             F.lit(rnd).cast("long").alias("round"),
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("n_edges"),
+            # integral `div`, not `/`: float division before the cast
+            # would route an exact count through a double (ADVICE r13)
+            F.expr("CAST(coalesce(sum(deg), 0) AS BIGINT) div 2").alias("n_edges"),
         )
 
     def induce(e: DataFrame, keep: DataFrame) -> DataFrame:

@@ -271,17 +271,28 @@ def _fresh_view_check(store: ZoneStore, zone: str, key: str, read_version: int) 
     379 ms at N=1000; on an object store this is a LIST per commit vs
     two HEADs). Correctness: manifests are contiguous from the vacuum
     floor to latest (vacuum removes a version prefix, and the publisher's
-    put-if-absent allocates versions densely), so ``read_version`` is the
-    head iff manifest(read_version+1) is absent AND — catching both a
-    vacuumed-away view and a caller inventing a future version —
-    manifest(read_version) itself exists (read_version 0 means an empty
-    table and has no manifest to require)."""
+    put-if-absent allocates versions densely), so for ``read_version >= 1``
+    the view is the head iff manifest(read_version+1) is absent AND —
+    catching both a vacuumed-away view and a caller inventing a future
+    version — manifest(read_version) itself exists.
+
+    ``read_version == 0`` (the init path) CANNOT use the two-probe
+    shortcut: after ``vacuum`` has removed manifest v1 the absence of
+    manifest(1) no longer proves the table is empty, and the through-r13
+    spelling let ``txn_init`` republish v1 below a live head — a silent
+    log fork (ADVICE r13, medium). Init therefore falls back to the full
+    ``latest_version`` listing; it happens once per table lifetime, so
+    the O(N) listing there costs nothing while every append/commit stays
+    on the O(1) two-probe path."""
     fs, _ = store._fs()
+    if read_version == 0:
+        head = latest_version(store, zone, key)
+        if head != 0:
+            raise TxnConflictError(store.path(zone, key), head + 1)
+        return
     if fs.exists(_jpath(store, _manifest_path(store, zone, key, read_version + 1))):
         raise TxnConflictError(store.path(zone, key), read_version + 1)
-    if read_version >= 1 and not fs.exists(
-        _jpath(store, _manifest_path(store, zone, key, read_version))
-    ):
+    if not fs.exists(_jpath(store, _manifest_path(store, zone, key, read_version))):
         raise TxnConflictError(store.path(zone, key), read_version + 1)
 
 
@@ -519,36 +530,74 @@ def vacuum(store: ZoneStore, zone: str, key: str, keep_last: int = 1) -> list[in
     are kept as long as ANY retained manifest lists them; only the
     manifest (and lock record) of the vacuumed version is removed, so
     time travel to it dies while every retained version stays readable.
-    The reference set is computed from the retained manifests' own
-    ``snapshots`` lists (self-contained — no walk of vacuumed parents)."""
+
+    **No vacuumable manifest is ever read** (VERDICT r13 item 4): every
+    manifest is self-contained (its ``snapshots`` list is the full dir
+    chain — each manifest IS its own Delta-style checkpoint), so the
+    reference set needs only the RETAINED manifests, and the garbage set
+    comes from two directory LISTINGS instead of N manifest reads — the
+    through-r13 loop read every vacuumable manifest's JSON, and chain
+    manifest v is O(v) bytes, so an N-append chain shipped O(N^2)
+    manifest bytes over py4j (~35 MB at N=1000; measured by
+    tools/scale_curve_txn_vacuum.py). Now the bytes read are the retained
+    manifests only — O(keep_last · chain) — and the filesystem calls are
+    two listings plus one delete per removed object. Matching Delta's
+    vacuum, this is list-then-delete:
+
+    - manifest log listing: every ``<v>.json`` / ``<v>.lock`` at
+      ``v <= latest - keep_last`` is removed (manifests FIRST, so a
+      racing time-travel read of a vacuumed version dies cleanly with
+      ``FileNotFoundError`` rather than a mid-scan missing-file error;
+      a crash mid-vacuum leaves orphan data dirs the next vacuum sweeps).
+    - snapshot area listing: every dir whose NAME encodes a version
+      ``<= latest - keep_last`` (commits name dirs ``v<version>-<nonce>``)
+      and that no retained manifest references is deleted. This also
+      sweeps orphan dirs left by writers that crashed before publishing —
+      Delta-vacuum parity the manifest-walk spelling could never give
+      (an orphan is listed by no manifest). A writer stale by MORE than
+      ``keep_last`` versions racing vacuum may thus see its doomed
+      snapshot write fail with an IO error instead of the
+      ``TxnConflictError`` it would get at publish; no committed state is
+      affected (the version-encoded floor plays the role of Delta's
+      retention window, measured in versions rather than hours).
+    """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs, _ = store._fs()
     latest = latest_version(store, zone, key)
+    floor = latest - keep_last  # versions <= floor are removed
+    if floor < 1:
+        return []
+    # reference set: basenames (unique — each carries a fresh nonce) of
+    # every dir a retained manifest lists; basenames, not full paths,
+    # because listings return qualified URIs while manifests store zone
+    # paths.
     referenced: set[str] = set()
-    for v in range(max(1, latest - keep_last + 1), latest + 1):
+    for v in range(floor + 1, latest + 1):
         mpath = _manifest_path(store, zone, key, v)
         if fs.exists(_jpath(store, mpath)):
-            referenced.update(_version_dirs(_read_json(store, mpath)))
-    removed = []
-    # Chain manifests share directories (version v's ``snapshots`` lists
-    # every dir back to the base), so without memoizing what's already
-    # gone the delete loop issues sum(v) = O(N^2) filesystem calls over an
-    # N-append chain — ~190 ms/version at N=100, half a million roundtrips
-    # at N=1000 (caught by tools/scale_curve_txn_vacuum.py). Each dir is
-    # deleted exactly once; repeats skip driver-side.
-    deleted: set[str] = set()
-    for v in range(1, latest - keep_last + 1):
-        mpath = _manifest_path(store, zone, key, v)
-        if not fs.exists(_jpath(store, mpath)):
-            continue
-        m = _read_json(store, mpath)
-        for d in _version_dirs(m):
-            if d not in referenced and d not in deleted:
-                fs.delete(_jpath(store, d), True)
-                deleted.add(d)
-        fs.delete(_jpath(store, mpath), False)
-        # sweep the claim record too, if a LockFilePublisher left one
-        fs.delete(_jpath(store, f"{_txn_dir(store, zone, key)}/{v:020d}.lock"), False)
-        removed.append(v)
-    return removed
+            referenced.update(
+                d.rstrip("/").rsplit("/", 1)[-1] for d in _version_dirs(_read_json(store, mpath))
+            )
+    removed: list[int] = []
+    tdir = _jpath(store, _txn_dir(store, zone, key))
+    if fs.exists(tdir):
+        for st in fs.listStatus(tdir):
+            name = st.getPath().getName()
+            stem, dot, ext = name.partition(".")
+            if dot and ext in ("json", "lock") and stem.isdigit() and int(stem) <= floor:
+                fs.delete(st.getPath(), False)
+                if ext == "json":
+                    removed.append(int(stem))
+    sdir = _jpath(store, store.path(zone, f"{key}/_snapshots"))
+    if fs.exists(sdir):
+        for st in fs.listStatus(sdir):
+            name = st.getPath().getName()
+            if (
+                name[:1] == "v"
+                and name[1:21].isdigit()
+                and int(name[1:21]) <= floor
+                and name not in referenced
+            ):
+                fs.delete(st.getPath(), True)
+    return sorted(removed)

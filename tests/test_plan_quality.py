@@ -309,8 +309,19 @@ def test_ann_topk_rank_prunes_before_exchange(spark, sf_dir):
 
     for fn in (vector_ivf_topk, vector_sq_int8_topk):
         plan = _plan(fn(spark, sf_dir))
-        assert "WindowGroupLimit" in plan, fn.__name__
-        # the pushdown plants a partial (per-partition) group limit before
-        # the exchange and a final one after — both must be present
-        assert plan.index("WindowGroupLimit") < plan.index("Exchange"), fn.__name__
+        # the pushdown plants a FINAL group limit above the window's
+        # exchange and a PARTIAL one below it — assert the structure
+        # directly (two occurrences with an Exchange strictly between),
+        # not first-index positions across the whole plan string, which
+        # an unrelated upstream Exchange would break spuriously
+        # (ADVICE r13)
+        lines = plan.splitlines()
+        w_idx = [i for i, line in enumerate(lines) if "WindowGroupLimit" in line]
+        assert len(w_idx) >= 2, f"{fn.__name__}: partial+final WindowGroupLimit\n{plan}"
+        between = [
+            i
+            for i, line in enumerate(lines)
+            if "Exchange" in line and w_idx[0] < i < w_idx[-1]
+        ]
+        assert between, f"{fn.__name__}: no Exchange between the group limits\n{plan}"
     spark.catalog.clearCache()

@@ -802,3 +802,91 @@ def test_commit_with_invented_future_version_conflicts(spark, store):
     # the log head is untouched
     assert latest_version(store, "curated", "accounts") == 1
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100)}
+
+
+def test_init_after_vacuum_conflicts_instead_of_forking(spark, store):
+    """ADVICE r13 (medium): once vacuum has removed manifest v1, absence
+    of manifest(1) no longer proves the table is empty — a txn_init (or
+    txn_commit at read_version=0) that trusted the two-probe shortcut
+    would put-if-absent-publish v1 BELOW the live head: latest_version
+    still resolves the head, so the fork is silent and a follow-up append
+    at read_version=1 commits an invisible v2 — durable lost updates.
+    Init must fall back to the full listing and raise."""
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = 1
+    for k in range(2, 6):
+        v = txn_append(
+            store, "curated", "accounts", _accounts(spark, [(k, k * 100)]), read_version=v
+        )
+    assert vacuum(store, "curated", "accounts", keep_last=1) == [1, 2, 3, 4]
+    with pytest.raises(TxnConflictError):
+        txn_init(store, "curated", "accounts", _accounts(spark, [(9, 900)]))
+    with pytest.raises(TxnConflictError):
+        txn_commit(
+            store, "curated", "accounts", _accounts(spark, [(9, 900)]), read_version=0
+        )
+    # the head is untouched and fully readable; an append against the true
+    # head still lands (the O(1) path is unaffected by the init fallback)
+    assert latest_version(store, "curated", "accounts") == 5
+    assert _rows(txn_read(store, "curated", "accounts")) == {
+        (k, k * 100) for k in range(1, 6)
+    }
+    assert (
+        txn_append(
+            store, "curated", "accounts", _accounts(spark, [(6, 600)]), read_version=5
+        )
+        == 6
+    )
+
+
+def test_vacuum_sweeps_old_orphan_dirs_and_reads_no_vacuumable_manifest(
+    spark, store, monkeypatch
+):
+    """The r14 listing-based vacuum: (a) an orphan snapshot directory left
+    by a writer that crashed before publishing IS collected once its
+    version falls below the floor (Delta-vacuum parity — no manifest ever
+    listed it, so the old manifest-walk could never free it), while an
+    orphan ABOVE the floor (a possibly in-flight commit) is untouched;
+    (b) vacuum reads ONLY retained manifests — chain manifest v is O(v)
+    bytes, so reading the vacuumable ones made an N-chain vacuum O(N^2)
+    manifest bytes over py4j."""
+    import cyrela_etl_spark.sources.txn as txn_mod
+
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = 1
+    for k in range(2, 6):
+        v = txn_append(
+            store, "curated", "accounts", _accounts(spark, [(k, k * 100)]), read_version=v
+        )
+    # crash debris: unpublished snapshot dirs at a vacuumable version (2)
+    # and at a winnable future version (99)
+    old_orphan = store.path("curated", "accounts/_snapshots/v00000000000000000002-dead")
+    new_orphan = store.path("curated", "accounts/_snapshots/v00000000000000000099-dead")
+    _accounts(spark, [(8, 800)]).write.parquet(old_orphan)
+    _accounts(spark, [(9, 900)]).write.parquet(new_orphan)
+
+    reads: list[str] = []
+    real_read = txn_mod._read_json
+
+    def counting_read(st, path):
+        reads.append(path)
+        return real_read(st, path)
+
+    monkeypatch.setattr(txn_mod, "_read_json", counting_read)
+    assert vacuum(store, "curated", "accounts", keep_last=2) == [1, 2, 3]
+    # only the retained manifests (v4, v5) were opened
+    assert sorted(p.rsplit("/", 1)[-1] for p in reads) == [
+        f"{4:020d}.json",
+        f"{5:020d}.json",
+    ]
+    jp = jvm.org.apache.hadoop.fs.Path
+    assert not fs.exists(jp(old_orphan))  # swept with its version cohort
+    assert fs.exists(jp(new_orphan))  # above the floor: never touched
+    # retained chain intact (v4 and v5 share dirs with vacuumed versions)
+    assert _rows(txn_read(store, "curated", "accounts")) == {
+        (k, k * 100) for k in range(1, 6)
+    }
+    assert _rows(txn_read(store, "curated", "accounts", 4)) == {
+        (k, k * 100) for k in range(1, 5)
+    }
