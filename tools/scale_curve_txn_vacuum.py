@@ -135,17 +135,41 @@ def main() -> None:
         rt = threading.Thread(target=reader)
         if with_reader:
             rt.start()
+        # account the manifest JSON bytes vacuum ships over py4j (the
+        # r13 residual: chain manifest v is O(v) bytes, so the old
+        # read-every-vacuumable-manifest loop was O(N^2) bytes; the r14
+        # listing-based vacuum reads retained manifests only — expected
+        # O(keep_last * N) here, i.e. ONE manifest of ~N dir paths).
+        import cyrela_etl_spark.sources.txn as txn_mod
+
+        vac_stats = {"manifests_read": 0, "manifest_bytes": 0}
+        real_read = txn_mod._read_json
+        vac_thread = threading.get_ident()  # don't count the reader thread's reads
+
+        def counting_read(st, path):
+            m = real_read(st, path)
+            if threading.get_ident() == vac_thread:
+                vac_stats["manifests_read"] += 1
+                import json as _json
+
+                vac_stats["manifest_bytes"] += len(_json.dumps(m))
+            return m
+
+        txn_mod._read_json = counting_read
         t0 = time.perf_counter()
         try:
             removed = vacuum(store, "curated", "t", keep_last=1)
         finally:
+            txn_mod._read_json = real_read
             stop.set()
             if with_reader:
                 rt.join()
         print(
             f"RESULT chain={n} leg=vacuum wall={time.perf_counter() - t0:.2f}s "
             f"removed={len(removed)} reader_reads={reads[0]} "
-            f"reader_failures={len(failures)}",
+            f"reader_failures={len(failures)} "
+            f"manifests_read={vac_stats['manifests_read']} "
+            f"manifest_bytes={vac_stats['manifest_bytes']}",
             flush=True,
         )
         assert not failures, failures
