@@ -267,7 +267,10 @@ def link_prediction(
         .persist()  # release: caller (cache contract, queries/__init__)
     )
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    mid = directed.join(deg, "src")
+    # r14 tail diet: both wedge sides consume mid — persist or the degree
+    # join re-plans per side (the copies diverge under pruning: only the
+    # left side keeps deg). release: caller (cache contract)
+    mid = directed.join(deg, "src").persist()
     l, r = mid.alias("l"), mid.alias("r")
     wedges = l.join(
         r, (F.col("l.src") == F.col("r.src")) & (F.col("l.dst") < F.col("r.dst"))
@@ -325,7 +328,11 @@ def degree_assortativity(
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .persist()  # release: caller (cache contract, queries/__init__)
     )
-    deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # r14 tail diet: deg feeds both endpoint joins — persist or the degree
+    # agg over the full directed list runs twice (the renamed copies
+    # diverge canonically, so runtime reuse cannot merge them).
+    # release: caller (cache contract)
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg")).persist()
     dx = deg.select(F.col("src"), F.col("deg").alias("dx"))
     dy = deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy"))
     j = directed.join(dx, "src").join(dy, "dst")

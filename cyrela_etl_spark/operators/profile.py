@@ -133,9 +133,12 @@ def mad_anomalies(
     med = df.groupBy(key_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med")
     )
+    # r14 tail diet: dev feeds the MAD agg AND the scoring join — persist
+    # or the scan + median broadcast join run twice. release: caller
+    # (cache contract)
     dev = df.join(F.broadcast(med), key_col).withColumn(
         "__ad", F.abs(F.col(value_col) - F.col("__med"))
-    )
+    ).persist()
     mad = (
         dev.groupBy(key_col)
         .agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
@@ -184,9 +187,13 @@ def histogram_drift(
         current.select(F.col(value_col).alias("v"))
     )
     cents = F.round(F.col("v") * 100).cast("long")
+    # r14 tail diet: edges (1 row) is consumed by BOTH cohorts' binning
+    # and out (<= bins rows) by its total AND the share projection —
+    # persist each or the union min/max scan (resp. the cohort's bin agg)
+    # runs twice. release: caller (cache contract)
     edges = both.select(cents.alias("c")).agg(
         F.min("c").alias("min_c"), F.max("c").alias("max_c")
-    )
+    ).persist()
 
     def _hist(df: DataFrame, name: str) -> DataFrame:
         c = F.round(F.col(value_col) * 100).cast("long")
@@ -198,7 +205,9 @@ def histogram_drift(
             .cast("long")
             .alias("bin")
         )
-        out = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias(f"n_{name}"))
+        out = binned.groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{name}")
+        ).persist()  # release: caller (see diet note above)
         total = out.agg(F.sum(f"n_{name}").cast("long").alias(f"t_{name}"))
         return out.crossJoin(F.broadcast(total)).select(
             "bin",

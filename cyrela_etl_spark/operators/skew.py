@@ -137,9 +137,11 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
     global sort) → rank window over the N-row result; the 1-row totals
     aggregate joins in via broadcast. Deterministic: ties break on key asc.
     """
+    # r14 tail diet: counts feeds the totals AND the top-N — persist or
+    # the fact-scale key agg runs twice. release: caller (cache contract)
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).persist()
     totals = counts.agg(
         F.sum("cnt").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),

@@ -49,93 +49,80 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and scores AT MOST ~50 entries per round. Round-13 slot allocation
-# (VERDICT r12 items 1/4: drain driver freshness to r8+, re-score the
-# entry whose code changes this round):
-#   code-changed (4): graph_kcore_peel — degree-table plan diet (one deg
-#     agg per round feeds both the stats row and the keep-set; 20 -> 16
-#     shuffle sites, BNLJ gone); storage_txn_acid — the commit/append
-#     pre-check moved from an O(chain) manifest listing to two O(1)
-#     existence probes and vacuum's delete loop was de-quadraticized
-#     (both caught by tools/scale_curve_txn_vacuum.py);
-#     graph_lpa_communities — final labels persisted (two consumers each
-#     re-planned the whole unrolled iteration; 17 -> 11 shuffle sites);
-#     vector_cluster_quality — the final k-row centroid table persisted
-#     (three consumers each re-planned the corpus-scale means aggregate;
-#     11 -> 6 shuffle sites); graph_degree_distribution — edge set +
-#     histogram persisted (the symmetrizing union recomputed the corpus
-#     self-join; 8 -> 3 shuffle sites); vector_label_margin — sample +
-#     pair set persisted (the corpus window ran three times, the pair
-#     join twice; 8 -> 3 shuffle sites). code-changed is 6 total (label
-#     margin was already queued in the r8-era block and just moves up).
-#   r7-era (14): the whole remaining cohort whose latest driver green is
-#     the round-7 row — the cohort's simplest plans over since-untouched
-#     code (VERDICT r12 item 1 names exactly this list); after this round
-#     no entry's latest driver score predates r8.
-#   r8-era (30 of 48): the round-8 cohort complex-first — recursive CTE,
-#     the streaming outer interval join, the graph/vector/text/dedup
-#     analysis entries, storage round-trips, events battery. 6 + 14 + 30
-#     = 50. The 17 r8-era entries left out (agg_basket_lift, agg_bool,
-#     agg_listagg, agg_regression_slope, func_bitwise, func_try_safe,
-#     join_null_safe, set_ops_all, window_ignore_nulls,
-#     window_time_range_frame, events_heatmap_drift, events_peak_days,
-#     events_seasonality, events_stickiness, events_new_vs_returning,
-#     events_type_diversity, temporal_week_over_week) are that cohort's simplest plans; they
-#     head round 14's queue.
+# order and scores AT MOST ~50 entries per round. Round-14 slot allocation
+# (VERDICT r13 items 1/6 + this round's diet sweep):
+#   r8-era (17): the final freshness drain — the last entries whose latest
+#     driver green is the round-8 row (VERDICT r13 item 1 names exactly
+#     this list; after this round no entry's latest green predates r9).
+#   code-changed (34): storage_txn_acid — the txn layer gained the
+#     read_version=0 vacuum-fork fix (ADVICE r13 medium) and the
+#     listing-based vacuum (manifest bytes O(keep·N), was O(N^2));
+#     graph_kcore_peel — degrees() now explodes array(id_a, id_b) instead
+#     of a union of two selects (each edge set consumed once; 16 -> 12
+#     shuffle sites) and n_edges uses integral div; and 32 persist diets
+#     from the AUTOMATED multi-consumer-tail sweep (tools/tail_detector.py,
+#     VERDICT r13 item 3): the detector found every registry query whose
+#     optimized plan carries skeleton-identical, canonically-diverged
+#     copies of a heavy subtree (runtime exchange reuse cannot merge
+#     those) that the analyzed plan confirms are one variable consumed
+#     >= 2x un-persisted. Every flagged relation is now persisted at its
+#     definition (k-row or cache-contract-bounded; release: caller), the
+#     registry-wide gate in tests/test_plan_sweep.py pins flags == 0, and
+#     tests/test_plan_quality.py seeds a regression. 17 + 34 = 51: one
+#     over the nominal ~50 — ordered so the tail entry is the least
+#     plan-changed diet (a 4-row matrix persist with a pytest twin).
 _PRIORITY: list[str] = [
-    # -- code changed in round 13: stale green, must re-score ---------------
-    "graph_kcore_peel",  # degree-table plan diet (VERDICT r12 item 4)
-    "storage_txn_acid",  # O(1) commit pre-check + vacuum de-quadratic (item 5)
-    "graph_lpa_communities",  # final-labels persist diet (17 -> 11 sites)
-    "vector_cluster_quality",  # k-row centroid persist diet (11 -> 6 sites)
-    "graph_degree_distribution",  # edge-set + histogram persist (8 -> 3 sites)
-    "vector_label_margin",  # sample + pair-set persist (8 -> 3 sites)
-    # -- r7-era rows (oldest greens left in the registry) --------------------
-    "agg_mode",
-    "agg_weighted_median",
-    "temporal_ewma",
-    "temporal_interpolate",
-    "text_url_extraction",
-    "text_readability",
-    "ml_feature_hash",
-    "ml_target_encode",
-    "multimodal_mp3_meta",
-    "storage_moments_profile",
-    "storage_winsorize_profile",
-    "storage_correlation_profile",
-    "storage_integrity_checksum",
-    "sql_lateral_topn",
-    # -- r8-era rows, complex-first (30 of 48) -------------------------------
-    "sql_recursive_cte",
-    "stream_interval_join_outer",
-    "graph_assortativity",
-    "graph_triangle_stats",
-    "vector_kcenter_select",
-    "vector_knn_classify",
-    "vector_norm_profile",
-    "text_bm25_topk",
-    "text_bpe_pair_stats",
-    "text_language_confusion",
-    "text_ngram_novelty",
-    "text_rake_keywords",
-    "dedup_impact_report",
-    "dedup_minhash_calibration",
-    "corpus_dataset_card",
-    "multimodal_media_meta",
-    "quality_filter_agreement",
-    "storage_csv_dialect",
-    "storage_hive_partition_roundtrip",
-    "storage_nested_json_flatten",
-    "storage_orc_roundtrip",
-    "temporal_asof_forward",
-    "temporal_calendar_dim",
-    "temporal_concurrency_curve",
-    "temporal_session_window_native",
-    "events_alert_debounce",
-    "events_anomaly_zscore",
-    "events_first_touch",
-    "events_forecast_backtest",
-    "events_gap_magnitude_histogram",
+    # -- r8-era rows (the oldest greens left; VERDICT r13 item 1) -----------
+    "agg_basket_lift",  # also r14 diet: li persisted (4 consumers)
+    "agg_bool",
+    "agg_listagg",
+    "agg_regression_slope",
+    "func_bitwise",
+    "func_try_safe",
+    "join_null_safe",
+    "set_ops_all",
+    "window_ignore_nulls",
+    "window_time_range_frame",
+    "events_heatmap_drift",
+    "events_peak_days",
+    "events_seasonality",  # also r14 diet: cells persisted
+    "events_stickiness",
+    "events_new_vs_returning",
+    "events_type_diversity",
+    "temporal_week_over_week",
+    # -- code changed in round 14: stale green, must re-score ---------------
+    "storage_txn_acid",  # init-after-vacuum conflict + listing-based vacuum
+    "graph_kcore_peel",  # explode-degrees (16 -> 12 sites) + integral div
+    "q02_min_cost_supplier",  # eligible persisted (min-cost join pattern)
+    "q11_important_parts",  # per_part persisted
+    "q15_top_supplier",  # revenue view persisted (scan+shuffle ran twice)
+    "ml_woe_iv",  # feats + scored persisted
+    "ml_target_encode",  # per_seg persisted
+    "ml_class_weights",  # per_label persisted
+    "graph_bfs_frontier",  # hop1 persisted (3 consumers)
+    "graph_link_prediction",  # mid persisted (both wedge sides)
+    "graph_assortativity",  # deg persisted (both endpoint joins)
+    "corpus_temperature_mix",  # per_lang + p persisted
+    "corpus_epoch_plan",  # per_src persisted
+    "corpus_domain_mix",  # counts + kept persisted
+    "corpus_curriculum_stages",  # budgets persisted (6 -> 5 sites)
+    "corpus_dsir_weights",  # stats persisted
+    "text_term_stats",  # tf persisted
+    "text_pmi_collocations",  # c1 + c2 persisted
+    "text_rake_keywords",  # member + phr persisted
+    "text_language_confusion",  # cells persisted
+    "dedup_minhash_calibration",  # side persisted (both candidate sides)
+    "events_anomaly_mad",  # operator diet: dev persisted
+    "events_funnel_conversion_time",  # firsts persisted (self-join sides)
+    "events_gap_magnitude_histogram",  # cells persisted
+    "events_markov_transitions",  # trans persisted
+    "events_retention_cohorts",  # cohort persisted
+    "events_rfm_segments",  # users persisted
+    "temporal_cusum_drift",  # daily persisted
+    "storage_histogram_drift",  # operator diet: edges + cohort hists
+    "scale_skew_profile",  # operator diet: counts persisted
+    "scale_partition_balance",  # hist persisted
+    "quality_filter_agreement",  # cells persisted (4-row matrix)
 ]
 
 

@@ -46,10 +46,13 @@ def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey", "o_totalprice")
     joined = cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+    # r14 tail diet: per_seg (|segments| rows) feeds the 1-row totals AND
+    # the encoding — persist or the customer-orders join + agg runs twice.
+    # release: caller
     per_seg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("seg_sum"),
-    )
+    ).persist()
     totals = per_seg.agg(
         F.sum("n_orders").cast("long").alias("n_total"),
         F.sum("seg_sum").cast("decimal(38,2)").alias("sum_total"),

@@ -2320,9 +2320,12 @@ _BASKET_MIN_PAIRS, _BASKET_TOP = 3, 20
 
 
 def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # r14 tail diet: li has FOUR consumers (the n_orders action, the
+    # per-item counts, both self-join sides) and item two — persist or
+    # the lineitem distinct re-plans per consumer. release: caller
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().persist()
     n_orders = li.select("l_orderkey").distinct().count()
-    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_item")).persist()
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(

@@ -229,7 +229,13 @@ _TEMP_ALPHAS = ("0.3", "0.7")
 
 
 def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_lang = _docs(spark, sf_dir).groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # r14 tail diet: per_lang feeds the 1-row total AND the share join;
+    # p feeds the normalizer sums AND the output join — each un-persisted
+    # tail re-planned the corpus-scale lang aggregate. Both are
+    # lang-bounded k-row tables. release: caller
+    per_lang = (
+        _docs(spark, sf_dir).groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).persist()
+    )
     total = per_lang.agg(F.sum("n_docs").alias("n_total"))
     p = per_lang.join(F.broadcast(total)).select(
         "lang",
@@ -238,6 +244,7 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for a in _TEMP_ALPHAS:
         p = p.withColumn(f"_w{a[2:]}", F.round(F.pow(F.col("p"), F.lit(float(a))), 6).cast(LN_DEC))
+    p = p.persist()  # release: caller (see diet note above)
     sums = p.agg(
         *[F.sum(F.col(f"_w{a[2:]}").cast(ACC_DEC)).alias(f"_z{a[2:]}") for a in _TEMP_ALPHAS]
     )
@@ -295,6 +302,10 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(X.token_count(F.col("text")).cast("long")).cast("long").alias("n_tokens"),
         )
+        # r14 tail diet: feeds the 1-row source count AND the budget join —
+        # persist or the corpus-scale token-count aggregate runs twice.
+        # release: caller
+        .persist()
     )
     n_sources = per_src.agg(F.count(F.lit(1)).alias("n_src"))
     return (
@@ -570,6 +581,11 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("feature", "category"),
     )
+    # r14 tail diet: feats (lineitem orderkey-agg + orders join + explode,
+    # corpus-scale) feeds cells AND tot; scored (a feature x category
+    # k-row table) feeds the per-feature IV AND the output join — each
+    # un-persisted tail re-planned its whole chain. release: caller
+    feats = feats.persist()
     cells = feats.groupBy("feature", "category").agg(
         F.sum("is_ret").cast("long").alias("n_pos"),
         F.sum(1 - F.col("is_ret")).cast("long").alias("n_neg"),
@@ -592,7 +608,7 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 12,
             ).cast(ACC_DEC),
         )
-    )
+    ).persist()  # release: caller (see diet note above)
     iv = scored.groupBy(F.col("feature").alias("_f")).agg(
         F.round(F.sum("contrib").cast("double"), 6).alias("iv")
     )
@@ -646,7 +662,10 @@ FROM scored
 # ---------------------------------------------------------------------------
 def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    per_label = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    # r14 tail diet: feeds the 1-row total AND the weight join — persist
+    # or the label agg over the corpus runs twice (k-row table).
+    # release: caller (cache contract, queries/__init__)
+    per_label = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).persist()
     tot = per_label.agg(
         F.sum("n").alias("_N"), F.count(F.lit(1)).alias("_k")
     )
@@ -825,6 +844,10 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst") != F.col("seed"))
         .select("seed", F.col("dst").alias("v1"))
         .distinct()
+        # r14 tail diet: hop1 feeds hop2's expansion, hop2's visited
+        # anti-join AND the h1 count — three un-persisted consumers each
+        # re-planned the seed join + distinct. release: caller
+        .persist()
     )
     hop2 = (
         hop1.join(d, F.col("v1") == F.col("src"))
@@ -899,9 +922,13 @@ _KCORE_K = 2
 
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def degrees(e: DataFrame) -> DataFrame:
+        # explode, not a union of two selects: the union consumed e TWICE,
+        # and for the last (un-persisted) peel the two copies of the
+        # induce join diverged under pruning and were genuinely planned
+        # twice (r14 tail detector). One pass also halves the map-side
+        # work at any scale.
         return (
-            e.select(F.col("id_a").alias("v"))
-            .unionByName(e.select(F.col("id_b").alias("v")))
+            e.select(F.explode(F.array("id_a", "id_b")).alias("v"))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -1604,7 +1631,10 @@ def scale_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         )
     )
-    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))
+    # r14 tail diet: hist feeds the 1-row total AND the ratio join —
+    # persist (N_BUCKETS rows) or the fact-scale hash agg runs twice.
+    # release: caller
+    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows")).persist()
     tot = hist.agg(F.sum("n_rows").alias("_t"))
     return (
         hist.join(F.broadcast(tot))
@@ -1985,6 +2015,10 @@ def events_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.filter(F.col("event_type").isin(*_FUNNEL_STAGES))
         .groupBy("user_id", "event_type")
         .agg(F.min(F.unix_timestamp("ts")).alias("first_s"))
+        # r14 tail diet: both self-join sides consume firsts — persist or
+        # the first-occurrence agg over the event stream runs twice.
+        # release: caller
+        .persist()
     )
     pairs = [
         (a, b) for i, a in enumerate(_FUNNEL_STAGES) for b in _FUNNEL_STAGES[i + 1:]

@@ -371,9 +371,12 @@ def temporal_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
+    # r14 tail diet: daily feeds the per-type stats AND the deviation
+    # join — persist (type x day rows) or the event-scale daily agg runs
+    # twice. release: caller
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("x")).persist()
     stats = (
         daily.groupBy("event_type")
         .agg(
@@ -659,6 +662,10 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(F.min("ts").alias("first_ts"))
         .select("user_id", F.date_trunc("week", "first_ts").alias("cohort_week"))
+        # r14 tail diet: cohort feeds the matrix join AND the cohort
+        # sizes — persist or the first-touch agg over the event stream
+        # runs twice. release: caller
+        .persist()
     )
     activity = ev.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
     matrix = (
@@ -729,9 +736,13 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("to_type", F.lead("event_type").over(w))
         .filter(F.col("to_type").isNotNull())
     )
+    # r14 tail diet: trans (|types|^2 rows) feeds the from-state totals
+    # AND the output join — persist or the per-user lead() window runs
+    # twice. release: caller
     trans = (
         pairs.groupBy(F.col("event_type").alias("from_type"), "to_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .persist()
     )
     totals = trans.groupBy("from_type").agg(
         F.sum("n_transitions").cast("long").alias("n_from")
@@ -1036,6 +1047,10 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # r14 tail diet: users feeds the quartile boundaries AND the
+        # scoring — persist or the purchase agg over the event stream
+        # runs twice. release: caller
+        .persist()
     )
     bounds = users.agg(
         F.expr("percentile(recency_days, 0.25)").alias("rq25"),
@@ -1475,7 +1490,10 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.weekday(F.col("ts")) + 1).cast("long").alias("iso_dow"),
         F.hour(F.col("ts")).cast("long").alias("hour_of_day"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events")).persist()
+    # r14 tail diet (persist above): cells feeds the per-type totals AND
+    # the share join — un-persisted, the event-scale cell agg ran twice.
+    # release: caller
     totals = cells.groupBy("event_type").agg(F.sum("n_events").cast("long").alias("total"))
     return cells.join(F.broadcast(totals), "event_type").select(
         "event_type",
@@ -1888,9 +1906,12 @@ def events_gap_magnitude_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         "event_type",
         F.length(F.col("gap_ms").cast("string")).cast("long").alias("gap_digits"),
     )
+    # r14 tail diet: cells feeds the per-type totals AND the share join —
+    # persist or the per-type lag() window over the event stream runs
+    # twice. release: caller
     cells = bucketed.groupBy("event_type", "gap_digits").agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps")
-    )
+    ).persist()
     totals = cells.groupBy("event_type").agg(F.sum("n_gaps").cast("long").alias("total"))
     return cells.join(F.broadcast(totals), "event_type").select(
         "event_type",

@@ -848,7 +848,10 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     terms = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r14 tail diet: tf feeds the document-frequency agg AND the ranked
+    # top-k — persist or the tokenize + doc-term shuffle runs twice.
+    # release: caller
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
     top = tf.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= _TOP_TERMS)
@@ -1535,10 +1538,13 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_tgt",
         (hex_prefix_long(F.col("gram")) % 512).alias("bucket"),
     )
+    # r14 tail diet: stats (512 rows) feeds the 1-row total AND the ratio
+    # table — persist or the corpus-scale bigram-bucket agg runs twice.
+    # release: caller
     stats = b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cr"),
         F.sum("is_tgt").cast("long").alias("ct"),
-    )
+    ).persist()
     tot = stats.agg(
         F.sum("cr").cast("long").alias("R"), F.sum("ct").cast("long").alias("T")
     )
@@ -1795,8 +1801,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
     occ = docs.select(F.explode(X.word_grams("text", 2)).alias("bg"))
     uni = docs.select(F.explode(X.tokens("text")).alias("tok"))
-    c2 = occ.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # r14 tail diet: c2 feeds the totals AND the pair table; c1 feeds the
+    # totals AND both unigram joins — persist (vocabulary-bounded) or each
+    # corpus-scale count shuffle re-plans per consumer. release: caller
+    c2 = occ.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("n_pair")).persist()
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c")).persist()
     totals = (
         c1.agg(F.sum("c").cast("long").alias("n1"))
         .crossJoin(c2.agg(F.sum("n_pair").cast("long").alias("n2")))
@@ -1951,9 +1960,12 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     w_s = (idx % 3 + 1).alias("w")
+    # r14 tail diet: counts feeds the weight total AND caps — persist
+    # (|sources| rows) or the corpus-scale source agg runs twice.
+    # release: caller
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_total"), F.first(w_s).alias("w")
-    )
+    ).persist()
     tw = counts.agg(F.sum("w").cast("long").alias("bigw"))
     caps = counts.crossJoin(F.broadcast(tw)).select(
         "source", "n_total", "w", "bigw", F.expr("n_total * bigw div w").alias("cap")
@@ -1984,6 +1996,10 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("k"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        # r14 tail diet: kept feeds the 1-row total AND the output join —
+        # persist (|sources| rows) or the corpus-scale window rank runs
+        # twice. release: caller
+        .persist()
     )
     total_kept = kept.agg(F.sum("n_kept").cast("long").alias("total_kept"))
     return (
@@ -2760,7 +2776,11 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_stop.cast("int")).over(w_doc).alias("phrase_id"),
         is_stop.alias("st"),
     )
-    member = marked.filter(~F.col("st"))
+    # r14 tail diet: member feeds the phrase rebuild AND the occurrence
+    # join; phr feeds that join AND the phrase counts — un-persisted, the
+    # per-doc window (and the phrase agg above it) re-planned per
+    # consumer. release: caller
+    member = marked.filter(~F.col("st")).persist()
     phr = (
         member.groupBy("doc_id", "phrase_id")
         .agg(
@@ -2774,6 +2794,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("plen"),
         )
         .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+        .persist()  # release: caller (see diet note above)
     )
     occ = member.join(phr.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"])
     ws = occ.groupBy("w").agg(
@@ -3013,6 +3034,10 @@ def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.join(c, "doc_id")
         .groupBy("gopher_keep", "clf_keep")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        # r14 tail diet: cells (4 rows) feeds the 1-row total AND the
+        # share projection — persist or both gate subplans + the join run
+        # twice. release: caller
+        .persist()
     )
     total = cells.agg(F.sum("n_docs").cast("long").alias("total"))
     return cells.crossJoin(F.broadcast(total)).select(
@@ -3115,7 +3140,12 @@ def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.element_at(off_map, F.col("pid")) + F.col("local_pos")).cast("long").alias("position"),
     ).withColumn("stage", F.expr(f"CAST(({stage_sql}) AS BIGINT)"))
-    budgets = staged.groupBy("stage").agg(F.sum("n_tokens").cast("long").alias("stage_tokens"))
+    # r14 tail diet: budgets (4 rows) feeds the 1-row total AND the output
+    # join — persist or the stage token agg over the cache runs twice.
+    # release: caller
+    budgets = staged.groupBy("stage").agg(
+        F.sum("n_tokens").cast("long").alias("stage_tokens")
+    ).persist()
     total = budgets.agg(F.sum("stage_tokens").cast("long").alias("total"))
     budgets = budgets.crossJoin(F.broadcast(total)).select(
         "stage",
@@ -3290,6 +3320,10 @@ def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled.join(pred, "doc_id")
         .groupBy("lang_label", "lang_pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        # r14 tail diet: cells (label x pred rows) feeds the row totals
+        # AND the output join — persist or the detector subplan + the
+        # doc-keyed join run twice. release: caller
+        .persist()
     )
     totals = cells.groupBy("lang_label").agg(F.sum("n_docs").cast("long").alias("total"))
     return cells.join(F.broadcast(totals), "lang_label").select(
@@ -3430,7 +3464,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         D.word_shingles(F.col("text"), _SHINGLE_N).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    side = sigs.join(sh, "id")
+    # r14 tail diet: both candidate-join sides consume side — persist or
+    # the signature + shingle projections and their id join run twice.
+    # release: caller
+    side = sigs.join(sh, "id").persist()
     base = c.select("doc_id")
     cand = (
         base.filter(F.col("doc_id") % 10 == 0)

@@ -115,7 +115,9 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the eligible region's rows.
     eligible = ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")).join(
         F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
-    )
+    ).persist()  # r14 tail diet: feeds the per-part min AND the final
+    # min-cost join — un-persisted, the partsupp aggregate + both
+    # broadcast joins re-plan per consumer. release: caller
     min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
         F.min("ps_supplycost_ppm").alias("mc_cost")
     )
@@ -193,7 +195,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     value = F.sum(
         (F.col("ps_supplycost_ppm").cast(VAL_DEC) * F.col("ps_availqty")).cast(VAL_DEC)
     ).alias("_val")
-    per_part = scoped.groupBy("ps_partkey").agg(value)
+    # r14 tail diet: feeds the 1-row total AND the threshold filter —
+    # persist or the scoped partsupp aggregate runs twice. release: caller
+    per_part = scoped.groupBy("ps_partkey").agg(value).persist()
     total = per_part.agg(
         F.sum("_val").cast(VAL_DEC).alias("_total"),
         F.count(F.lit(1)).alias("_n_parts"),

@@ -45,6 +45,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "_rev_dec"
             )
         )
+        # r14 tail diet: the view feeds the 1-row max AND the final join;
+        # un-persisted, output pruning specializes the two copies and the
+        # quarter's lineitem scan + suppkey shuffle run twice (verified:
+        # no runtime exchange reuse). release: caller (cache contract,
+        # queries/__init__)
+        .persist()
     )
     mx = revenue.agg(F.max("_rev_dec").alias("_mx"))
     return (

@@ -51,7 +51,8 @@ SHUFFLE_BUDGET = {
     # AQE-planned second join): 5 sites -> 3 (the two SMJ sort-exchange
     # pairs collapsed)
     "dedup_minhash_lsh": 3,
-    "corpus_curriculum_stages": 6,
+    # r14 tail diet: budgets persisted (6 -> 5)
+    "corpus_curriculum_stages": 5,
     # r12 persist diet (VERDICT r11 item 5): E + per-round s + w2 cached,
     # 23 sites -> 5 (one dr + one s agg per round, one final λ agg)
     "vector_power_iteration_pca": 5,
@@ -64,8 +65,11 @@ SHUFFLE_BUDGET = {
     # r13 degree-table diet: ONE deg agg per round feeds both the stats
     # row (n_nodes = count, n_edges = sum(deg)/2) and the next keep-set;
     # the per-round distinct-nodes shuffle + 1-row edge-count broadcast
-    # join are gone (20 -> 16 sites; bcast 5 -> 2; BNLJ 1 -> 0)
-    "graph_kcore_peel": 16,
+    # join are gone (20 -> 16 sites; bcast 5 -> 2; BNLJ 1 -> 0). r14:
+    # degrees() now explodes array(id_a, id_b) instead of unioning two
+    # selects, so each edge set is consumed ONCE — the final peel's
+    # double-planned induce join disappears (16 -> 12)
+    "graph_kcore_peel": 12,
 }
 
 

@@ -325,3 +325,49 @@ def test_ann_topk_rank_prunes_before_exchange(spark, sf_dir):
         ]
         assert between, f"{fn.__name__}: no Exchange between the group limits\n{plan}"
     spark.catalog.clearCache()
+
+
+def test_tail_detector_seeded_regression_and_cure(spark, sf_dir):
+    """tools/tail_detector.py (VERDICT r13 item 3): the gate must flag a
+    seeded multi-consumer tail — an un-persisted aggregate with two
+    pruning-specialized consumers (Catalyst diverges the copies, so
+    runtime exchange reuse cannot merge them and the corpus-scale agg
+    genuinely runs twice) — in BOTH domains, and must pass the persisted
+    cure (the copies collapse onto one InMemoryRelation leaf)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from tail_detector import detect, detect_consumers
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def consumers(agg):
+        c1 = agg.agg(F.sum("n").alias("total"))
+        c2 = (
+            agg.filter(F.col("chars") > 100)
+            .select("lang")
+            .agg(F.count(F.lit(1)).alias("total"))
+        )
+        return c1.unionByName(c2)
+
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("chars")
+    )
+    seeded = consumers(per_lang)
+    assert detect(seeded), "optimized-domain detector missed the seeded tail"
+    assert detect_consumers(seeded), "analyzed-domain detector missed the seeded tail"
+
+    cured = consumers(per_lang.persist())
+    try:
+        assert detect(cured) == [], "cure (persist) still flagged in optimized domain"
+        assert detect_consumers(cured) == [], "cure (persist) still flagged in analyzed domain"
+    finally:
+        spark.catalog.clearCache()

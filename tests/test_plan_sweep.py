@@ -108,14 +108,18 @@ def test_no_cartesian_anywhere_and_bnlj_only_allowlisted(spark):
 
     from cyrela_etl_spark.queries import load_all
 
+    from tail_detector import detect, detect_consumers
+
     reg = load_all()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     cartesian = []
     surprise_bnlj = []
     stale_allowlist = []
+    tails = []
     nopart_sites = 0
     for name, (fn, _oracle) in reg.items():
-        qe = fn(spark, SF)._jdf.queryExecution()
+        df = fn(spark, SF)
+        qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
         nopart_sites += plan_stats(qe.explainString(mode))["nopart_windows"]
         if "CartesianProduct" in plan:
@@ -125,6 +129,21 @@ def test_no_cartesian_anywhere_and_bnlj_only_allowlisted(spark):
             surprise_bnlj.append(name)
         if not has_bnlj and name in BNLJ_ALLOWED:
             stale_allowlist.append(name)
+        # multi-consumer-tail gate (VERDICT r13 item 3, automated): an
+        # optimized-plan duplicate whose copies diverged canonically
+        # (runtime exchange reuse cannot merge them), CONFIRMED by an
+        # analyzed-plan duplicate (the copies really are one variable
+        # consumed >= 2x, not two same-skeleton computations). The r14
+        # sweep drove this to zero across all 256 queries (33 diets);
+        # a flag here means a new query owes a persist or a
+        # single-consumer restructure (see tools/tail_detector.py).
+        d1 = detect(df)
+        if d1 and detect_consumers(df):
+            tails.append((name, str(d1[0])))
+        spark.catalog.clearCache()
+    assert tails == [], "un-persisted multi-consumer tails (re-planned per consumer): " + "; ".join(
+        f"{n}: {f}" for n, f in tails
+    )
     assert cartesian == [], f"CartesianProduct in: {cartesian}"
     assert surprise_bnlj == [], (
         f"unreviewed BroadcastNestedLoopJoin in: {surprise_bnlj} — justify "
