@@ -371,3 +371,35 @@ def test_tail_detector_seeded_regression_and_cure(spark, sf_dir):
         assert detect_consumers(cured) == [], "cure (persist) still flagged in analyzed domain"
     finally:
         spark.catalog.clearCache()
+
+
+def test_runtime_exchange_reuse_saves_identical_copies(spark, sf_dir):
+    """The premise the tail-detector gate's suppression rests on, pinned:
+    two CANONICALLY IDENTICAL copies of a heavy subtree are merged by
+    runtime exchange reuse (the second prints as ReusedExchange in the
+    post-execution adaptive plan), so the gate must NOT flag them — only
+    copies Catalyst specialized (and reuse therefore missed) are real
+    recomputes. If a Spark upgrade ever stops reusing identical
+    exchanges, this fails and the gate's suppression rule must be
+    revisited (every analyzed-domain duplicate would then be real)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from tail_detector import detect, detect_consumers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    dup = agg.unionByName(agg)  # two bit-identical consumers
+    dup.collect()
+    plan = _plan(dup)
+    assert "ReusedExchange" in plan, plan
+    # the analyzed domain SEES the duplicate variable...
+    assert detect_consumers(dup)
+    # ...but the gate stays silent: identical copies are runtime-merged
+    assert detect(dup) == []

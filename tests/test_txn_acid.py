@@ -389,6 +389,13 @@ _OP = st.one_of(
     # correctness argument rests on.
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    # crash debris (r14, exercises the listing-based vacuum): an orphan
+    # snapshot directory from a writer that died before publishing, at a
+    # version the next commit will race for. Must never affect reads or
+    # version resolution, and the listing-based vacuum must sweep it once
+    # its version falls below the floor WITHOUT breaking any retained
+    # version (the orphan's basename is never in a retained manifest).
+    st.tuples(st.just("orphan"), st.none()),
 )
 
 
@@ -428,6 +435,15 @@ def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
         elif kind == "vacuum":
             vacuum(store, "curated", "t", keep_last=payload)
             # content, log head, and version numbering all unchanged
+        elif kind == "orphan":
+            # debris at the NEXT version (what a crashed writer leaves)
+            _accounts(spark, [(99, 99)]).write.mode("overwrite").parquet(
+                store.path(
+                    "curated",
+                    f"t/_snapshots/v{latest_version(store, 'curated', 't') + 1:020d}-dead",
+                )
+            )
+            # no commit happened: the model and the log are unchanged
         else:
             txn_delete_rows(
                 store, "curated", "t",
