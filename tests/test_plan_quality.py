@@ -403,3 +403,20 @@ def test_runtime_exchange_reuse_saves_identical_copies(spark, sf_dir):
     assert detect_consumers(dup)
     # ...but the gate stays silent: identical copies are runtime-merged
     assert detect(dup) == []
+
+
+def test_scalar_subquery_reuse_covers_detector_blind_spot(spark, sf_dir):
+    """The tail detector walks the MAIN plan tree only — subquery
+    expression plans are outside it. The one registry query with scalar
+    subqueries (sql_scalar_subquery: the same max() subquery appears in
+    the projection AND the filter) is safe because Spark's ReuseSubquery
+    rule merges canonically identical subqueries at runtime; this pins
+    that behavior so the detector's coverage boundary stays sound. If a
+    future query carries two DIVERGENT heavy subqueries, extend
+    tail_detector._walk over node.subqueries()."""
+    from cyrela_etl_spark.queries.relational import sql_scalar_subquery
+
+    df = sql_scalar_subquery(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "ReusedSubquery" in plan, plan

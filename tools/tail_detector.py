@@ -56,6 +56,15 @@ The cure the flag asks for is the r13 one: persist the shared relation
 or restructure so the variable has one consumer (e.g. degrees via
 explode(array(src, dst)) instead of a union of two selects).
 
+Coverage boundary: the walk covers the MAIN plan tree; subquery
+expression plans (node.subqueries()) are outside it. Audited r14: ONE
+registry query plans scalar subqueries (sql_scalar_subquery), its two
+copies are canonically identical, and Spark's ReuseSubquery rule merges
+them at runtime (pinned by
+test_scalar_subquery_reuse_covers_detector_blind_spot). Extend _walk
+over node.subqueries() if a query ever carries divergent heavy
+subqueries.
+
 Used by tests/test_plan_quality.py (seeded-regression unit) and
 tests/test_plan_sweep.py (registry-wide gate at sf0.001).
 """
