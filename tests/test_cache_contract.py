@@ -74,3 +74,27 @@ def test_release_plan_caches_noop_on_uncached_plan(spark):
     from cyrela_etl_spark.cache import release_plan_caches
 
     assert release_plan_caches(spark.range(10).selectExpr("id * 3 AS t")) == 0
+
+
+def test_every_persist_site_carries_a_release_marker():
+    """The cache contract (queries/__init__ docstring): every
+    ``persist()`` in the engine backs a returned lazy DataFrame and is
+    released by the CALLER — each site must say so with a ``release:``
+    marker within a few lines, so a future reader never has to guess
+    whether an un-released cache is a leak or the contract. Grep-level,
+    no Spark session needed."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "cyrela_etl_spark"
+    unmarked = []
+    for f in sorted(root.rglob("*.py")):
+        lines = f.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if ".persist()" in line:
+                lo, hi = max(0, i - 8), min(len(lines), i + 5)
+                if "release" not in "\n".join(lines[lo:hi]):
+                    unmarked.append(f"{f.relative_to(root.parent)}:{i + 1}")
+    assert unmarked == [], (
+        "persist() sites without a nearby 'release:' marker (document the "
+        f"release point per the cache contract): {unmarked}"
+    )
