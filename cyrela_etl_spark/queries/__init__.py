@@ -49,80 +49,75 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and scores AT MOST ~50 entries per round. Round-14 slot allocation
-# (VERDICT r13 items 1/6 + this round's diet sweep):
-#   r8-era (17): the final freshness drain — the last entries whose latest
-#     driver green is the round-8 row (VERDICT r13 item 1 names exactly
-#     this list; after this round no entry's latest green predates r9).
-#   code-changed (34): storage_txn_acid — the txn layer gained the
-#     read_version=0 vacuum-fork fix (ADVICE r13 medium) and the
-#     listing-based vacuum (manifest bytes O(keep·N), was O(N^2));
-#     graph_kcore_peel — degrees() now explodes array(id_a, id_b) instead
-#     of a union of two selects (each edge set consumed once; 16 -> 12
-#     shuffle sites) and n_edges uses integral div; and 32 persist diets
-#     from the AUTOMATED multi-consumer-tail sweep (tools/tail_detector.py,
-#     VERDICT r13 item 3): the detector found every registry query whose
-#     optimized plan carries skeleton-identical, canonically-diverged
-#     copies of a heavy subtree (runtime exchange reuse cannot merge
-#     those) that the analyzed plan confirms are one variable consumed
-#     >= 2x un-persisted. Every flagged relation is now persisted at its
-#     definition (k-row or cache-contract-bounded; release: caller), the
-#     registry-wide gate in tests/test_plan_sweep.py pins flags == 0, and
-#     tests/test_plan_quality.py seeds a regression. 17 + 34 = 51: one
-#     over the nominal ~50 — ordered so the tail entry is the least
-#     plan-changed diet (a 4-row matrix persist with a pytest twin).
+# order and scores AT MOST ~50 entries per round. Round-15 slot allocation
+# (VERDICT r14 item 1 — freshness drain):
+#   r9-era (35): EVERY entry whose latest green driver row is still the
+#     round-9 one. VERDICT r14 named a 44-row cohort (computed pre-r14);
+#     the r14 sample itself re-scored 9 of them (diet overlaps), so 35
+#     remain — recomputed from the union of CORRECTNESS_r01..r14. After
+#     this round no entry's latest green predates r10. The whole cohort
+#     was pre-verified green under a plain driver-emulating session at
+#     sf0.01 in round 14 (NOTES pre-flight ledger, 44 ok / 0 fail).
+#   r10-era padding (15): the sample size floats (~35-50 by round), so the
+#     tail is the start of the NEXT drain — 15 of the 46 r10-latest rows,
+#     chosen to re-freshen one representative per heavy family (dedup,
+#     fuzzy, vector, text, storage, multimodal, TPC-H join battery) rather
+#     than alphabetically. If the driver scores fewer than 50, only
+#     padding is lost — every r9 row sits ahead of them. No code changed
+#     in round 15 for any of these entries (registry frozen at 256).
 _PRIORITY: list[str] = [
-    # -- r8-era rows (the oldest greens left; VERDICT r13 item 1) -----------
-    "agg_basket_lift",  # also r14 diet: li persisted (4 consumers)
-    "agg_bool",
-    "agg_listagg",
-    "agg_regression_slope",
-    "func_bitwise",
-    "func_try_safe",
-    "join_null_safe",
-    "set_ops_all",
-    "window_ignore_nulls",
-    "window_time_range_frame",
-    "events_heatmap_drift",
-    "events_peak_days",
-    "events_seasonality",  # also r14 diet: cells persisted
-    "events_stickiness",
-    "events_new_vs_returning",
-    "events_type_diversity",
-    "temporal_week_over_week",
-    # -- code changed in round 14: stale green, must re-score ---------------
-    "storage_txn_acid",  # init-after-vacuum conflict + listing-based vacuum
-    "graph_kcore_peel",  # explode-degrees (16 -> 12 sites) + integral div
-    "q02_min_cost_supplier",  # eligible persisted (min-cost join pattern)
-    "q11_important_parts",  # per_part persisted
-    "q15_top_supplier",  # revenue view persisted (scan+shuffle ran twice)
-    "ml_woe_iv",  # feats + scored persisted
-    "ml_target_encode",  # per_seg persisted
-    "ml_class_weights",  # per_label persisted
-    "graph_bfs_frontier",  # hop1 persisted (3 consumers)
-    "graph_link_prediction",  # mid persisted (both wedge sides)
-    "graph_assortativity",  # deg persisted (both endpoint joins)
-    "corpus_temperature_mix",  # per_lang + p persisted
-    "corpus_epoch_plan",  # per_src persisted
-    "corpus_domain_mix",  # counts + kept persisted
-    "corpus_curriculum_stages",  # budgets persisted (6 -> 5 sites)
-    "corpus_dsir_weights",  # stats persisted
-    "text_term_stats",  # tf persisted
-    "text_pmi_collocations",  # c1 + c2 persisted
-    "text_rake_keywords",  # member + phr persisted
-    "text_language_confusion",  # cells persisted
-    "dedup_minhash_calibration",  # side persisted (both candidate sides)
-    "events_anomaly_mad",  # operator diet: dev persisted
-    "events_funnel_conversion_time",  # firsts persisted (self-join sides)
-    "events_gap_magnitude_histogram",  # cells persisted
-    "events_markov_transitions",  # trans persisted
-    "events_retention_cohorts",  # cohort persisted
-    "events_rfm_segments",  # users persisted
-    "temporal_cusum_drift",  # daily persisted
-    "storage_histogram_drift",  # operator diet: edges + cohort hists
-    "scale_skew_profile",  # operator diet: counts persisted
-    "scale_partition_balance",  # hist persisted
-    "quality_filter_agreement",  # cells persisted (4-row matrix)
+    # -- r9-era rows (the oldest greens left; VERDICT r14 item 1) -----------
+    "agg_entropy",
+    "agg_percentile_cont",
+    "corpus_quality_ablation",
+    "corpus_token_length_histogram",
+    "dedup_dup_ngram_fraction",
+    "dedup_shingle_size_sensitivity",
+    "distinct_agg",
+    "events_conversion_wilson",
+    "events_power_pareto",
+    "func_arrays",
+    "func_datetime",
+    "func_maps",
+    "func_math",
+    "func_string",
+    "func_struct_ops",
+    "graph_component_sizes",
+    "ml_leakage_check",
+    "multimodal_duplicate_assets",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q16_part_supplier_counts",
+    "q20_excess_shippers",
+    "search_hybrid_rrf",
+    "sql_q04_exists",
+    "stream_bus_replay",
+    "stream_upsert_sink",
+    "temporal_asof_tolerance",
+    "temporal_overlap_join",
+    "text_hapax_heaps",
+    "text_vocab_growth",
+    "vector_centroid_shift",
+    "vector_ivf_pq_topk",
+    "vector_jl_projection",
+    "wallet_features",
+    "window_percent_rank_cume",
+    # -- r10-era padding: head of the next drain, one per heavy family ------
+    "dedup_exact",
+    "dedup_components",
+    "dedup_minhash_signatures",
+    "dedup_simhash_pairs",
+    "fuzzy_match_names",
+    "join_bucketed",
+    "join_salted",
+    "multimodal_byte_histogram",
+    "q05_region_revenue",
+    "sql_q6",
+    "storage_table_roundtrip",
+    "text_language_id",
+    "text_quality",
+    "vector_cosine_topk",
+    "window_analytics",
 ]
 
 
