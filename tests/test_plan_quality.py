@@ -405,18 +405,86 @@ def test_runtime_exchange_reuse_saves_identical_copies(spark, sf_dir):
     assert detect(dup) == []
 
 
-def test_scalar_subquery_reuse_covers_detector_blind_spot(spark, sf_dir):
-    """The tail detector walks the MAIN plan tree only — subquery
-    expression plans are outside it. The one registry query with scalar
-    subqueries (sql_scalar_subquery: the same max() subquery appears in
-    the projection AND the filter) is safe because Spark's ReuseSubquery
-    rule merges canonically identical subqueries at runtime; this pins
-    that behavior so the detector's coverage boundary stays sound. If a
-    future query carries two DIVERGENT heavy subqueries, extend
-    tail_detector._walk over node.subqueries()."""
+def test_runtime_subquery_reuse_saves_identical_copies(spark, sf_dir):
+    """The subquery analogue of the exchange-reuse premise, pinned
+    (VERDICT r14 item 3 — the detector now WALKS subquery plans, so its
+    identical-copies suppression must remain sound there too): the same
+    max() scalar subquery appears in sql_scalar_subquery's projection AND
+    filter; Spark's ReuseSubquery rule merges the canonically identical
+    copies at runtime (ReusedSubquery in the adaptive plan), so the gate
+    must not flag them even though the walk now sees both."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from tail_detector import detect
+
     from cyrela_etl_spark.queries.relational import sql_scalar_subquery
 
     df = sql_scalar_subquery(spark, sf_dir)
     df.collect()
     plan = _plan(df)
     assert "ReusedSubquery" in plan, plan
+    assert detect(df) == [], "identical subquery copies must stay suppressed"
+
+
+def test_tail_detector_flags_diverged_subquery_duplicates(spark, sf_dir):
+    """Seeded regression for the subquery-boundary extension (VERDICT r14
+    item 3): two scalar subqueries over the SAME grouped aggregate with
+    DIFFERENT filters above it — Spark's MergeScalarSubqueries rule
+    cannot unify them (plain same-child scalar subqueries it merges into
+    one mergedValue plan, verified while seeding this test), Catalyst
+    prunes each copy's aggregate to a different column list, the
+    canonical forms diverge, and ReuseSubquery misses — so the
+    corpus-scale keyed aggregate genuinely plans (and runs) once per
+    subquery. The pre-extension detector returned [] on exactly this
+    shape (the r12-r14 coverage boundary); the extended walk must flag
+    it, and the persisted cure (both subqueries reading one
+    InMemoryRelation) must pass clean."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from tail_detector import detect
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("chars")
+    )
+
+    def outer(agg):
+        agg.createOrReplaceTempView("t_tail_sq_v")
+        docs.limit(10).createOrReplaceTempView("t_tail_sq_docs")
+        return spark.sql(
+            """
+            SELECT doc_id,
+                   (SELECT max(n) FROM t_tail_sq_v WHERE chars > 100) AS mx_n,
+                   (SELECT CAST(sum(chars) AS DOUBLE) FROM t_tail_sq_v) AS sum_chars
+            FROM t_tail_sq_docs
+            """
+        )
+
+    seeded = outer(per_lang)
+    findings = detect(seeded)
+    assert findings, "extended detector missed the diverged subquery duplicate"
+    assert any(f.count >= 2 and f.heavy_ops >= 1 for f in findings), findings
+
+    cured = outer(per_lang.persist())
+    try:
+        assert detect(cured) == [], "cure (persist) still flagged"
+        # semantics unaffected by the persist: same single row either way
+        assert cured.collect() == seeded.collect()
+    finally:
+        spark.catalog.clearCache()
+        spark.catalog.dropTempView("t_tail_sq_v")
+        spark.catalog.dropTempView("t_tail_sq_docs")

@@ -56,14 +56,18 @@ The cure the flag asks for is the r13 one: persist the shared relation
 or restructure so the variable has one consumer (e.g. degrees via
 explode(array(src, dst)) instead of a union of two selects).
 
-Coverage boundary: the walk covers the MAIN plan tree; subquery
-expression plans (node.subqueries()) are outside it. Audited r14: ONE
-registry query plans scalar subqueries (sql_scalar_subquery), its two
-copies are canonically identical, and Spark's ReuseSubquery rule merges
-them at runtime (pinned by
-test_scalar_subquery_reuse_covers_detector_blind_spot). Extend _walk
-over node.subqueries() if a query ever carries divergent heavy
-subqueries.
+Coverage: the walk descends the main plan tree AND every subquery
+expression plan (node.subqueries(), recursively — VERDICT r14 item 3;
+rounds 12-14 covered the main tree only, with ReuseSubquery pinned as
+the boundary). Subquery copies participate in grouping exactly like
+main-tree copies: canonically IDENTICAL duplicates are suppressed
+(Spark's ReuseSubquery rule merges those at runtime, the subquery
+analogue of exchange reuse — premise pinned by
+test_runtime_subquery_reuse_saves_identical_copies), while
+skeleton-identical copies whose heavy cores DIVERGED (e.g. two scalar
+subqueries over the same aggregate, each pruned to a different column)
+are real per-copy recomputes and flag. Seeded regression:
+test_tail_detector_flags_diverged_subquery_duplicates.
 
 Used by tests/test_plan_quality.py (seeded-regression unit) and
 tests/test_plan_sweep.py (registry-wide gate at sf0.001).
@@ -183,7 +187,11 @@ class Finding:
 
 def _walk(node, node_id=0, ancestors=frozenset()):
     """Preorder (node, id, ancestor-ids); InMemoryRelation is a leaf (its
-    cached plan builds once — the cure, not the disease)."""
+    cached plan builds once — the cure, not the disease). Descends into
+    subquery expression plans (ScalarSubquery/Exists/ListQuery) as extra
+    children of their host node: a subquery executes under its host, so
+    its heavy nodes belong to every host ancestor's subtree cost, and
+    duplicate subquery plans group with (or against) main-tree copies."""
     yield node, node_id, ancestors
     if node.nodeName() == "InMemoryRelation":
         return
@@ -192,6 +200,15 @@ def _walk(node, node_id=0, ancestors=frozenset()):
     child_anc = ancestors | {node_id}
     for i in range(ch.size()):
         sub = list(_walk(ch.apply(i), nxt, child_anc))
+        yield from sub
+        nxt = sub[-1][1] + 1
+    try:
+        sq = node.subqueries()
+        n_sq = sq.size()
+    except Exception:
+        return
+    for i in range(n_sq):
+        sub = list(_walk(sq.apply(i), nxt, child_anc))
         yield from sub
         nxt = sub[-1][1] + 1
 
