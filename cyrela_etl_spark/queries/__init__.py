@@ -58,13 +58,19 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 #     this round no entry's latest green predates r10. The whole cohort
 #     was pre-verified green under a plain driver-emulating session at
 #     sf0.01 in round 14 (NOTES pre-flight ledger, 44 ok / 0 fail).
+#   code-changed (1): storage_txn_acid — sources/txn.py gained the
+#     opt-in append compaction cadence (auto_compact_every=K, VERDICT r14
+#     item 4), the vacuum min_age_sec guard and the init-conflict version
+#     fix (ADVICE r15); green-path behavior is unchanged (both knobs
+#     default off) but the changed module must re-score.
 #   r10-era padding (15): the sample size floats (~35-50 by round), so the
 #     tail is the start of the NEXT drain — 15 of the 46 r10-latest rows,
 #     chosen to re-freshen one representative per heavy family (dedup,
 #     fuzzy, vector, text, storage, multimodal, TPC-H join battery) rather
-#     than alphabetically. If the driver scores fewer than 50, only
-#     padding is lost — every r9 row sits ahead of them. No code changed
-#     in round 15 for any of these entries (registry frozen at 256).
+#     than alphabetically. If the driver scores fewer than 51, only
+#     padding is lost — every r9 row and the code-changed row sit ahead.
+#     No round-15 code change touches any padding entry (registry frozen
+#     at 256). Total 35 + 1 + 15 = 51.
 _PRIORITY: list[str] = [
     # -- r9-era rows (the oldest greens left; VERDICT r14 item 1) -----------
     "agg_entropy",
@@ -102,6 +108,9 @@ _PRIORITY: list[str] = [
     "vector_jl_projection",
     "wallet_features",
     "window_percent_rank_cume",
+    # -- code changed in round 15: stale green, must re-score ---------------
+    "storage_txn_acid",  # txn.py: auto_compact_every + vacuum age guard +
+    #                      init-conflict version naming (ADVICE r15 fixes)
     # -- r10-era padding: head of the next drain, one per heavy family ------
     "dedup_exact",
     "dedup_components",

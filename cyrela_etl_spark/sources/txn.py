@@ -288,7 +288,10 @@ def _fresh_view_check(store: ZoneStore, zone: str, key: str, read_version: int) 
     if read_version == 0:
         head = latest_version(store, zone, key)
         if head != 0:
-            raise TxnConflictError(store.path(zone, key), head + 1)
+            # name the version that actually exists (the committed head),
+            # not head+1 — nobody committed head+1, and the exception's
+            # version attribute must stay meaningful (ADVICE r14)
+            raise TxnConflictError(store.path(zone, key), head)
         return
     if fs.exists(_jpath(store, _manifest_path(store, zone, key, read_version + 1))):
         raise TxnConflictError(store.path(zone, key), read_version + 1)
@@ -359,7 +362,12 @@ def txn_init(store: ZoneStore, zone: str, key: str, df: DataFrame) -> int:
 
 
 def txn_append(
-    store: ZoneStore, zone: str, key: str, df: DataFrame, read_version: int
+    store: ZoneStore,
+    zone: str,
+    key: str,
+    df: DataFrame,
+    read_version: int,
+    auto_compact_every: int | None = None,
 ) -> int:
     """Commit ``df`` as APPENDED rows — Delta's add-file commit: only the
     new rows are written (one delta directory), the manifest's
@@ -374,6 +382,29 @@ def txn_append(
     string per append) and the read's path list; any full-snapshot commit
     — including ``txn_compact`` — resets the chain.
 
+    **Compaction cadence as code** (VERDICT r14 item 4): each append
+    manifest lists the whole chain, so an unbounded run of appends writes
+    O(chain) manifest bytes per commit — O(N^2) cumulative. The bound is
+    the cadence: with ``auto_compact_every=K`` (opt-in; resolution order
+    is this argument, else a ``store.auto_compact_every`` attribute, else
+    off), a winning append whose chain now exceeds K directories is
+    followed immediately by ``txn_compact``, so every manifest stays
+    O(K) paths and an N-append run writes O(N·K) cumulative manifest
+    bytes (measured: tools/scale_curve_txn_vacuum.py's build_auto leg).
+    The return value is then the COMPACT's version — callers must (and
+    already can) treat the return as their new read version. The compact
+    is best-effort maintenance: if concurrent writers win every retry,
+    the append's own version is returned and the chain stays bounded by
+    the winners' cadence instead. The data trade is explicit: each
+    auto-compact rewrites the table once per K appends (the knob a table
+    owner tunes — small K for read-path latency, large K for write
+    amplification; Delta's checkpoint cadence plays the same role for
+    metadata, its OPTIMIZE cadence for data files). Without a cadence, a
+    chain crossing ``_CHAIN_WARN_THRESHOLD`` directories warns loudly —
+    the operational symptom is slow multi-path reads and ever-growing
+    manifest writes, and the cure is this knob or a manual
+    ``txn_compact``.
+
     **Schema-on-write** (Delta's append rule — ADVICE r10): ``df`` must
     carry exactly the table's columns (same names, same types; order and
     nullability are free). Without this check a drifted batch commits
@@ -387,6 +418,13 @@ def txn_append(
     every directory in the chain shares one physical layout."""
     if read_version < 1:
         raise ValueError("txn_append requires an initialized table (read_version >= 1)")
+    k = (
+        auto_compact_every
+        if auto_compact_every is not None
+        else getattr(store, "auto_compact_every", None)
+    )
+    if k is not None and k < 1:
+        raise ValueError("auto_compact_every must be >= 1")
     target = read_version + 1
     _fresh_view_check(store, zone, key, read_version)
     parent = read_manifest(store, zone, key, read_version)
@@ -428,7 +466,33 @@ def txn_append(
         fs, _ = store._fs()
         fs.delete(_jpath(store, delta), True)
         raise TxnConflictError(store.path(zone, key), target)
+    chain_len = len(manifest["snapshots"])
+    if k is not None:
+        if chain_len > k:
+            try:
+                return txn_compact(store, zone, key)
+            except TxnConflictError:
+                # maintenance lost to live writers; the append is durable
+                # and the winners' own cadence bounds the chain
+                return target
+    elif chain_len >= _CHAIN_WARN_THRESHOLD:
+        import warnings
+
+        warnings.warn(
+            f"append chain of {store.path(zone, key)!r} is {chain_len} "
+            f"directories long: manifest writes are O(chain) per append and "
+            f"reads scan {chain_len} paths; set auto_compact_every=K on the "
+            "append (or the store) or run txn_compact",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return target
+
+
+# an un-compacted chain this long is operationally wrong at any scale
+# (manifest ~100 bytes/path per APPEND, reads plan one FileIndex over
+# every dir); warn rather than fail — the table stays correct
+_CHAIN_WARN_THRESHOLD = 256
 
 
 def txn_compact(store: ZoneStore, zone: str, key: str, max_retries: int = 10) -> int:
@@ -517,7 +581,13 @@ def txn_delete_rows(
     raise TxnConflictError(store.path(zone, key), latest_version(store, zone, key) + 1)
 
 
-def vacuum(store: ZoneStore, zone: str, key: str, keep_last: int = 1) -> list[int]:
+def vacuum(
+    store: ZoneStore,
+    zone: str,
+    key: str,
+    keep_last: int = 1,
+    min_age_sec: float = 0.0,
+) -> list[int]:
     """Delete snapshots (and their manifests) older than the last
     ``keep_last`` versions — Delta's VACUUM. Returns the versions removed.
     Never touches the latest version; safe-by-construction against the
@@ -554,12 +624,24 @@ def vacuum(store: ZoneStore, zone: str, key: str, keep_last: int = 1) -> list[in
       and that no retained manifest references is deleted. This also
       sweeps orphan dirs left by writers that crashed before publishing —
       Delta-vacuum parity the manifest-walk spelling could never give
-      (an orphan is listed by no manifest). A writer stale by MORE than
-      ``keep_last`` versions racing vacuum may thus see its doomed
-      snapshot write fail with an IO error instead of the
-      ``TxnConflictError`` it would get at publish; no committed state is
-      affected (the version-encoded floor plays the role of Delta's
-      retention window, measured in versions rather than hours).
+      (an orphan is listed by no manifest).
+
+    **Racing stale writers** (ADVICE r14): a LIVE writer stale by more
+    than ``keep_last`` versions has its in-flight snapshot directory
+    version-encoded below the floor and referenced by no manifest — the
+    same signature as crash debris — so an unguarded sweep can delete it
+    mid-write. The symptom is an arbitrary executor IO error
+    (FileNotFoundException under ``_snapshots/v<version>-<nonce>``)
+    instead of the clean ``TxnConflictError`` the writer would get at
+    publish; no committed state is ever affected either way. The guard is
+    ``min_age_sec`` — Delta's retention-hours check: a snapshot dir whose
+    modification time is within ``min_age_sec`` of now is skipped this
+    vacuum (a later one sweeps it once aged). Set it above the longest
+    plausible snapshot write; the default 0 keeps vacuum eager, which is
+    right for single-writer pipelines and the test/model harness.
+    (Version-encoded floor = Delta's retention window in versions;
+    ``min_age_sec`` = the same window in wall time, for the in-flight
+    case versions cannot see.)
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -591,6 +673,7 @@ def vacuum(store: ZoneStore, zone: str, key: str, keep_last: int = 1) -> list[in
                     removed.append(int(stem))
     sdir = _jpath(store, store.path(zone, f"{key}/_snapshots"))
     if fs.exists(sdir):
+        now_ms = time.time() * 1000
         for st in fs.listStatus(sdir):
             name = st.getPath().getName()
             if (
@@ -598,6 +681,7 @@ def vacuum(store: ZoneStore, zone: str, key: str, keep_last: int = 1) -> list[in
                 and name[1:21].isdigit()
                 and int(name[1:21]) <= floor
                 and name not in referenced
+                and now_ms - st.getModificationTime() >= min_age_sec * 1000
             ):
                 fs.delete(st.getPath(), True)
     return sorted(removed)

@@ -380,6 +380,13 @@ _OP = st.one_of(
     # dict by never appending an existing key; that contract is the
     # operator's own documentation)
     st.tuples(st.just("append"), st.lists(st.integers(0, 999), min_size=1, max_size=3)),
+    # append with the compaction cadence (r15, VERDICT r14 item 4): same
+    # row semantics as append, but the log may advance TWICE (append +
+    # auto-compact when the chain exceeds K=2) — the model tracks the
+    # chain length to predict exactly when, so the head-version invariant
+    # stays exact under arbitrary interleavings with upsert/delete/
+    # compact (which reset the chain) and vacuum/orphan (which don't)
+    st.tuples(st.just("append_auto"), st.lists(st.integers(0, 999), min_size=1, max_size=3)),
     # maintenance ops (r13: exercise the O(1) fresh-view pre-check and
     # the memoized vacuum delete loop under arbitrary interleavings):
     # compact commits one content-identical version; vacuum removes a
@@ -414,24 +421,32 @@ def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
     model = {0: 42}
     next_fresh = 100
     commits = 1
+    chain = 1  # directories in the head version's chain (predicts auto-compact)
     txn_init(store, "curated", "t", _accounts(spark, [(0, 42)]))
     for kind, payload in ops:
         if kind == "upsert":
             txn_upsert(store, "curated", "t", _accounts(spark, payload), "account_id")
             model.update(dict(payload))
             commits += 1
-        elif kind == "append":
+            chain = 1
+        elif kind in ("append", "append_auto"):
             rows = [(next_fresh + i, b) for i, b in enumerate(payload)]
             next_fresh += len(payload)
             txn_append(
                 store, "curated", "t", _accounts(spark, rows),
                 read_version=latest_version(store, "curated", "t"),
+                auto_compact_every=2 if kind == "append_auto" else None,
             )
             model.update(dict(rows))
             commits += 1
+            chain += 1
+            if kind == "append_auto" and chain > 2:
+                commits += 1  # the cadence compacted right after the append
+                chain = 1
         elif kind == "compact":
             txn_compact(store, "curated", "t")
             commits += 1  # content unchanged, one new version
+            chain = 1
         elif kind == "vacuum":
             vacuum(store, "curated", "t", keep_last=payload)
             # content, log head, and version numbering all unchanged
@@ -453,6 +468,7 @@ def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
             for k in payload:
                 model.pop(k, None)
             commits += 1
+            chain = 1
         # invariant after EVERY op: the table reads exactly the model
         assert {
             r["account_id"]: r["balance"]
@@ -547,6 +563,107 @@ def test_compact_resets_chain_and_vacuum_frees_old_dirs(spark, store):
     snaps_dir = store.path("curated", "accounts/_snapshots")
     assert len(list(fs.listStatus(jvm.org.apache.hadoop.fs.Path(snaps_dir)))) == 1
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
+
+
+def test_append_auto_compact_bounds_chain_and_returns_head(spark, store):
+    """Compaction cadence as code (VERDICT r14 item 4): with
+    auto_compact_every=K, a winning append whose chain exceeds K dirs is
+    followed by txn_compact, the RETURN VALUE is the post-compact head
+    (usable directly as the next read_version), and the at-rest chain
+    never exceeds K directories — so every manifest stays O(K) paths."""
+    from cyrela_etl_spark.sources.txn import _version_dirs, read_manifest
+
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = 1
+    for k in range(2, 8):
+        v = txn_append(
+            store, "curated", "accounts", _accounts(spark, [(k, k * 100)]),
+            read_version=v, auto_compact_every=2,
+        )
+        m = read_manifest(store, "curated", "accounts", v)
+        assert len(_version_dirs(m)) <= 2, m
+    # 6 appends, 3 of them tripped the cadence: 1 init + 6 + 3 = 10
+    assert v == 10 and latest_version(store, "curated", "accounts") == 10
+    assert read_manifest(store, "curated", "accounts", 10)["op"] == "compact"
+    assert _rows(txn_read(store, "curated", "accounts")) == {
+        (k, k * 100) for k in range(1, 8)
+    }
+
+    # the store-attribute spelling sets the policy once for every append
+    store.auto_compact_every = 2
+    try:
+        v = txn_append(
+            store, "curated", "accounts", _accounts(spark, [(8, 800)]), read_version=v
+        )
+        v = txn_append(
+            store, "curated", "accounts", _accounts(spark, [(9, 900)]), read_version=v
+        )
+        assert read_manifest(store, "curated", "accounts", v)["op"] == "compact"
+    finally:
+        del store.auto_compact_every
+    with pytest.raises(ValueError):
+        txn_append(
+            store, "curated", "accounts", _accounts(spark, [(10, 1000)]),
+            read_version=v, auto_compact_every=0,
+        )
+
+
+def test_append_chain_warns_past_threshold_without_cadence(spark, store, monkeypatch):
+    """Without a cadence, a chain crossing _CHAIN_WARN_THRESHOLD warns
+    loudly (the VERDICT item's fallback obligation); with the cadence
+    set, the same sequence stays silent because the chain never gets
+    that long."""
+    import warnings
+
+    import cyrela_etl_spark.sources.txn as txn_mod
+
+    monkeypatch.setattr(txn_mod, "_CHAIN_WARN_THRESHOLD", 3)
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+    with pytest.warns(RuntimeWarning, match="auto_compact_every"):
+        v = txn_append(
+            store, "curated", "accounts", _accounts(spark, [(3, 300)]), read_version=v
+        )
+    # cadence on: the warn branch is off — the cadence bounds the chain
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        v = txn_append(
+            store, "curated", "accounts", _accounts(spark, [(4, 400)]),
+            read_version=v, auto_compact_every=2,
+        )
+    assert _rows(txn_read(store, "curated", "accounts")) == {
+        (1, 100), (2, 200), (3, 300), (4, 400)
+    }
+
+
+def test_vacuum_age_guard_spares_fresh_unreferenced_dirs(spark, store):
+    """ADVICE r14: a live writer stale by more than keep_last versions
+    has its in-flight snapshot dir version-encoded below the floor and
+    referenced by nothing — indistinguishable from crash debris — so an
+    eager sweep can delete it mid-write (symptom: executor IO error, not
+    TxnConflictError). vacuum(min_age_sec=T) must spare any
+    unreferenced dir modified within T (Delta's retention-hours check),
+    while still removing manifests; an aged dir is swept by the next
+    eager vacuum."""
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+    v = txn_append(store, "curated", "accounts", _accounts(spark, [(3, 300)]), read_version=v)
+    # a stale writer's in-flight dir at version 2 (below the floor)
+    inflight = store.path("curated", "accounts/_snapshots/v%020d-inflight" % 2)
+    _accounts(spark, [(99, 999)]).write.mode("overwrite").parquet(inflight)
+
+    removed = vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=3600)
+    assert removed == [1, 2]  # manifest removal is never age-gated
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(inflight)), (
+        "fresh unreferenced dir must survive an age-guarded vacuum"
+    )
+    # once aged (here: guard dropped), the next vacuum sweeps it
+    assert vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0) == []
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(inflight))
+    assert _rows(txn_read(store, "curated", "accounts")) == {
+        (1, 100), (2, 200), (3, 300)
+    }
 
 
 def test_append_chain_reads_as_one_multipath_scan(spark, store):

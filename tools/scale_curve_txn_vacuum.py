@@ -7,7 +7,18 @@ Per chain length N (fresh table root each leg):
 
 - build: txn_init + (N-1) txn_appends of a fixed 50-row batch (the
   variable is CHAIN LENGTH, not data volume); mean append wall is
-  reported as a cross-check against the flat append curve.
+  reported as a cross-check against the flat append curve. Manifest PUT
+  bytes are accounted (every _write_bytes under _txn/): each append
+  manifest lists the whole chain, so the plain build writes O(N^2)
+  cumulative manifest bytes — the write-side residual VERDICT r14
+  item 4 names.
+- build_auto: the same appends with ``auto_compact_every=K`` (default
+  64, env SPARK_GRAFT_AUTO_K) — every manifest stays O(K) paths, so
+  cumulative manifest bytes are O(N·K) and the max single manifest is
+  flat in N. The trade is explicit in the output: ``compactions`` counts
+  the periodic full-table rewrites the cadence performs (data-write
+  amplification ~ rows/2K per appended row at constant batch size —
+  the knob a table owner tunes against read-path latency).
 - read_latest: txn_read(latest).count() — the N-directory multi-path
   scan (one FileScan by contract; tests/test_txn_acid.py pins that).
 - compact: txn_compact — reads the N-dir union, writes ONE full
@@ -78,22 +89,81 @@ def main() -> None:
     spark = get_spark(app_name="scale-curve-txn-vacuum")
     spark.sparkContext.setLogLevel("ERROR")
 
+    import cyrela_etl_spark.sources.txn as txn_mod
+
+    auto_k = int(os.environ.get("SPARK_GRAFT_AUTO_K", "64"))
+
+    class PutCounter:
+        """Accounts manifest PUT traffic: every _write_bytes under _txn/
+        (temp manifest writes — exactly the bytes a publish ships)."""
+
+        def __init__(self):
+            self.real = txn_mod._write_bytes
+            self.bytes = 0
+            self.puts = 0
+            self.max_put = 0
+
+        def __enter__(self):
+            def counting(store, path, data):
+                if "/_txn/" in path:
+                    self.bytes += len(data)
+                    self.puts += 1
+                    self.max_put = max(self.max_put, len(data))
+                return self.real(store, path, data)
+
+            txn_mod._write_bytes = counting
+            return self
+
+        def __exit__(self, *exc):
+            txn_mod._write_bytes = self.real
+
     for n in chains:
         root = f"/tmp/scale_txn_vacuum_{n}"
         shutil.rmtree(root, ignore_errors=True)
         store = ZoneStore(spark=spark, root=root)
 
         t0 = time.perf_counter()
-        v = txn_init(store, "curated", "t", batch(spark, 0))
-        for i in range(1, n):
-            v = txn_append(store, "curated", "t", batch(spark, i * ROWS_PER_COMMIT), read_version=v)
+        with PutCounter() as pc:
+            v = txn_init(store, "curated", "t", batch(spark, 0))
+            for i in range(1, n):
+                v = txn_append(
+                    store, "curated", "t", batch(spark, i * ROWS_PER_COMMIT), read_version=v
+                )
         build_wall = time.perf_counter() - t0
         assert latest_version(store, "curated", "t") == n
         print(
             f"RESULT chain={n} leg=build wall={build_wall:.1f}s "
-            f"mean_append={build_wall / n * 1000:.0f}ms",
+            f"mean_append={build_wall / n * 1000:.0f}ms "
+            f"manifest_puts={pc.puts} manifest_bytes={pc.bytes} "
+            f"max_manifest={pc.max_put}",
             flush=True,
         )
+
+        # build_auto: same appends under the compaction cadence — the
+        # write-side O(N^2) manifest term must collapse to O(N·K)
+        auto_store = ZoneStore(spark=spark, root=f"{root}_auto")
+        t0 = time.perf_counter()
+        with PutCounter() as pca:
+            av = txn_init(auto_store, "curated", "t", batch(spark, 0))
+            for i in range(1, n):
+                av = txn_append(
+                    auto_store, "curated", "t", batch(spark, i * ROWS_PER_COMMIT),
+                    read_version=av, auto_compact_every=auto_k,
+                )
+        auto_wall = time.perf_counter() - t0
+        compactions = av - n  # every version beyond the n data commits
+        assert txn_read(auto_store, "curated", "t").count() == n * ROWS_PER_COMMIT
+        assert pca.max_put <= (auto_k + 2) * 200 + 2000, (
+            f"max manifest {pca.max_put} B not O(K) at K={auto_k}"
+        )
+        print(
+            f"RESULT chain={n} leg=build_auto K={auto_k} wall={auto_wall:.1f}s "
+            f"mean_append={auto_wall / n * 1000:.0f}ms compactions={compactions} "
+            f"manifest_puts={pca.puts} manifest_bytes={pca.bytes} "
+            f"max_manifest={pca.max_put}",
+            flush=True,
+        )
+        shutil.rmtree(f"{root}_auto", ignore_errors=True)
 
         t0 = time.perf_counter()
         total = txn_read(store, "curated", "t").count()
