@@ -269,7 +269,12 @@ def link_prediction(
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # r14 tail diet: both wedge sides consume mid — persist or the degree
     # join re-plans per side (the copies diverge under pruning: only the
-    # left side keeps deg). release: caller (cache contract)
+    # left side keeps deg). release: caller (cache contract). Size note
+    # (ADVICE r14): mid is EDGE-scale (2|E| rows), not k-row — at 100x+
+    # corpora the default MEMORY_AND_DISK competes with the storage
+    # fraction; switch to StorageLevel.DISK_ONLY if executor memory is
+    # the binding constraint (one extra disk read per side beats an
+    # eviction storm).
     mid = directed.join(deg, "src").persist()
     l, r = mid.alias("l"), mid.alias("r")
     wedges = l.join(

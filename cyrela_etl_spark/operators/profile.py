@@ -135,7 +135,9 @@ def mad_anomalies(
     )
     # r14 tail diet: dev feeds the MAD agg AND the scoring join — persist
     # or the scan + median broadcast join run twice. release: caller
-    # (cache contract)
+    # (cache contract). Size note (ADVICE r14): dev is FACT-scale (one
+    # row per input row) — prefer StorageLevel.DISK_ONLY at 100x+ scales
+    # where the cache would pressure executor memory.
     dev = df.join(F.broadcast(med), key_col).withColumn(
         "__ad", F.abs(F.col(value_col) - F.col("__med"))
     ).persist()

@@ -2320,9 +2320,10 @@ _BASKET_MIN_PAIRS, _BASKET_TOP = 3, 20
 
 
 def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r14 tail diet: li has FOUR consumers (the n_orders action, the
-    # per-item counts, both self-join sides) and item two — persist or
-    # the lineitem distinct re-plans per consumer. release: caller
+    # r14 tail diet: li has four consumers (the n_orders action, the
+    # per-item counts, both self-join sides) and item has two (each pair
+    # side's count join) — persist BOTH relations, or each consumer
+    # re-plans the lineitem distinct. release: caller
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().persist()
     n_orders = li.select("l_orderkey").distinct().count()
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_item")).persist()

@@ -850,7 +850,9 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
     # r14 tail diet: tf feeds the document-frequency agg AND the ranked
     # top-k — persist or the tokenize + doc-term shuffle runs twice.
-    # release: caller
+    # release: caller. Size note (ADVICE r14): tf is CORPUS-scale (one
+    # row per distinct doc-term) — prefer StorageLevel.DISK_ONLY at 100x+
+    # scales where the cache would pressure executor memory.
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
@@ -3466,7 +3468,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("shingles") > 0)
     # r14 tail diet: both candidate-join sides consume side — persist or
     # the signature + shingle projections and their id join run twice.
-    # release: caller
+    # release: caller. Size note (ADVICE r14): side is CORPUS-scale (one
+    # row per doc, carrying signature + shingle arrays) — prefer
+    # StorageLevel.DISK_ONLY at 100x+ scales where the cache would
+    # pressure executor memory.
     side = sigs.join(sh, "id").persist()
     base = c.select("doc_id")
     cand = (

@@ -92,7 +92,10 @@ def test_every_persist_site_carries_a_release_marker():
         for i, line in enumerate(lines):
             if ".persist()" in line:
                 lo, hi = max(0, i - 8), min(len(lines), i + 5)
-                if "release" not in "\n".join(lines[lo:hi]):
+                # the marker form is 'release:' WITH the colon — nearby
+                # prose containing 'released'/'releases' must not satisfy
+                # the contract by accident (ADVICE r14)
+                if "release:" not in "\n".join(lines[lo:hi]):
                     unmarked.append(f"{f.relative_to(root.parent)}:{i + 1}")
     assert unmarked == [], (
         "persist() sites without a nearby 'release:' marker (document the "
