@@ -396,6 +396,12 @@ _OP = st.one_of(
     # correctness argument rests on.
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    # age-guarded vacuum (r15, ADVICE r15): min_age_sec=3600 spares every
+    # unreferenced-but-fresh data dir (everything in a fast-running model
+    # sequence is fresh) while STILL removing below-floor manifests —
+    # content, head and version numbering must stay untouched, and any
+    # later eager vacuum/orphan interleaving must still behave
+    st.tuples(st.just("vacuum_aged"), st.integers(1, 3)),
     # crash debris (r14, exercises the listing-based vacuum): an orphan
     # snapshot directory from a writer that died before publishing, at a
     # version the next commit will race for. Must never affect reads or
@@ -450,6 +456,11 @@ def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
         elif kind == "vacuum":
             vacuum(store, "curated", "t", keep_last=payload)
             # content, log head, and version numbering all unchanged
+        elif kind == "vacuum_aged":
+            vacuum(store, "curated", "t", keep_last=payload, min_age_sec=3600.0)
+            # manifests below the floor still go; every data dir in this
+            # fast sequence is fresh, so the age guard spares them all —
+            # reads (the invariant below) must be indistinguishable
         elif kind == "orphan":
             # debris at the NEXT version (what a crashed writer leaves)
             _accounts(spark, [(99, 99)]).write.mode("overwrite").parquet(
