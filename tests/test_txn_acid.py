@@ -619,6 +619,31 @@ def test_append_auto_compact_bounds_chain_and_returns_head(spark, store):
         )
 
 
+def test_append_auto_compact_is_best_effort_under_contention(spark, store, monkeypatch):
+    """If the cadence's compact loses its retries to live writers, the
+    append itself must stand: the caller gets the APPEND's version back,
+    nothing raises, and the table reads exactly the appended content
+    (the winners' own cadence is what bounds the chain then)."""
+    import cyrela_etl_spark.sources.txn as txn_mod
+
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+
+    def always_loses(store_, zone, key, max_retries=10):
+        raise txn_mod.TxnConflictError(store_.path(zone, key), 99)
+
+    monkeypatch.setattr(txn_mod, "txn_compact", always_loses)
+    got = txn_append(
+        store, "curated", "accounts", _accounts(spark, [(3, 300)]),
+        read_version=v, auto_compact_every=1,  # always over the cadence
+    )
+    assert got == 3  # the append's own version, not a compact's
+    assert latest_version(store, "curated", "accounts") == 3
+    assert _rows(txn_read(store, "curated", "accounts")) == {
+        (1, 100), (2, 200), (3, 300)
+    }
+
+
 def test_append_chain_warns_past_threshold_without_cadence(spark, store, monkeypatch):
     """Without a cadence, a chain crossing _CHAIN_WARN_THRESHOLD warns
     loudly (the VERDICT item's fallback obligation); with the cadence
