@@ -475,6 +475,25 @@ def txn_append(
                 # maintenance lost to live writers; the append is durable
                 # and the winners' own cadence bounds the chain
                 return target
+            except Exception as exc:  # noqa: BLE001 — ADVICE r16 (medium)
+                # ANY maintenance failure (executor IO error mid-rewrite, a
+                # racing vacuum's FileNotFoundError, OOM) must not mask the
+                # durable commit: propagating here would read as a FAILED
+                # append, and a retrying caller would re-append the same
+                # batch — duplicate rows. Warn and return the committed
+                # version; the chain compacts on a later append or manually.
+                import warnings
+
+                warnings.warn(
+                    f"auto-compact after append v{target} of "
+                    f"{store.path(zone, key)!r} failed ({type(exc).__name__}: "
+                    f"{exc}); the append IS committed — do not retry it. "
+                    "Chain stays uncompacted until the next cadence hit or "
+                    "a manual txn_compact.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return target
     elif chain_len >= _CHAIN_WARN_THRESHOLD:
         import warnings
 
@@ -581,15 +600,24 @@ def txn_delete_rows(
     raise TxnConflictError(store.path(zone, key), latest_version(store, zone, key) + 1)
 
 
+# Production default for vacuum's in-flight-writer guard: Delta Lake's
+# VACUUM retention default (7 days, delta.deletedFileRetentionDuration).
+# Decided in round 16 (VERDICT r15 item 5): callers who want the old
+# eager sweep — single-writer pipelines, tests, the model harness — opt
+# OUT explicitly with min_age_sec=0.
+VACUUM_RETENTION_SEC_DEFAULT: float = 7 * 24 * 3600.0
+
+
 def vacuum(
     store: ZoneStore,
     zone: str,
     key: str,
     keep_last: int = 1,
-    min_age_sec: float = 0.0,
+    min_age_sec: float = VACUUM_RETENTION_SEC_DEFAULT,
 ) -> list[int]:
     """Delete snapshots (and their manifests) older than the last
-    ``keep_last`` versions — Delta's VACUUM. Returns the versions removed.
+    ``keep_last`` versions — Delta's VACUUM. Returns the versions removed
+    (see the ``min_age_sec`` paragraph for what "removed" means exactly).
     Never touches the latest version; safe-by-construction against the
     put-if-absent log because removed versions are strictly below any
     version a new commit can take.
@@ -636,12 +664,27 @@ def vacuum(
     publish; no committed state is ever affected either way. The guard is
     ``min_age_sec`` — Delta's retention-hours check: a snapshot dir whose
     modification time is within ``min_age_sec`` of now is skipped this
-    vacuum (a later one sweeps it once aged). Set it above the longest
-    plausible snapshot write; the default 0 keeps vacuum eager, which is
-    right for single-writer pipelines and the test/model harness.
-    (Version-encoded floor = Delta's retention window in versions;
-    ``min_age_sec`` = the same window in wall time, for the in-flight
-    case versions cannot see.)
+    vacuum (a later one sweeps it once aged). The default is Delta's
+    7-day retention (``VACUUM_RETENTION_SEC_DEFAULT``) so an un-tuned
+    production deployment gets the race closed out of the box; pass
+    ``min_age_sec=0`` to opt into the eager sweep (right for
+    single-writer pipelines and the test/model harness — every test here
+    does so explicitly). The eager path skips the modification-time
+    comparison ENTIRELY (ADVICE r15): the guard compares the driver's
+    clock against the filesystem's, and at 0 a filesystem clock running
+    ahead would make ``now - mtime`` negative and spare dirs the eager
+    contract promises to delete. For nonzero values the comparison spans
+    those two clock sources, so set ``min_age_sec`` well above plausible
+    clock skew AND the longest snapshot write (the same assumption
+    Delta's retention-hours docs state); note an object-store directory
+    marker with mtime 0 always looks aged — the guard is best-effort
+    there, exactly as Delta's is. ``removed`` reports MANIFEST removal —
+    i.e. which versions lost time travel; an age-spared data dir's
+    manifest is already gone (manifests go unconditionally, first), and
+    the dir itself is swept by a later vacuum once aged, so space
+    reclamation can lag the returned list. (Version-encoded floor =
+    Delta's retention window in versions; ``min_age_sec`` = the same
+    window in wall time, for the in-flight case versions cannot see.)
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -674,6 +717,9 @@ def vacuum(
     sdir = _jpath(store, store.path(zone, f"{key}/_snapshots"))
     if fs.exists(sdir):
         now_ms = time.time() * 1000
+        # eager opt-out: no mtime comparison at all — the two-clock compare
+        # would let fs-clock skew spare dirs the eager contract deletes
+        eager = min_age_sec <= 0
         for st in fs.listStatus(sdir):
             name = st.getPath().getName()
             if (
@@ -681,7 +727,7 @@ def vacuum(
                 and name[1:21].isdigit()
                 and int(name[1:21]) <= floor
                 and name not in referenced
-                and now_ms - st.getModificationTime() >= min_age_sec * 1000
+                and (eager or now_ms - st.getModificationTime() >= min_age_sec * 1000)
             ):
                 fs.delete(st.getPath(), True)
     return sorted(removed)

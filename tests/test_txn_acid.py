@@ -127,7 +127,7 @@ def test_delete_rows_and_time_travel_and_vacuum(spark, store):
     # time travel: version 1 still shows the deleted row
     assert (2, 200) in _rows(txn_read(store, "curated", "accounts", version=1))
     # vacuum drops version 1's snapshot + manifest, keeps the latest
-    assert vacuum(store, "curated", "accounts", keep_last=1) == [1]
+    assert vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0) == [1]
     assert latest_version(store, "curated", "accounts") == 2
     with pytest.raises(Exception):
         txn_read(store, "curated", "accounts", version=1)
@@ -262,7 +262,7 @@ def test_lockfile_publisher_full_protocol(spark, store):
     _time.sleep(0.2)
     txn_upsert(store, "curated", "accounts", _accounts(spark, [(3, 300)]), "account_id")
     assert latest_version(store, "curated", "accounts") == 3
-    assert vacuum(store, "curated", "accounts", keep_last=1) == [1, 2]
+    assert vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0) == [1, 2]
     assert not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{tdir}/{1:020d}.lock"))
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200), (3, 300)}
 
@@ -306,7 +306,7 @@ def test_time_travel_of_vacuumed_version_fails_cleanly(spark, store):
     txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
     txn_commit(store, "curated", "accounts", _accounts(spark, [(1, 101)]), read_version=1)
     txn_commit(store, "curated", "accounts", _accounts(spark, [(1, 102)]), read_version=2)
-    assert vacuum(store, "curated", "accounts", keep_last=1) == [1, 2]
+    assert vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0) == [1, 2]
     with pytest.raises(FileNotFoundError, match="removed by vacuum|no manifest"):
         txn_read(store, "curated", "accounts", version=1)
     # latest unaffected
@@ -314,7 +314,7 @@ def test_time_travel_of_vacuumed_version_fails_cleanly(spark, store):
 
 
 def test_vacuum_under_concurrent_writer_never_removes_winnable_version(spark, store):
-    """VERDICT r9 item 4: vacuum(keep_last=2) racing a committing writer.
+    """VERDICT r9 item 4: eager vacuum(keep_last=2) racing a committing writer.
     Safety statement: vacuum only ever removes versions <= latest-2 AT ITS
     LIST TIME, and versions only grow — so the latest and latest-1 any
     reader or retrying writer can land on are never removed. Asserted by
@@ -340,7 +340,7 @@ def test_vacuum_under_concurrent_writer_never_removes_winnable_version(spark, st
     t.start()
     removed_log: list[tuple[int, list[int]]] = []
     while not stop.is_set():
-        removed = vacuum(store, "curated", "accounts", keep_last=2)
+        removed = vacuum(store, "curated", "accounts", keep_last=2, min_age_sec=0)
         # versions only grow, so the post-call latest is >= vacuum's own
         # list-time latest: removed <= list-time latest - 2 <= lv - 2.
         # (Sampling latest BEFORE the call raced the live writer: a commit
@@ -395,6 +395,9 @@ _OP = st.one_of(
     # floor has moved, the exact contiguity case _fresh_view_check's
     # correctness argument rests on.
     st.tuples(st.just("compact"), st.none()),
+    # eager vacuum is the explicit opt-out spelling since r16 (the
+    # DEFAULT is Delta's 7-day retention, VERDICT r15 item 5) — the model
+    # keeps exercising both semantics
     st.tuples(st.just("vacuum"), st.integers(1, 3)),
     # age-guarded vacuum (r15, ADVICE r15): min_age_sec=3600 spares every
     # unreferenced-but-fresh data dir (everything in a fast-running model
@@ -454,7 +457,7 @@ def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
             commits += 1  # content unchanged, one new version
             chain = 1
         elif kind == "vacuum":
-            vacuum(store, "curated", "t", keep_last=payload)
+            vacuum(store, "curated", "t", keep_last=payload, min_age_sec=0)
             # content, log head, and version numbering all unchanged
         elif kind == "vacuum_aged":
             vacuum(store, "curated", "t", keep_last=payload, min_age_sec=3600.0)
@@ -547,7 +550,7 @@ def test_vacuum_keeps_directories_referenced_by_retained_chains(spark, store):
     txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
     txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
     txn_append(store, "curated", "accounts", _accounts(spark, [(3, 300)]), read_version=2)
-    removed = vacuum(store, "curated", "accounts", keep_last=1)
+    removed = vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0)
     assert removed == [1, 2]
     # retained chain fully readable; vacuumed versions fail cleanly
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200), (3, 300)}
@@ -569,7 +572,7 @@ def test_compact_resets_chain_and_vacuum_frees_old_dirs(spark, store):
     assert m["op"] == "compact" and "snapshots" not in m
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
     # nothing references the old base/delta once the chain is compacted
-    removed = vacuum(store, "curated", "accounts", keep_last=1)
+    removed = vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0)
     assert removed == [1, 2]
     snaps_dir = store.path("curated", "accounts/_snapshots")
     assert len(list(fs.listStatus(jvm.org.apache.hadoop.fs.Path(snaps_dir)))) == 1
@@ -697,6 +700,75 @@ def test_vacuum_age_guard_spares_fresh_unreferenced_dirs(spark, store):
     # once aged (here: guard dropped), the next vacuum sweeps it
     assert vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0) == []
     assert not fs.exists(jvm.org.apache.hadoop.fs.Path(inflight))
+    assert _rows(txn_read(store, "curated", "accounts")) == {
+        (1, 100), (2, 200), (3, 300)
+    }
+
+
+def test_vacuum_default_is_delta_retention_not_eager(spark, store):
+    """VERDICT r15 item 5 (decided r16): the DEFAULT vacuum is
+    age-guarded at Delta's 7-day retention, so an un-tuned production
+    caller gets the live-writer race closed out of the box; eager is an
+    explicit opt-out (min_age_sec=0) that skips the two-clock mtime
+    comparison entirely (ADVICE r16 low). Manifest removal — the
+    `removed` contract — is identical either way."""
+    from cyrela_etl_spark.sources.txn import VACUUM_RETENTION_SEC_DEFAULT
+
+    assert VACUUM_RETENTION_SEC_DEFAULT == 7 * 24 * 3600.0
+    fs, jvm = store._fs()
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+    v = txn_append(store, "curated", "accounts", _accounts(spark, [(3, 300)]), read_version=v)
+    inflight = store.path("curated", "accounts/_snapshots/v%020d-inflight" % 2)
+    _accounts(spark, [(99, 999)]).write.mode("overwrite").parquet(inflight)
+    # DEFAULT call: manifests below the floor go (time travel dies) but
+    # every fresh data dir — including the unreferenced in-flight one —
+    # survives the retention guard
+    removed = vacuum(store, "curated", "accounts", keep_last=1)
+    assert removed == [1, 2]
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(inflight)), (
+        "default vacuum must spare fresh unreferenced dirs (7-day retention)"
+    )
+    with pytest.raises(FileNotFoundError):
+        txn_read(store, "curated", "accounts", version=1)  # time travel dead
+    assert _rows(txn_read(store, "curated", "accounts")) == {
+        (1, 100), (2, 200), (3, 300)
+    }
+    # explicit eager opt-out sweeps what the default spared
+    assert vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0) == []
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(inflight))
+
+
+def test_append_auto_compact_failure_never_masks_the_commit(spark, store, monkeypatch):
+    """ADVICE r16 (medium): after the append has published durably, ANY
+    auto-compact failure — not just TxnConflictError — must be swallowed
+    (with a RuntimeWarning) and the append's version returned. If it
+    propagated, a retrying caller would re-append the same batch and
+    duplicate rows."""
+    import warnings
+
+    import cyrela_etl_spark.sources.txn as txn_mod
+
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+
+    def _boom(*a, **k):
+        raise OSError("executor died mid-rewrite")  # a racing vacuum / IO error
+
+    monkeypatch.setattr(txn_mod, "txn_compact", _boom)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = txn_append(
+            store, "curated", "accounts", _accounts(spark, [(3, 300)]),
+            read_version=v, auto_compact_every=1,
+        )
+    assert got == v + 1, "the durable append's version, not an exception"
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "do not retry" in str(w.message)
+        for w in caught
+    )
+    # the table holds exactly one copy of every row — nothing duplicated,
+    # nothing lost, chain merely uncompacted
     assert _rows(txn_read(store, "curated", "accounts")) == {
         (1, 100), (2, 200), (3, 300)
     }
@@ -906,7 +978,7 @@ def test_reader_spanning_vacuum_stays_readable(spark, store):
     # planned before vacuum: its relation lists all 7 chain directories,
     # 6 of which were first written by versions vacuum is about to remove
     reader = txn_read(store, "curated", "accounts")
-    assert vacuum(store, "curated", "accounts", keep_last=1) == [1, 2, 3, 4, 5, 6]
+    assert vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0) == [1, 2, 3, 4, 5, 6]
     assert _rows(reader) == {(k, k * 100) for k in range(1, 8)}
 
 
@@ -942,7 +1014,7 @@ def test_reader_racing_vacuum_never_fails(spark, store):
     t = threading.Thread(target=reader)
     t.start()
     try:
-        removed = vacuum(store, "curated", "accounts", keep_last=1)
+        removed = vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0)
     finally:
         stop.set()
         t.join()
@@ -987,7 +1059,7 @@ def test_init_after_vacuum_conflicts_instead_of_forking(spark, store):
         v = txn_append(
             store, "curated", "accounts", _accounts(spark, [(k, k * 100)]), read_version=v
         )
-    assert vacuum(store, "curated", "accounts", keep_last=1) == [1, 2, 3, 4]
+    assert vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0) == [1, 2, 3, 4]
     with pytest.raises(TxnConflictError):
         txn_init(store, "curated", "accounts", _accounts(spark, [(9, 900)]))
     with pytest.raises(TxnConflictError):
@@ -1043,7 +1115,7 @@ def test_vacuum_sweeps_old_orphan_dirs_and_reads_no_vacuumable_manifest(
         return real_read(st, path)
 
     monkeypatch.setattr(txn_mod, "_read_json", counting_read)
-    assert vacuum(store, "curated", "accounts", keep_last=2) == [1, 2, 3]
+    assert vacuum(store, "curated", "accounts", keep_last=2, min_age_sec=0) == [1, 2, 3]
     # only the retained manifests (v4, v5) were opened
     assert sorted(p.rsplit("/", 1)[-1] for p in reads) == [
         f"{4:020d}.json",

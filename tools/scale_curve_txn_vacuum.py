@@ -24,7 +24,7 @@ Per chain length N (fresh table root each leg):
 - compact: txn_compact — reads the N-dir union, writes ONE full
   snapshot, commits version N+1. Expected linear in total rows (and in
   N while rows/commit is constant).
-- vacuum: vacuum(keep_last=1) after the compact — removes N versions'
+- vacuum: eager vacuum(keep_last=1) after the compact — removes N versions'
   manifests + the N now-unreferenced chain directories. Driver-side
   fs metadata ops only; expected linear in removed count. A CONCURRENT
   READER thread loops full reads of the retained latest during the
@@ -228,7 +228,7 @@ def main() -> None:
         txn_mod._read_json = counting_read
         t0 = time.perf_counter()
         try:
-            removed = vacuum(store, "curated", "t", keep_last=1)
+            removed = vacuum(store, "curated", "t", keep_last=1, min_age_sec=0)
         finally:
             txn_mod._read_json = real_read
             stop.set()
