@@ -49,84 +49,81 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and scores AT MOST ~50 entries per round. Round-15 slot allocation
-# (VERDICT r14 item 1 — freshness drain):
-#   r9-era (35): EVERY entry whose latest green driver row is still the
-#     round-9 one. VERDICT r14 named a 44-row cohort (computed pre-r14);
-#     the r14 sample itself re-scored 9 of them (diet overlaps), so 35
-#     remain — recomputed from the union of CORRECTNESS_r01..r14. After
-#     this round no entry's latest green predates r10. The whole cohort
-#     was pre-verified green under a plain driver-emulating session at
-#     sf0.01 in round 14 (NOTES pre-flight ledger, 44 ok / 0 fail).
-#   code-changed (1): storage_txn_acid — sources/txn.py gained the
-#     opt-in append compaction cadence (auto_compact_every=K, VERDICT r14
-#     item 4), the vacuum min_age_sec guard and the init-conflict version
-#     fix (ADVICE r15); green-path behavior is unchanged (both knobs
-#     default off) but the changed module must re-score.
-#   r10-era padding (15): the sample size floats (~35-50 by round), so the
-#     tail is the start of the NEXT drain — 15 of the 46 r10-latest rows,
-#     chosen to re-freshen one representative per heavy family (dedup,
-#     fuzzy, vector, text, storage, multimodal, TPC-H join battery) rather
-#     than alphabetically. If the driver scores fewer than 51, only
-#     padding is lost — every r9 row and the code-changed row sit ahead.
-#     No round-15 code change touches any padding entry (registry frozen
-#     at 256). Total 35 + 1 + 15 = 51.
+# order and scores AT MOST ~50 entries per round. Round-16 slot allocation
+# (VERDICT r15 item 1 — continue the freshness drain):
+#   r10-era (32): EVERY entry whose latest green driver row is still the
+#     round-10 one — the oldest greens left after the r15 scoring
+#     (recomputed from the union of CORRECTNESS_r01..r15; judge's r15
+#     histogram agrees: r10:32). After this round no entry's latest green
+#     predates r11. Pre-verified green under a plain driver-emulating
+#     session at sf0.01 this round (NOTES r16 pre-flight ledger).
+#   code-changed (2): storage_txn_acid — sources/txn.py changed again
+#     this round (ADVICE r16 medium: auto-compact failures can no longer
+#     mask a durable append; vacuum's min_age_sec now DEFAULTS to Delta's
+#     7-day retention with an explicit eager opt-out, VERDICT r15 item 5)
+#     — and stream_dedup_expiry — its input fixture is now built once per
+#     process and reused across bench reps (VERDICT r15 item 3); drain
+#     semantics and oracle unchanged, but the changed query must re-score.
+#   r11-era padding (14): the sample size floats (~35-50 by round), so the
+#     tail is the start of the NEXT drain — 14 of the 46 r11-latest rows,
+#     one representative per heavy family (corpus, dedup, join, TPC-H,
+#     set, storage, streaming, temporal, text, vector, window, grouped-map,
+#     projection, top-k) rather than alphabetical. If the driver scores
+#     fewer than 48, only padding is lost — every r10 row and both
+#     code-changed rows sit ahead. No round-16 code change touches any
+#     padding entry (registry frozen at 256). Total 32 + 2 + 14 = 48.
 _PRIORITY: list[str] = [
-    # -- r9-era rows (the oldest greens left; VERDICT r14 item 1) -----------
-    "agg_entropy",
-    "agg_percentile_cont",
-    "corpus_quality_ablation",
-    "corpus_token_length_histogram",
-    "dedup_dup_ngram_fraction",
-    "dedup_shingle_size_sensitivity",
-    "distinct_agg",
-    "events_conversion_wilson",
-    "events_power_pareto",
-    "func_arrays",
-    "func_datetime",
-    "func_maps",
-    "func_math",
-    "func_string",
-    "func_struct_ops",
-    "graph_component_sizes",
-    "ml_leakage_check",
-    "multimodal_duplicate_assets",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q16_part_supplier_counts",
-    "q20_excess_shippers",
-    "search_hybrid_rrf",
-    "sql_q04_exists",
-    "stream_bus_replay",
-    "stream_upsert_sink",
-    "temporal_asof_tolerance",
-    "temporal_overlap_join",
-    "text_hapax_heaps",
-    "text_vocab_growth",
-    "vector_centroid_shift",
-    "vector_ivf_pq_topk",
-    "vector_jl_projection",
-    "wallet_features",
-    "window_percent_rank_cume",
-    # -- code changed in round 15: stale green, must re-score ---------------
-    "storage_txn_acid",  # txn.py: auto_compact_every + vacuum age guard +
-    #                      init-conflict version naming (ADVICE r15 fixes)
-    # -- r10-era padding: head of the next drain, one per heavy family ------
-    "dedup_exact",
-    "dedup_components",
-    "dedup_minhash_signatures",
-    "dedup_simhash_pairs",
-    "fuzzy_match_names",
-    "join_bucketed",
-    "join_salted",
-    "multimodal_byte_histogram",
-    "q05_region_revenue",
-    "sql_q6",
-    "storage_table_roundtrip",
-    "text_language_id",
-    "text_quality",
-    "vector_cosine_topk",
+    # -- r10-era rows (the oldest greens left; VERDICT r15 item 1) ----------
+    "curation_pipeline",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "func_hof",
+    "fuzzy_match_names_indel",
+    "multimodal_frame_sample",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_nation_profit",
+    "q10_returned_revenue",
+    "q13_order_distribution",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "sql_correlated_subquery",
+    "sql_scalar_subquery",
+    "storage_csv_roundtrip",
+    "storage_incremental_agg",
+    "storage_snapshot_diff",
+    "storage_zone_promote",
+    "text_fingerprint",
+    "text_repetition",
+    "text_winnow_fingerprints",
+    "text_zipf_fit",
+    "vector_exact_collapse",
+    "vector_ivf_topk",
+    "vector_l2_topk",
+    "vector_neardup_pairs",
+    "vector_rhp_lsh_topk",
     "window_analytics",
+    # -- code changed in round 16: stale green, must re-score ---------------
+    "storage_txn_acid",  # txn.py: compact-failure shield + vacuum default
+    "stream_dedup_expiry",  # streamingq.py: process-lifetime fixture cache
+    # -- r11-era padding: head of the next drain, one per heavy family ------
+    "corpus_chunking",
+    "dedup_minhash_lsh",
+    "filter_project",
+    "grouped_map_normalize",
+    "join_broadcast_dim",
+    "q01_pricing_summary",
+    "set_ops",
+    "storage_zorder_cluster",
+    "stream_stateful_running",
+    "temporal_asof_join",
+    "text_lm_score",
+    "topk_global",
+    "vector_semdedup_pairs",
+    "window_rank",
 ]
 
 
