@@ -114,3 +114,89 @@ def test_recovering_host_flags_unstable_in_throttle_mode():
     assert c["spark_drift"] > 0.45
     assert c["kernel_divergence"] < 0.20
     assert c["host_ratio"] == pytest.approx(c["ratio_spark"])
+
+
+# --- round 16: the bw (memory-bandwidth) kernel ----------------------------
+# 2-tuple series (every fixture above) must keep their exact pre-r16
+# behavior: ratio_bw is None and mode can never be "bandwidth", so all
+# historical normalized totals replay identically. 3-tuple series come
+# from the round-16 bandwidth A/B (tools/ab_bandwidth_probe.py, NOTES
+# round-16 table).
+
+
+def test_legacy_two_tuple_series_unchanged():
+    for series in (RUN_N, RUN_H, RUN_I, RUN_J):
+        c = _cal(series)
+        assert c["ratio_bw"] is None
+        assert c["bw_over_cpu"] is None
+        assert c["mode"] in ("throttle", "contention")
+
+
+# Run BW (measured 2026-08-16, round-16 bandwidth A/B, two clean burn
+# legs of the 16-stream copy-burner experiment; the third rep's idle leg
+# was contaminated by a co-tenant and is excluded): bw kernel reads
+# 2.1x its pin while the CPU kernels read their usual weather-level
+# values. This in-guest burner also steals cores (16 of 32), so
+# spark/py diverge 22% and the episode classifies CONTENTION — but the
+# outcome is the measured-correct one either way: the PY ratio
+# normalizes, and the A/B's paired sweep legs showed the sweep at
+# ~1.0x (py 1.08x was the closest kernel; normalizing by the spark
+# kernel's 1.21x inflation would have manufactured a fake ~20% win).
+RUN_BW_BURN = [[1.124, 0.797, 0.519], [1.183, 0.833, 0.520]]
+
+
+def test_bandwidth_burner_episode_normalizes_by_py():
+    c = _cal(RUN_BW_BURN)
+    assert c["ratio_bw"] > 2.0  # the witness the old kernels lack
+    assert c["host_ratio"] == pytest.approx(c["ratio_py"])
+    # the episode rode along 16 busy cores, so it classifies contention
+    # here; a host-EXTERNAL bandwidth steal (no in-guest core theft)
+    # classifies "bandwidth" — same normalizing kernel either way
+    assert c["mode"] in ("contention", "bandwidth")
+
+
+def test_pure_bandwidth_steal_names_bandwidth_mode():
+    # Synthetic host-external bandwidth steal: both CPU kernels at their
+    # pins (no core competition inside the guest, no frequency change),
+    # bw kernel at 2x — the r13-r15 driver-round shape the 2-kernel
+    # probe could not name. Mode = bandwidth; the py ratio normalizes
+    # (measured choice, see RUN_BW_BURN), so an unmoved sweep is NOT
+    # overcorrected by a bandwidth-inflated kernel.
+    series = [[PROBE_REF["spark"], PROBE_REF["py"], PROBE_REF["bw"] * 2.0]] * 5
+    c = _cal(series)
+    assert c["mode"] == "bandwidth"
+    assert c["stable"] is True
+    assert c["bw_over_cpu"] == pytest.approx(2.0)
+    # py at its pin -> ratio 1.0 -> clamped floor applies
+    assert c["host_ratio"] == pytest.approx(max(0.85, c["ratio_py"]))
+
+
+# Run K (measured 2026-08-16, round-16 smoke at sf0.01): checkpoint 2
+# is a single all-kernel co-tenant transient — spark 1.7x, py 1.9x, bw
+# 12.8x (3.141 s on a 0.245 s kernel). A MEAN bw ratio reads 2.9 and
+# would name sustained bandwidth weather on an otherwise-calm run; the
+# MEDIAN reads 1.04 (calm, correct). The blip still surfaces through
+# the existing instability flag (spark drift 0.75 > 0.45).
+RUN_K = [[0.757, 0.795, 0.246], [1.126, 1.356, 3.141], [0.794, 0.765, 0.342],
+         [0.773, 0.789, 0.255], [0.801, 0.788, 0.461], [0.796, 0.783, 0.254],
+         [0.644, 0.796, 0.245]]
+
+
+def test_single_transient_cannot_fake_bandwidth_weather():
+    c = _cal(RUN_K)
+    assert c["ratio_bw"] == pytest.approx(0.255 / PROBE_REF["bw"], rel=1e-6)
+    assert c["ratio_bw"] < 1.1  # median absorbs the 12.8x blip
+    assert c["mode"] != "bandwidth"
+    assert c["stable"] is False  # the blip still flags the run
+
+
+def test_uniform_throttle_with_bw_kernel_stays_throttle():
+    # Whole-host 30% slowdown moves all THREE kernels together: the bw
+    # kernel must not reclassify genuine throttling as bandwidth weather.
+    series = [[
+        PROBE_REF["spark"] * 1.3, PROBE_REF["py"] * 1.3, PROBE_REF["bw"] * 1.3,
+    ]] * 5
+    c = _cal(series)
+    assert c["mode"] == "throttle"
+    assert c["bw_over_cpu"] == pytest.approx(1.0)
+    assert c["host_ratio"] == pytest.approx(1.3)
