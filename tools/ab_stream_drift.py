@@ -171,7 +171,7 @@ def main() -> None:
 
     walls: dict[str, list[float]] = {n: [] for n in [CONTROL, *STREAMS]}
     drains: dict[str, list[dict]] = {n: [] for n in STREAMS}
-    cpu_probe: list[tuple[float, float]] = []
+    cpu_probe: list[tuple] = []  # (spark, py, bw) since the r16 bw kernel
     io_probe: list[float] = []
     try:
         for r in range(reps):
@@ -201,10 +201,13 @@ def main() -> None:
         "reps": reps,
         "sf_dir": sf_dir,
         "cpu_ratio_spark": round(
-            statistics.median(s for s, _ in cpu_probe) / bench.PROBE_REF["spark"], 3
+            statistics.median(s[0] for s in cpu_probe) / bench.PROBE_REF["spark"], 3
         ),
         "cpu_ratio_py": round(
-            statistics.median(p for _, p in cpu_probe) / bench.PROBE_REF["py"], 3
+            statistics.median(s[1] for s in cpu_probe) / bench.PROBE_REF["py"], 3
+        ),
+        "ratio_bw": round(
+            statistics.median(s[2] for s in cpu_probe) / bench.PROBE_REF["bw"], 3
         ),
         "io_probe_med_s": med(io_probe),
         "io_probe_samples": [round(x, 3) for x in io_probe],
