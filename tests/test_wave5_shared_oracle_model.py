@@ -183,7 +183,140 @@ def test_storage_integrity_checksum_matches_hashlib_fold(spark, sf_dir):
     assert got == expected
 
 
-# --- 3. text_ngram_novelty --------------------------------------------------
+# --- 4. corpus_quality_ablation (wave-5 extension) ---------------------------
+# Same Gopher construction as quality_filter_agreement, transliterated
+# into the oracle — the gate re-derivation above transfers: recompute
+# every rule flag per document, then the per-rule fail / fail-only
+# matrix the ablation reports.
+
+
+def _gopher_flags(text: str) -> tuple[int, int, int, int, int] | None:
+    toks = _tokens(text)
+    n_words = len(toks)
+    if n_words == 0:
+        return None
+    sum_len = sum(len(t) for t in toks)
+    mwl_milli = (1000 * sum_len) // n_words
+    n_alpha = sum(1 for t in toks if re.search(r"[a-z]", t))
+    n_stop = sum(1 for t in toks if t in STOPWORDS_EN)
+    return (
+        int(not n_words >= 50),
+        int(not n_words <= 100000),
+        int(not 3000 <= mwl_milli <= 10000),
+        int(not n_alpha * 10 >= n_words * 8),
+        int(not n_stop >= 2),
+    )
+
+
+def test_corpus_quality_ablation_matches_raw_rederivation(spark, sf_dir):
+    from cyrela_etl_spark.queries.round8q import corpus_quality_ablation
+
+    rules = ["min_words", "max_words", "word_len", "alpha", "stop"]
+    n_docs = 0
+    n_failed = [0] * 5
+    n_failed_only = [0] * 5
+    for r in _docs(spark, sf_dir):
+        flags = _gopher_flags(r["text"])
+        if flags is None:
+            continue
+        n_docs += 1
+        tot = sum(flags)
+        for i, f in enumerate(flags):
+            n_failed[i] += f
+            if f == 1 and tot == 1:
+                n_failed_only[i] += 1
+    expected = {
+        rules[i]: (n_failed[i], n_failed_only[i], n_docs, n_failed[i] / n_docs)
+        for i in range(5)
+    }
+
+    got = {
+        r["rule"]: (r["n_failed"], r["n_failed_only"], r["n_docs"], r["removed_share"])
+        for r in corpus_quality_ablation(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# --- 5. storage_csv_dialect (wave-5 extension) -------------------------------
+# The registered query's engine leg and oracle share two constructions:
+# the hostile-payload expression + md5-prefix digest (modeled below with
+# hashlib/string ops), and — the deeper one — the CSV dialect itself:
+# BOTH the Spark writer and the Spark reader are configured escape='"',
+# so a symmetric dialect misunderstanding could roundtrip cleanly inside
+# Spark while producing files no one else can read. The cross-parser leg
+# certifies the written BYTES against stdlib csv (an independent
+# RFC-4180 implementation): Spark-write -> csv.reader must reproduce the
+# exact payload multiset.
+
+
+def _hostile_rows(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .collect()
+    )
+    return [
+        (
+            r["o_orderkey"],
+            r["o_orderstatus"],
+            f'a,"b\n{r["o_orderpriority"]}",{r["o_orderkey"]}',
+        )
+        for r in rows
+    ]
+
+
+def test_storage_csv_dialect_aggregate_matches_hashlib_fold(spark, sf_dir):
+    from cyrela_etl_spark.queries.storageq import storage_csv_dialect
+
+    agg: dict[str, dict] = {}
+    for key, status, payload in _hostile_rows(spark, sf_dir):
+        h = int(hashlib.md5(payload.encode()).hexdigest()[:15], 16)
+        a = agg.setdefault(status, {"n": 0, "xor": 0, "mn": key})
+        a["n"] += 1
+        a["xor"] ^= h
+        a["mn"] = min(a["mn"], key)
+    expected = {k: (v["n"], v["xor"], v["mn"]) for k, v in agg.items()}
+
+    got = {
+        r["o_orderstatus"]: (r["n_rows"], r["payload_digest"], r["min_key"])
+        for r in storage_csv_dialect(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_spark_csv_writer_bytes_parse_under_stdlib_rfc4180(spark, sf_dir, tmp_path):
+    import csv
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    expected = Counter(_hostile_rows(spark, sf_dir))
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    payload = F.concat(
+        F.lit('a,"b'),
+        F.lit("\n"),
+        F.col("o_orderpriority"),
+        F.lit('",'),
+        F.col("o_orderkey").cast("string"),
+    )
+    hostile = orders.select("o_orderkey", "o_orderstatus", payload.alias("payload"))
+    out = str(tmp_path / "orders_csv")
+    hostile.write.option("header", True).option("quoteAll", True).option(
+        "escape", '"'
+    ).mode("overwrite").csv(out)
+
+    got: Counter = Counter()
+    for part in _glob.glob(f"{out}/part-*.csv"):
+        with open(part, newline="") as fh:
+            reader = csv.reader(fh)  # stdlib default IS RFC 4180 doubling
+            header = next(reader)
+            assert header == ["o_orderkey", "o_orderstatus", "payload"]
+            for rec in reader:
+                got[(int(rec[0]), rec[1], rec[2])] += 1
+    assert got == expected
 
 
 def test_text_ngram_novelty_matches_bruteforce_first_seen(spark, sf_dir):
