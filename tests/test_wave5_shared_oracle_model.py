@@ -284,6 +284,83 @@ def test_storage_csv_dialect_aggregate_matches_hashlib_fold(spark, sf_dir):
     assert got == expected
 
 
+# --- 6. scale_partition_balance (wave-5 extension) ---------------------------
+# Engine and oracle share the 60-bit md5-prefix bucket construction; the
+# model rebuilds buckets with hashlib and the balance arithmetic with
+# plain ints + the pinned Decimal HALF_UP spelling of Spark round().
+
+
+def test_scale_partition_balance_matches_hashlib_buckets(spark, sf_dir):
+    from cyrela_etl_spark.queries.round8q import scale_partition_balance
+
+    keys = [
+        r["o_custkey"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .collect()
+    ]
+    hist: Counter = Counter(
+        int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 32 for k in keys
+    )
+    total = sum(hist.values())
+    expected = {
+        b: (
+            n,
+            float(
+                Decimal(repr(n * 32 / total)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        for b, n in hist.items()
+    }
+
+    got = {
+        r["bucket"]: (r["n_rows"], r["load_ratio"])
+        for r in scale_partition_balance(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# --- 7. multimodal_duplicate_assets (wave-5 extension) -----------------------
+# md5-of-payload is the query's SPEC, but engine (md5 over the UTF-8
+# BINARY) and oracle (md5 over the source text) still share the planted
+# corpus construction and the byte/char length conflation risk
+# (strlen vs F.length(binary)); the model rebuilds the planted corpus
+# and hashes real encoded bytes with hashlib.
+
+
+def test_multimodal_duplicate_assets_matches_hashlib_groups(spark, sf_dir):
+    from cyrela_etl_spark.queries.round8q import multimodal_duplicate_assets
+
+    docs = _docs(spark, sf_dir)
+    corpus = [(r["doc_id"], r["text"]) for r in docs]
+    corpus += [(d + 100000, t) for d, t in corpus[: len(docs)] if d % 10 == 0]
+    corpus += [
+        (d + 200000, t + " zyx extra") for d, t in corpus[: len(docs)] if d % 7 == 0
+    ]
+    groups: dict[tuple[str, int], list[int]] = {}
+    for doc_id, text in corpus:
+        payload = text.encode("utf-8")
+        key = (hashlib.md5(payload).hexdigest(), len(payload))
+        groups.setdefault(key, []).append(doc_id)
+    expected = {
+        (h, nb): (len(ids), min(ids), (len(ids) - 1) * nb)
+        for (h, nb), ids in groups.items()
+        if len(ids) > 1
+    }
+
+    got = {
+        (r["content_md5"], r["n_bytes"]): (
+            r["n_copies"],
+            r["canonical_id"],
+            r["wasted_bytes"],
+        )
+        for r in multimodal_duplicate_assets(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
 def test_spark_csv_writer_bytes_parse_under_stdlib_rfc4180(spark, sf_dir, tmp_path):
     import csv
     import glob as _glob
