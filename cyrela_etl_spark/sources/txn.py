@@ -670,7 +670,7 @@ def vacuum(
     ``min_age_sec=0`` to opt into the eager sweep (right for
     single-writer pipelines and the test/model harness — every test here
     does so explicitly). The eager path skips the modification-time
-    comparison ENTIRELY (ADVICE r15): the guard compares the driver's
+    comparison ENTIRELY (ADVICE r16): the guard compares the driver's
     clock against the filesystem's, and at 0 a filesystem clock running
     ahead would make ``now - mtime`` negative and spare dirs the eager
     contract promises to delete. For nonzero values the comparison spans
