@@ -1,9 +1,18 @@
-"""Model checks for events_anomaly_zscore, storage_moments_profile, and
-ml_target_encode — model-check wave 3. Decimal power sums cast to double
-once, then the engines' fixed IEEE chains replayed with the same Python
-expression trees: the sample-variance z-score with degenerate-key drops,
-the raw-moment skew/kurtosis identities (m2*sqrt(m2) denominators), and
-the empirical-Bayes target encode in its exact rational form.
+"""Model checks for events_anomaly_zscore, storage_moments_profile,
+ml_target_encode, agg_regression_slope, and storage_correlation_profile —
+model-check waves 3 and 6. Decimal power sums cast to double once, then
+the engines' fixed IEEE chains replayed with the same Python expression
+trees: the sample-variance z-score with degenerate-key drops, the
+raw-moment skew/kurtosis identities (m2*sqrt(m2) denominators), the
+empirical-Bayes target encode in its exact rational form, the OLS
+slope/intercept/r² closed forms, and the three Pearson pairs.
+
+The two wave-6 additions (round 17) close the last score-1 rows of the
+shared-construction sweep that were dispositioned by hand: both queries'
+oracles deliberately spell the engine's IEEE chain over the same exact
+sufficient statistics (the determinism contract), so a wrong CLOSED FORM
+would pass engine+oracle by construction — these models recompute the
+statistics and the algebra from raw parquet rows in plain Python.
 """
 
 from __future__ import annotations
@@ -113,4 +122,85 @@ def test_target_encode_matches_python_model(spark, sf_dir):
             _round6(sg / n_g),
             _round6((sg * n + _M * s) / (n * (n_g + _M))),
         )
+    assert got == want
+
+
+def test_regression_slope_matches_python_model(spark, sf_dir):
+    """agg_regression_slope: per-returnflag OLS of l_extendedprice on
+    l_quantity. The Decimal(7,2)/(12,2) inputs make every sufficient
+    statistic (n, Σx, Σy, Σx², Σxy, Σy²) exact; the model recomputes
+    them and the slope/intercept/r² closed forms independently, incl.
+    the zero-variance drop rule."""
+    from cyrela_etl_spark.queries.relational import agg_regression_slope
+
+    got = {
+        r["l_returnflag"]: (r["n_rows"], r["slope"], r["intercept"], r["r2"])
+        for r in agg_regression_slope(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_returnflag", "l_quantity", "l_extendedprice"]
+    ]
+    want = {}
+    for flag, g in li.groupby("l_returnflag"):
+        xs = [_dec2(v) for v in g.l_quantity]
+        ys = [_dec2(v) for v in g.l_extendedprice]
+        n = len(xs)
+        sx = float(sum(xs))
+        sy = float(sum(ys))
+        sxx = float(sum(x * x for x in xs))
+        sxy = float(sum(x * y for x, y in zip(xs, ys)))
+        syy = float(sum(y * y for y in ys))
+        nd = float(n)
+        num = nd * sxy - sx * sy
+        varx = nd * sxx - sx * sx
+        vary = nd * syy - sy * sy
+        if not (varx > 0 and vary > 0):
+            continue
+        slope = num / varx
+        want[flag] = (
+            n,
+            _round6(slope),
+            _round6((sy - slope * sx) / nd),
+            _round6(num * num / (varx * vary)),
+        )
+    assert got == want
+
+
+def test_correlation_profile_matches_python_model(spark, sf_dir):
+    """storage_correlation_profile: the three Pearson pairs over
+    (l_quantity, l_extendedprice, l_discount) from one scan of exact
+    Decimal co-moment sums; the model recomputes every sum and the
+    corr chain (each factor under its own sqrt, as the engine and
+    oracle both spell it) from raw rows."""
+    from cyrela_etl_spark.queries.storageq import storage_correlation_profile
+
+    got = {
+        (r["col_x"], r["col_y"]): (r["n_rows"], r["pearson_corr"])
+        for r in storage_correlation_profile(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_quantity", "l_extendedprice", "l_discount"]
+    ]
+    q = [_dec2(v) for v in li.l_quantity]
+    p = [_dec2(v) for v in li.l_extendedprice]
+    d4 = Decimal("0.0001")
+    d = [Decimal(repr(v)).quantize(d4, rounding=ROUND_HALF_UP) for v in li.l_discount]
+    n = float(len(q))
+
+    def _corr(xs, ys):
+        sx = float(sum(xs))
+        sy = float(sum(ys))
+        sxx = float(sum(x * x for x in xs))
+        syy = float(sum(y * y for y in ys))
+        sxy = float(sum(x * y for x, y in zip(xs, ys)))
+        return _round6(
+            (n * sxy - sx * sy)
+            / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+        )
+
+    want = {
+        ("l_quantity", "l_extendedprice"): (int(n), _corr(q, p)),
+        ("l_quantity", "l_discount"): (int(n), _corr(q, d)),
+        ("l_extendedprice", "l_discount"): (int(n), _corr(p, d)),
+    }
     assert got == want
