@@ -49,81 +49,84 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and scores AT MOST ~50 entries per round. Round-16 slot allocation
-# (VERDICT r15 item 1 — continue the freshness drain):
-#   r10-era (32): EVERY entry whose latest green driver row is still the
-#     round-10 one — the oldest greens left after the r15 scoring
-#     (recomputed from the union of CORRECTNESS_r01..r15; judge's r15
-#     histogram agrees: r10:32). After this round no entry's latest green
-#     predates r11. Pre-verified green under a plain driver-emulating
-#     session at sf0.01 this round (NOTES r16 pre-flight ledger).
+# order and scores AT MOST ~50 entries per round. Round-17 slot allocation
+# (VERDICT r16 item 1 — continue the freshness drain):
+#   r11-era (32): EVERY entry whose latest green driver row is still the
+#     round-11 one — the oldest greens left after the r16 scoring
+#     (recomputed from the union of CORRECTNESS_r01..r16; judge's r16
+#     histogram agrees: r11:32). After this round no entry's latest green
+#     predates r12. Pre-verified green under a plain driver-emulating
+#     session at sf0.01 this round (NOTES r17 pre-flight ledger).
 #   code-changed (2): storage_txn_acid — sources/txn.py changed again
-#     this round (ADVICE r16 medium: auto-compact failures can no longer
-#     mask a durable append; vacuum's min_age_sec now DEFAULTS to Delta's
-#     7-day retention with an explicit eager opt-out, VERDICT r15 item 5)
-#     — and stream_dedup_expiry — its input fixture is now built once per
-#     process and reused across bench reps (VERDICT r15 item 3); drain
-#     semantics and oracle unchanged, but the changed query must re-score.
-#   r11-era padding (14): the sample size floats (~35-50 by round), so the
-#     tail is the start of the NEXT drain — 14 of the 46 r11-latest rows,
-#     one representative per heavy family (corpus, dedup, join, TPC-H,
-#     set, storage, streaming, temporal, text, vector, window, grouped-map,
-#     projection, top-k) rather than alphabetical. If the driver scores
-#     fewer than 48, only padding is lost — every r10 row and both
-#     code-changed rows sit ahead. No round-16 code change touches any
-#     padding entry (registry frozen at 256). Total 32 + 2 + 14 = 48.
+#     this round (vacuum returns a VacuumReport carrying swept_dirs/
+#     spared_dirs so space reclamation is observable, ADVICE r16) — and
+#     stream_dedup_expiry — its fixture cache gained the build lock,
+#     stale-dir reclaim on failed revalidation, and all-dirs atexit
+#     tracking (ADVICE r16); drain semantics and oracle unchanged, but
+#     the changed queries must re-score.
+#   r12-era padding (16): the sample size floats (~35-50 by round), so the
+#     tail is the start of the NEXT drain — 16 of the 37 r12-latest rows,
+#     one representative per heavy family (agg, approx-agg, dedup, events,
+#     graph, window-norm, quality, bloom, join-cardinality, storage-GDPR,
+#     schema-evolution, streaming, temporal-SCD2, text, vector-kmeans,
+#     vector-ANN) rather than alphabetical. If the driver scores fewer
+#     than 50, only padding is lost — every r11 row and both code-changed
+#     rows sit ahead. No round-17 code change touches any padding entry
+#     (registry frozen at 256). Total 32 + 2 + 16 = 50.
 _PRIORITY: list[str] = [
-    # -- r10-era rows (the oldest greens left; VERDICT r15 item 1) ----------
-    "curation_pipeline",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "func_hof",
-    "fuzzy_match_names_indel",
-    "multimodal_frame_sample",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_nation_profit",
-    "q10_returned_revenue",
-    "q13_order_distribution",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "sql_correlated_subquery",
-    "sql_scalar_subquery",
-    "storage_csv_roundtrip",
-    "storage_incremental_agg",
-    "storage_snapshot_diff",
-    "storage_zone_promote",
-    "text_fingerprint",
-    "text_repetition",
-    "text_winnow_fingerprints",
-    "text_zipf_fit",
-    "vector_exact_collapse",
-    "vector_ivf_topk",
-    "vector_l2_topk",
-    "vector_neardup_pairs",
-    "vector_rhp_lsh_topk",
-    "window_analytics",
-    # -- code changed in round 16: stale green, must re-score ---------------
-    "storage_txn_acid",  # txn.py: compact-failure shield + vacuum default
-    "stream_dedup_expiry",  # streamingq.py: process-lifetime fixture cache
-    # -- r11-era padding: head of the next drain, one per heavy family ------
-    "corpus_chunking",
-    "dedup_minhash_lsh",
-    "filter_project",
-    "grouped_map_normalize",
-    "join_broadcast_dim",
-    "q01_pricing_summary",
-    "set_ops",
-    "storage_zorder_cluster",
-    "stream_stateful_running",
-    "temporal_asof_join",
-    "text_lm_score",
-    "topk_global",
-    "vector_semdedup_pairs",
-    "window_rank",
+    # -- r11-era rows (the oldest greens left; VERDICT r16 item 1) ----------
+    "corpus_boilerplate_removal",
+    "corpus_dataset_split",
+    "corpus_pii_redact",
+    "corpus_stratified_sample",
+    "corpus_token_pack",
+    "corpus_weighted_sample",
+    "dedup_contamination",
+    "group_rollup",
+    "join_anti",
+    "join_outer",
+    "join_semi",
+    "q03_top_orders",
+    "set_intersect",
+    "storage_jsonl_badrecords",
+    "storage_jsonl_roundtrip",
+    "storage_numeric_profile",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_parquet_sink",
+    "stream_session",
+    "stream_sliding",
+    "stream_static_enrich",
+    "stream_tumbling",
+    "temporal_gap_fill",
+    "temporal_ohlc",
+    "temporal_range_join",
+    "temporal_sessionize",
+    "text_token_counts",
+    "vector_pq_adc_topk",
+    "vector_sq_int8_topk",
+    "window_frames",
+    "window_lag_running",
+    # -- code changed in round 17: stale green, must re-score ---------------
+    "storage_txn_acid",  # txn.py: VacuumReport swept/spared observability
+    "stream_dedup_expiry",  # streamingq.py: fixture-cache lock + stale reclaim
+    # -- r12-era padding: head of the next drain, one per heavy family ------
+    "agg_cube",
+    "agg_approx_percentile",
+    "dedup_containment_pairs",
+    "events_funnel",
+    "graph_pagerank",
+    "minmax_normalize_window",
+    "quality_gopher_rules",
+    "scale_bloom_prefilter",
+    "scale_join_cardinality",
+    "storage_forget_user",
+    "storage_schema_evolution",
+    "stream_window_topk",
+    "temporal_scd2_intervals",
+    "text_tfidf_doc_pairs",
+    "vector_kmeans_clusters",
+    "vector_matryoshka_topk",
 ]
 
 

@@ -11,6 +11,8 @@ batch" contract of Structured Streaming).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -429,9 +431,15 @@ FROM ranked WHERE rn = 1
 # re-run) measure the DRAIN, not write weather. Semantics are unchanged:
 # every call still drains the identical arrival sequence (mtimes are pinned
 # constants, so file-stream ordering is deterministic), and the cache
-# revalidates file presence so an externally-swept /tmp rebuilds cleanly.
+# revalidates file presence so an externally-swept /tmp rebuilds cleanly
+# (ADVICE r16: a failed revalidation also rmtree's the stale partial dir
+# before rebuilding, the whole check-build-insert runs under a lock so
+# concurrent callers cannot race a second build, and the atexit sweep
+# tracks EVERY dir ever built, not just the last winner per key).
 _SDE_FIXTURE_VERSION = 1  # bump on ANY change to the fixture construction
 _SDE_FIXTURE_CACHE: dict[tuple[str, int], str] = {}
+_SDE_FIXTURE_DIRS: list[str] = []  # every built dir — the atexit sweep's set
+_SDE_FIXTURE_LOCK = threading.Lock()
 
 
 def _sde_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -446,73 +454,86 @@ def _sde_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     from cyrela_etl_spark.sources.parquet import read_events
 
     cache_key = (os.path.realpath(sf_dir), _SDE_FIXTURE_VERSION)
-    cached = _SDE_FIXTURE_CACHE.get(cache_key)
-    if cached is not None and all(
-        os.path.exists(f"{cached}/arrival_{i}.parquet") for i in range(3)
-    ):
-        return cached
+    with _SDE_FIXTURE_LOCK:
+        cached = _SDE_FIXTURE_CACHE.get(cache_key)
+        if cached is not None:
+            if all(
+                os.path.exists(f"{cached}/arrival_{i}.parquet") for i in range(3)
+            ):
+                return cached
+            # externally-swept /tmp left a partial dir: reclaim it NOW
+            # rather than abandoning it until process exit
+            shutil.rmtree(cached, ignore_errors=True)
+            del _SDE_FIXTURE_CACHE[cache_key]
 
-    cols = ["event_id", "user_id", "event_type", "value", "ts"]
-    ev = read_events(spark, sf_dir).select(*cols)
-    mx = ev.agg(F.max("ts")).collect()[0][0]  # one scalar, drives file layout
-    resent = (
-        ev.crossJoin(F.broadcast(spark.createDataFrame([(mx,)], "mx timestamp")))
-        .filter(
-            (
-                ((F.col("event_id") % 7) == 0)
-                & (F.col("ts") + F.expr("INTERVAL 150 MINUTES") < F.col("mx"))
+        # build UNDER the lock: a concurrent caller blocks here and then
+        # reuses the finished dir via the cache check above — two racing
+        # builders would each coalesce(1)-write the full events table
+        cols = ["event_id", "user_id", "event_type", "value", "ts"]
+        ev = read_events(spark, sf_dir).select(*cols)
+        mx = ev.agg(F.max("ts")).collect()[0][0]  # one scalar, drives file layout
+        resent = (
+            ev.crossJoin(F.broadcast(spark.createDataFrame([(mx,)], "mx timestamp")))
+            .filter(
+                (
+                    ((F.col("event_id") % 7) == 0)
+                    & (F.col("ts") + F.expr("INTERVAL 150 MINUTES") < F.col("mx"))
+                )
+                | (F.col("ts") + F.expr("INTERVAL 90 MINUTES") > F.col("mx"))
             )
-            | (F.col("ts") + F.expr("INTERVAL 90 MINUTES") > F.col("mx"))
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.expr(
+                    "timestampadd(SECOND, CAST(3660 + event_id % 3600 AS INT), mx)"
+                ).alias("ts"),
+            )
         )
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            "value",
-            F.expr(
-                "timestampadd(SECOND, CAST(3660 + event_id % 3600 AS INT), mx)"
-            ).alias("ts"),
-        )
-    )
 
-    def _one_file(df: DataFrame, workdir: str, name: str, mtime: int) -> None:
-        tmp = f"{workdir}/__{name}"
-        df.coalesce(1).write.parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-        dst = f"{workdir}/{name}.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (mtime, mtime))
+        def _one_file(df: DataFrame, workdir: str, name: str, mtime: int) -> None:
+            tmp = f"{workdir}/__{name}"
+            df.coalesce(1).write.parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = f"{workdir}/{name}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mtime, mtime))
 
-    tick = (
-        spark.createDataFrame([(mx,)], "ts timestamp")
-        .select(
-            F.lit(-1).cast("long").alias("event_id"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("tick").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            "ts",
+        tick = (
+            spark.createDataFrame([(mx,)], "ts timestamp")
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("tick").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                "ts",
+            )
+            .select(*cols)
         )
-        .select(*cols)
-    )
 
-    work = tempfile.mkdtemp(prefix="dedup_expiry_")
-    try:
-        _one_file(ev, work, "arrival_0", 1_000_000_000)
-        _one_file(tick, work, "arrival_1", 1_000_000_100)
-        _one_file(resent, work, "arrival_2", 1_000_000_200)
-    except BaseException:
-        shutil.rmtree(work, ignore_errors=True)
-        raise
-    if not _SDE_FIXTURE_CACHE:
-        atexit.register(
-            lambda: [
-                shutil.rmtree(d, ignore_errors=True)
-                for d in _SDE_FIXTURE_CACHE.values()
-            ]
-        )
-    _SDE_FIXTURE_CACHE[cache_key] = work
-    return work
+        work = tempfile.mkdtemp(prefix="dedup_expiry_")
+        try:
+            _one_file(ev, work, "arrival_0", 1_000_000_000)
+            _one_file(tick, work, "arrival_1", 1_000_000_100)
+            _one_file(resent, work, "arrival_2", 1_000_000_200)
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        if not _SDE_FIXTURE_DIRS:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True)
+                    for d in _SDE_FIXTURE_DIRS
+                ]
+            )
+        # the DIRS list (not the cache dict) drives the atexit sweep, so
+        # a dir that later loses its cache slot to a rebuild still gets
+        # reclaimed at exit even if its own rmtree above failed
+        _SDE_FIXTURE_DIRS.append(work)
+        _SDE_FIXTURE_CACHE[cache_key] = work
+        return work
 
 
 def stream_dedup_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -608,6 +608,32 @@ def txn_delete_rows(
 VACUUM_RETENTION_SEC_DEFAULT: float = 7 * 24 * 3600.0
 
 
+class VacuumReport(list):
+    """``vacuum``'s return value: a ``list[int]`` of versions whose
+    MANIFESTS were removed (which versions lost time travel — the
+    contract every existing caller compares against), plus the physical
+    sweep observability ADVICE r16 asked for, so ops tooling can key
+    reclamation on the return value instead of the docstring caveat:
+
+    - ``swept_dirs``: snapshot-dir basenames physically deleted THIS
+      call (space actually reclaimed now);
+    - ``spared_dirs``: dir basenames that were vacuum-eligible
+      (version below the floor, referenced by no retained manifest)
+      but age-spared by ``min_age_sec`` — a later vacuum reclaims them
+      once aged; under the eager opt-out this is always empty.
+    """
+
+    def __init__(
+        self,
+        removed: list[int],
+        swept_dirs: list[str] | None = None,
+        spared_dirs: list[str] | None = None,
+    ) -> None:
+        super().__init__(removed)
+        self.swept_dirs = list(swept_dirs or [])
+        self.spared_dirs = list(spared_dirs or [])
+
+
 def vacuum(
     store: ZoneStore,
     zone: str,
@@ -678,13 +704,19 @@ def vacuum(
     clock skew AND the longest snapshot write (the same assumption
     Delta's retention-hours docs state); note an object-store directory
     marker with mtime 0 always looks aged — the guard is best-effort
-    there, exactly as Delta's is. ``removed`` reports MANIFEST removal —
-    i.e. which versions lost time travel; an age-spared data dir's
-    manifest is already gone (manifests go unconditionally, first), and
-    the dir itself is swept by a later vacuum once aged, so space
-    reclamation can lag the returned list. (Version-encoded floor =
-    Delta's retention window in versions; ``min_age_sec`` = the same
-    window in wall time, for the in-flight case versions cannot see.)
+    there, exactly as Delta's is. The returned list reports MANIFEST
+    removal — i.e. which versions lost time travel; an age-spared data
+    dir's manifest is already gone (manifests go unconditionally,
+    first), and the dir itself is swept by a later vacuum once aged, so
+    space reclamation can LAG the returned list. Because of that lag
+    the return value is a :class:`VacuumReport` (ADVICE r16): still the
+    ``list[int]`` every caller compares against, but carrying
+    ``swept_dirs`` (data dirs physically deleted this call) and
+    ``spared_dirs`` (eligible but age-spared), so reclamation is
+    observable without re-reading this paragraph. (Version-encoded
+    floor = Delta's retention window in versions; ``min_age_sec`` = the
+    same window in wall time, for the in-flight case versions cannot
+    see.)
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -692,7 +724,7 @@ def vacuum(
     latest = latest_version(store, zone, key)
     floor = latest - keep_last  # versions <= floor are removed
     if floor < 1:
-        return []
+        return VacuumReport([])
     # reference set: basenames (unique — each carries a fresh nonce) of
     # every dir a retained manifest lists; basenames, not full paths,
     # because listings return qualified URIs while manifests store zone
@@ -714,6 +746,8 @@ def vacuum(
                 fs.delete(st.getPath(), False)
                 if ext == "json":
                     removed.append(int(stem))
+    swept: list[str] = []
+    spared: list[str] = []
     sdir = _jpath(store, store.path(zone, f"{key}/_snapshots"))
     if fs.exists(sdir):
         now_ms = time.time() * 1000
@@ -727,7 +761,10 @@ def vacuum(
                 and name[1:21].isdigit()
                 and int(name[1:21]) <= floor
                 and name not in referenced
-                and (eager or now_ms - st.getModificationTime() >= min_age_sec * 1000)
             ):
-                fs.delete(st.getPath(), True)
-    return sorted(removed)
+                if eager or now_ms - st.getModificationTime() >= min_age_sec * 1000:
+                    fs.delete(st.getPath(), True)
+                    swept.append(name)
+                else:
+                    spared.append(name)
+    return VacuumReport(sorted(removed), sorted(swept), sorted(spared))

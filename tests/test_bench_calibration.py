@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pytest
 
-from bench import PROBE_REF, calibrate
+from bench import PROBE_REF, WEATHER_SUSPECT_RATIO, attribute_weather, calibrate
 
 
 def _cal(checkpoints):
@@ -200,3 +200,78 @@ def test_uniform_throttle_with_bw_kernel_stays_throttle():
     assert c["mode"] == "throttle"
     assert c["bw_over_cpu"] == pytest.approx(1.0)
     assert c["host_ratio"] == pytest.approx(1.3)
+
+
+def test_mixed_tuple_series_keeps_bw_witness():
+    # ADVICE r16: a truncated/spliced DIAG replay mixing 2- and 3-tuples
+    # silently disabled the bw witness (len(bw) == len(sp) guard) and
+    # the resulting None crashed main()'s round(). Now the median runs
+    # over whatever 3-tuples exist.
+    import statistics
+
+    mixed = [tuple(c) for c in RUN_K]
+    mixed[1] = mixed[1][:2]  # drop the transient checkpoint's bw sample
+    mixed[4] = mixed[4][:2]
+    c = calibrate(mixed)
+    want = statistics.median(
+        [s[2] for s in mixed if len(s) > 2]
+    ) / PROBE_REF["bw"]
+    assert c["ratio_bw"] == pytest.approx(want)
+    round(c["ratio_bw"], 3)  # main()'s report path must not TypeError
+
+
+# --- round 17: per-query weather attribution (VERDICT r16 item 2) ----------
+# The r16 driver round proved the need: the bw kernel recorded hot
+# checkpoints (probe_sec bw max 10.76 s on a 0.245 s pin) but mapping
+# the regressed query rows onto those windows was judge archaeology.
+# attribute_weather() makes the artifact self-identifying: 0-based
+# query i runs between checkpoints i//PROBE_EVERY and the next, the
+# window ratio is the bounding-max per kernel, and suspect fires at
+# WEATHER_SUSPECT_RATIO (1.5x — idle checkpoints read ~1.0-1.1, the
+# measured contamination episodes 1.68-43x).
+
+_CALM = (PROBE_REF["spark"], PROBE_REF["py"], PROBE_REF["bw"])
+
+
+def test_attribute_weather_window_mapping_and_bw_flag():
+    names = [f"q{i:02d}" for i in range(30)]
+    hot = (PROBE_REF["spark"], PROBE_REF["py"], PROBE_REF["bw"] * 10.0)
+    # cp0 before q00, cp1 after q11, cp2 after q23, cp3 final after q29
+    w = attribute_weather(names, [_CALM, hot, _CALM, _CALM], probe_every=12)
+    assert w["q00"]["window"] == [0, 1] and w["q11"]["window"] == [0, 1]
+    assert w["q12"]["window"] == [1, 2] and w["q23"]["window"] == [1, 2]
+    assert w["q24"]["window"] == [2, 3] and w["q29"]["window"] == [2, 3]
+    # both windows touching the hot checkpoint flag; the last window not
+    assert all(w[f"q{i:02d}"]["suspect"] for i in range(24))
+    assert not any(w[f"q{i:02d}"]["suspect"] for i in range(24, 30))
+    assert w["q00"]["ratio_bw"] == pytest.approx(10.0)
+    assert w["q24"]["ratio_bw"] == pytest.approx(1.0)
+    assert w["q24"]["ratio_spark"] == pytest.approx(1.0)
+
+
+def test_attribute_weather_spark_kernel_flags_too():
+    names = [f"q{i}" for i in range(4)]
+    hot = (PROBE_REF["spark"] * WEATHER_SUSPECT_RATIO, PROBE_REF["py"], PROBE_REF["bw"])
+    w = attribute_weather(names, [_CALM, hot], probe_every=12)
+    assert all(w[n]["suspect"] for n in names)
+    assert w["q0"]["ratio_spark"] == pytest.approx(WEATHER_SUSPECT_RATIO)
+
+
+def test_attribute_weather_legacy_two_tuple_series():
+    names = [f"q{i}" for i in range(3)]
+    w = attribute_weather(
+        names, [(0.85, 0.72), (0.90, 0.75)], probe_every=12
+    )
+    for n in names:
+        assert w[n]["ratio_bw"] is None
+        assert w[n]["suspect"] is False
+
+
+def test_attribute_weather_short_subset_run():
+    # SPARK_GRAFT_BENCH_ONLY with fewer queries than PROBE_EVERY: the
+    # series is just [cp0, final]; every query shares the [0, 1] window
+    # and indices never run past the checkpoint list.
+    names = ["a", "b", "c"]
+    w = attribute_weather(names, [_CALM, _CALM], probe_every=12)
+    assert all(w[n]["window"] == [0, 1] for n in names)
+    assert not any(w[n]["suspect"] for n in names)

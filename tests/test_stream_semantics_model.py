@@ -85,3 +85,32 @@ def test_stream_dedup_expiry_matches_state_machine_model(spark, sf_dir):
     # some dropped (alive keys still in state)
     n_resent_emitted = sum(1 for (eid, *_rest, ts) in emitted if ts > mx and eid != -1)
     assert 0 < n_resent_emitted < len(resent), (n_resent_emitted, len(resent))
+
+
+def test_sde_fixture_cache_lifecycle(spark, sf_dir):
+    """ADVICE r16 pins for the fixture cache: (1) a second call reuses
+    the cached dir, (2) a failed revalidation (externally-swept partial
+    dir) rmtree's the stale dir BEFORE rebuilding instead of abandoning
+    it until exit, (3) every built dir is tracked for the atexit sweep,
+    not just the last winner per key."""
+    import os
+    import shutil
+
+    from cyrela_etl_spark.queries import streamingq as sq
+
+    first = sq._sde_fixture_dir(spark, sf_dir)
+    assert sq._sde_fixture_dir(spark, sf_dir) == first  # cache hit
+    assert first in sq._SDE_FIXTURE_DIRS
+    # simulate an external /tmp sweep leaving a partial dir
+    os.remove(f"{first}/arrival_1.parquet")
+    second = sq._sde_fixture_dir(spark, sf_dir)
+    assert second != first
+    assert not os.path.exists(first)  # stale partial dir reclaimed NOW
+    assert all(
+        os.path.exists(f"{second}/arrival_{i}.parquet") for i in range(3)
+    )
+    # both builds are on the atexit sweep list
+    assert first in sq._SDE_FIXTURE_DIRS and second in sq._SDE_FIXTURE_DIRS
+    # leave a clean slate for other tests/processes: drop what we built
+    shutil.rmtree(second, ignore_errors=True)
+    sq._SDE_FIXTURE_CACHE.clear()

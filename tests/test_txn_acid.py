@@ -1131,3 +1131,32 @@ def test_vacuum_sweeps_old_orphan_dirs_and_reads_no_vacuumable_manifest(
     assert _rows(txn_read(store, "curated", "accounts", 4)) == {
         (k, k * 100) for k in range(1, 5)
     }
+
+
+def test_vacuum_report_surfaces_swept_vs_spared(spark, store):
+    """ADVICE r16 (low): with the 7-day default, the returned version
+    list can name versions whose data dirs were age-spared, while the
+    later eager vacuum that actually reclaims the space returns [] —
+    misleading any ops tooling keying reclamation on the return value.
+    The VacuumReport return (still the same list[int]) now carries the
+    physical sweep: swept_dirs (deleted this call) vs spared_dirs
+    (eligible but age-spared)."""
+    from cyrela_etl_spark.sources.txn import VacuumReport
+
+    txn_init(store, "curated", "accounts", _accounts(spark, [(1, 100)]))
+    v = txn_append(store, "curated", "accounts", _accounts(spark, [(2, 200)]), read_version=1)
+    txn_append(store, "curated", "accounts", _accounts(spark, [(3, 300)]), read_version=v)
+    inflight_name = "v%020d-inflight" % 2
+    inflight = store.path("curated", f"accounts/_snapshots/{inflight_name}")
+    _accounts(spark, [(99, 999)]).write.mode("overwrite").parquet(inflight)
+
+    defaulted = vacuum(store, "curated", "accounts", keep_last=1)
+    assert isinstance(defaulted, VacuumReport)
+    assert defaulted == [1, 2]  # list contract unchanged
+    assert defaulted.swept_dirs == []  # nothing reclaimed yet
+    assert defaulted.spared_dirs == [inflight_name]  # and the report says so
+
+    eager = vacuum(store, "curated", "accounts", keep_last=1, min_age_sec=0)
+    assert eager == []  # no manifests left below the floor
+    assert eager.swept_dirs == [inflight_name]  # the space reclaim, observable
+    assert eager.spared_dirs == []  # eager never spares

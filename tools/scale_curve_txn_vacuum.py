@@ -24,12 +24,14 @@ Per chain length N (fresh table root each leg):
 - compact: txn_compact — reads the N-dir union, writes ONE full
   snapshot, commits version N+1. Expected linear in total rows (and in
   N while rows/commit is constant).
-- vacuum: eager vacuum(keep_last=1) after the compact — removes N versions'
-  manifests + the N now-unreferenced chain directories. Driver-side
-  fs metadata ops only; expected linear in removed count. A CONCURRENT
-  READER thread loops full reads of the retained latest during the
-  vacuum and must never fail or see a partial row set (the chain-aware
-  retention guarantee; unit twin:
+- vacuum_default / vacuum_eager (two legs since r17, matching shipped
+  semantics): the production-default call (7-day retention) removes N
+  versions' manifests and age-SPARES the N fresh unreferenced chain
+  dirs; the explicit eager opt-out then sweeps them. Driver-side fs
+  metadata ops only; each leg expected linear in its object count. A
+  CONCURRENT READER thread loops full reads of the retained latest
+  across both legs and must never fail or see a partial row set (the
+  chain-aware retention guarantee; unit twin:
   tests/test_txn_acid.py::test_reader_racing_vacuum_never_fails).
 - post-checks: latest still reads all rows; a removed version raises
   FileNotFoundError.
@@ -225,25 +227,56 @@ def main() -> None:
                 vac_stats["manifest_bytes"] += len(_json.dumps(m))
             return m
 
+        # Two legs since round 17 (VERDICT r16 item 5 — the curve must
+        # match SHIPPED semantics): `vacuum_default` is the production
+        # default (7-day retention: every below-floor manifest goes, the
+        # fresh unreferenced chain dirs are age-SPARED), then
+        # `vacuum_eager` is the explicit opt-out that sweeps what the
+        # default spared. Together they do exactly the old single eager
+        # leg's work; the concurrent reader spans both. The VacuumReport
+        # (r17) makes the split assertable: default sweeps nothing and
+        # spares n dirs, eager sweeps those n dirs and spares nothing.
         txn_mod._read_json = counting_read
         t0 = time.perf_counter()
         try:
-            removed = vacuum(store, "curated", "t", keep_last=1, min_age_sec=0)
+            removed = vacuum(store, "curated", "t", keep_last=1)
+        finally:
+            txn_mod._read_json = real_read
+        print(
+            f"RESULT chain={n} leg=vacuum_default wall={time.perf_counter() - t0:.2f}s "
+            f"removed={len(removed)} swept_dirs={len(removed.swept_dirs)} "
+            f"spared_dirs={len(removed.spared_dirs)} "
+            f"manifests_read={vac_stats['manifests_read']} "
+            f"manifest_bytes={vac_stats['manifest_bytes']}",
+            flush=True,
+        )
+        assert len(removed) == n  # versions 1..n (compact is n+1)
+        assert len(removed.swept_dirs) == 0  # all dirs fresh -> age-spared
+        assert len(removed.spared_dirs) == n
+
+        vac_stats = {"manifests_read": 0, "manifest_bytes": 0}
+        txn_mod._read_json = counting_read
+        t0 = time.perf_counter()
+        try:
+            eager = vacuum(store, "curated", "t", keep_last=1, min_age_sec=0)
         finally:
             txn_mod._read_json = real_read
             stop.set()
             if with_reader:
                 rt.join()
         print(
-            f"RESULT chain={n} leg=vacuum wall={time.perf_counter() - t0:.2f}s "
-            f"removed={len(removed)} reader_reads={reads[0]} "
+            f"RESULT chain={n} leg=vacuum_eager wall={time.perf_counter() - t0:.2f}s "
+            f"removed={len(eager)} swept_dirs={len(eager.swept_dirs)} "
+            f"spared_dirs={len(eager.spared_dirs)} reader_reads={reads[0]} "
             f"reader_failures={len(failures)} "
             f"manifests_read={vac_stats['manifests_read']} "
             f"manifest_bytes={vac_stats['manifest_bytes']}",
             flush=True,
         )
         assert not failures, failures
-        assert len(removed) == n  # versions 1..n (compact is n+1)
+        assert len(eager) == 0  # manifests went in the default leg
+        assert len(eager.swept_dirs) == n  # the space reclaim, observable
+        assert len(eager.spared_dirs) == 0
 
         assert txn_read(store, "curated", "t").count() == want
         try:
