@@ -71,7 +71,22 @@ def minmax_normalize(
             }
         )
 
-    return events.select(id_col, key, value_col).groupBy(key).applyInPandas(norm, schema)
+    # Pin the grouped-map shuffle at session parallelism: AQE's byte-based
+    # coalescing sees only the tiny shuffle payload (a few MB at bench SF),
+    # not the per-group PYTHON cost behind it, and collapses the exchange
+    # to ONE partition — measured 4.7 s single-task for ~1500 group calls
+    # at sf0.1 (guide §4: opaque Python operators defeat byte-based
+    # planning). An explicit hash repartition on the grouping key already
+    # satisfies the grouped-map's required distribution (no second
+    # exchange) and user-specified partitioning is exempt from AQE
+    # coalescing. defaultParallelism adapts to the session/cluster size.
+    n = events.sparkSession.sparkContext.defaultParallelism
+    return (
+        events.select(id_col, key, value_col)
+        .repartition(n, key)
+        .groupBy(key)
+        .applyInPandas(norm, schema)
+    )
 
 
 def minmax_normalize_window(

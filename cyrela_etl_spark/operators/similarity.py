@@ -583,15 +583,23 @@ def pq_codebooks(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Deterministic PQ codebooks: the full-dim md5-seeded sample
     (``seed_centroids``) sliced into ``m`` subspaces of dim/m — one
     (subspace j, centroid cid, subvector) row per codeword, m·ksub rows
     total. Tiny by contract (m·ksub·dsub doubles), shipped broadcast.
     A SQL oracle replays the seeding exactly (ORDER BY md5(id) LIMIT k).
+
+    ``seeds``: pass an existing ``seed_centroids(data, ksub)`` result to
+    reuse it (IVF-PQ with n_centroids == ksub draws the identical sample
+    for coarse lists and codebooks — one TakeOrdered pass, not two).
     """
     dsub = dim // m
-    seeds = seed_centroids(data, ksub, id_col=id_col, vec_col=vec_col)
+    if seeds is None:
+        seeds = seed_centroids(data, ksub, id_col=id_col, vec_col=vec_col)
+    elif len(seeds) != ksub:
+        raise ValueError(f"seeds has {len(seeds)} entries, expected ksub={ksub}")
     rows = [
         (j, cid, v[j * dsub : (j + 1) * dsub])
         for j in range(m)
@@ -752,7 +760,13 @@ def ivf_pq_topk(
     qlists = _ivf_assign(
         queries, centroids, nprobe, "query_id", vec_col, "query_id", 6
     ).select("query_id", "list_id")
-    books = pq_codebooks(data, m, ksub, dim, id_col=id_col, vec_col=vec_col)
+    # n_centroids == ksub draws the identical md5-ordered sample for the
+    # coarse lists and the codebooks: reuse it (one TakeOrdered pass over
+    # the corpus instead of two — at 100 TB each pass is a full scan).
+    books = pq_codebooks(
+        data, m, ksub, dim, id_col=id_col, vec_col=vec_col,
+        seeds=centroids if n_centroids == ksub else None,
+    )
     codes = pq_encode(data, books, m, dsub, id_col=id_col, vec_col=vec_col)
     qsubs = _sub_explode(
         queries.select(F.col("query_id"), to_double_array(vec_col).alias("v")),
@@ -826,7 +840,16 @@ def semdedup_pairs(
     rounded-cosine argmax keep the assignment engine-reproducible.
     """
     cents = seed_centroids(data, n_clusters, id_col=id_col, vec_col=vec_col)
-    assigned = _ivf_assign(data, cents, 1, id_col, vec_col, "vec_id", round_digits)
+    # Persist the assignment: the blocked self-join below references it on
+    # BOTH sides, and without a persist each side re-runs the Arrow GEMM
+    # pass over the full corpus (two Python map passes + two scans for one
+    # logical assignment — the same double-compute the LSH family's
+    # persist discipline exists for). MEMORY_AND_DISK, corpus-sized,
+    # spillable; at cluster scale the equivalent is checkpointing the
+    # assignment to a temp table before the pair join.
+    assigned = _ivf_assign(
+        data, cents, 1, id_col, vec_col, "vec_id", round_digits
+    ).persist()  # release: caller (cache contract, queries/__init__)
     return embedding_neardup_pairs(
         assigned,
         threshold=threshold,

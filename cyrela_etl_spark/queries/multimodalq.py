@@ -27,6 +27,11 @@ from cyrela_etl_spark.queries import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately NOT fan_out'd (r17 optimization round): the synthetic
+    # media decode here is cheap enough per row that the repartition
+    # exchange + 32-worker Arrow spin-up cost more than the single-task
+    # scan they replace (paired A/B at sf0.1: raw 1.63-2.57 s vs fanned
+    # 2.34-4.02 s on multimodal_media_meta, identical checksums).
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 

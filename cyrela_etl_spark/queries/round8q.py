@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from cyrela_etl_spark.operators import text as X
 from cyrela_etl_spark.queries import register
+from cyrela_etl_spark.sources.parquet import fan_out
 from cyrela_etl_spark.queries.textq import CORPUS_SQL, corpus, sql_tokens
 
 LN_DEC = "decimal(20,6)"   # a rounded ln()/pow() value
@@ -32,7 +33,9 @@ ACC_DEC = "decimal(38,12)"  # sums of products of two LN_DECs
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fanned out: single-row-group file pins all per-row work above the
+    # scan to one task otherwise (sources/parquet.py fan_out)
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -1111,7 +1114,7 @@ _CQ_K = 8
 def vector_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.clustering import kmeans_quality_profile
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return kmeans_quality_profile(emb, k=_CQ_K, iterations=2)
 
 
@@ -1898,7 +1901,7 @@ def vector_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.functions.vectors import to_double_array
     from cyrela_etl_spark.operators.clustering import _assign, _dist2, _means
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     base = emb.select(F.col("vec_id"), to_double_array("embedding").alias("v"))
     seeds = (
         base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")

@@ -21,6 +21,7 @@ from cyrela_etl_spark.functions.hashing import MERSENNE_PRIME
 from cyrela_etl_spark.operators import dedup as D
 from cyrela_etl_spark.operators import text as X
 from cyrela_etl_spark.queries import register
+from cyrela_etl_spark.sources.parquet import fan_out
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (the DuckDB spellings of functions/hashing.py and
@@ -53,6 +54,16 @@ def sql_shingles(tokens_expr: str, n: int) -> str:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str, fan: bool = True) -> DataFrame:
+    """Shared documents reader, fanned out to session parallelism — the
+    single-row-group file otherwise pins every tokenize/md5/shingle pass
+    above it to one task (see sources/parquet.py fan_out; no-op on
+    splittable inputs). ``fan=False`` for consumers that shuffle first
+    (see corpus())."""
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fan_out(raw) if fan else raw
+
+
 # Planted-duplicate corpus (same construction both engines).
 CORPUS_SQL = """
   SELECT doc_id, text, lang FROM documents
@@ -63,7 +74,7 @@ CORPUS_SQL = """
 """
 
 
-def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus(spark: SparkSession, sf_dir: str, fan: bool = True) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
     exact = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
@@ -73,14 +84,23 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" zyx extra")).alias("text"),
         "lang",
     )
-    return docs.unionByName(exact).unionByName(near)
+    # fan_out AFTER the (cheap) union so the md5/shingle/fold map work
+    # every consumer stacks on top runs at session parallelism instead
+    # of the 3 tasks the single-row-group file layout allows (r17
+    # optimization; no-op on splittable inputs — sources/parquet.py).
+    # ``fan=False``: consumers whose FIRST operation is itself a shuffle
+    # (hash-agg / window keyed on doc id or content hash) gain nothing
+    # from pre-exchange parallelism and measurably pay the extra
+    # exchange — each opt-out below cites its paired A/B.
+    out = docs.unionByName(exact).unionByName(near)
+    return fan_out(out) if fan else out
 
 
 # ---------------------------------------------------------------------------
 # text_quality — quality_features (ratios of exact ints → bit-stable).
 # ---------------------------------------------------------------------------
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     out = X.quality_features(docs)
     return out.select(
         "doc_id",
@@ -122,7 +142,7 @@ register("text_quality", text_quality, ORACLE_QUALITY)
 # text_language_id — marker-word argmax with fixed tie-break.
 # ---------------------------------------------------------------------------
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     out = X.language_id(docs)
     return out.select(
         "doc_id",
@@ -160,7 +180,7 @@ register("text_language_id", text_language_id, _lang_oracle())
 # text_fingerprint — md5 + portable 60-bit content hash.
 # ---------------------------------------------------------------------------
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return X.fingerprint(docs)
 
 
@@ -182,7 +202,7 @@ FROM documents
 # optionally fused with the following letter/digit-run (same piece set).
 # ---------------------------------------------------------------------------
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         X.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
@@ -206,7 +226,7 @@ FROM documents
 # dedup_exact — md5 hash-agg duplicate groups over the planted corpus.
 # ---------------------------------------------------------------------------
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(corpus(spark, sf_dir)).select(
+    return D.exact_dedup(corpus(spark, sf_dir, fan=False)).select(
         "content_md5", F.col("n_dups").cast("long").alias("n_dups"), "canonical_id"
     )
 
@@ -277,7 +297,7 @@ _CONT_DF_MIN, _CONT_DF_MAX, _CONT_N, _CONT_THRESHOLD = 2, 5, 3, 0.5
 
 
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     posting = docs.select(
         F.col("doc_id"), F.explode(D.word_shingles(F.col("text"), n=_CONT_N)).alias("g")
     )
@@ -666,7 +686,7 @@ _CHUNK, _OVERLAP = 64, 16
 def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.corpus import chunk_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     out = chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)
     return out.select(
         "doc_id",
@@ -711,7 +731,7 @@ FROM idx
 def corpus_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.corpus import dataset_split
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     out = dataset_split(docs, train_pct=80, val_pct=10)
     return out.select("doc_id", F.col("bucket").cast("long").alias("bucket"), "split")
 
@@ -739,7 +759,7 @@ FROM documents
 def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.corpus import redact_pii
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     planted = docs.withColumn(
         "text",
         F.when(
@@ -797,7 +817,7 @@ _BUDGET, _N_SHARDS = 2048, 8
 def corpus_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.corpus import pack_token_budget
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     out = pack_token_budget(docs, budget=_BUDGET, n_shards=_N_SHARDS)
     return out.select(
         "doc_id", F.col("shard").cast("long").alias("shard"), "n_tokens", "bin_id"
@@ -846,7 +866,7 @@ _TOP_TERMS = 5
 def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     terms = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
     # r14 tail diet: tf feeds the document-frequency agg AND the ranked
     # top-k — persist or the tokenize + doc-term shuffle runs twice.
@@ -897,7 +917,7 @@ WHERE r.rnk <= {_TOP_TERMS}
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.text import winnow_fingerprints
 
-    return winnow_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return winnow_fingerprints(_docs(spark, sf_dir))
 
 
 register(
@@ -947,7 +967,7 @@ FROM kept
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.corpus import stratified_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return stratified_sample(docs, stratum_col="lang", keep_pct=20)
 
 
@@ -979,7 +999,7 @@ WHERE h_rank <= ceil(n_stratum * 20 / 100)
 # emit no rows for an empty gram list).
 # ---------------------------------------------------------------------------
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.repetition_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return X.repetition_features(_docs(spark, sf_dir))
 
 
 _SQL_BIGRAMS = (
@@ -1018,7 +1038,7 @@ _CONTAM_N = 5
 def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.contamination import contamination_report
 
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = _docs(spark, sf_dir).select("doc_id", "text")
     eval_df = base.filter(F.col("doc_id") % 7 == 0)
     train = corpus(spark, sf_dir).filter(
         ~((F.col("doc_id") < 100000) & (F.col("doc_id") % 7 == 0))
@@ -1071,7 +1091,7 @@ register("dedup_contamination", dedup_contamination, _contamination_oracle())
 # risk of summed log-probs).
 # ---------------------------------------------------------------------------
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.bigram_lm_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return X.bigram_lm_scores(_docs(spark, sf_dir, fan=False))
 
 
 register(
@@ -1119,7 +1139,7 @@ GROUP BY doc_id
 # the oracle replicates operation-for-operation.
 # ---------------------------------------------------------------------------
 def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.quality_classifier(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return X.quality_classifier(_docs(spark, sf_dir))
 
 
 def _quality_clf_oracle() -> str:
@@ -1165,7 +1185,7 @@ _BM25_K = 20
 
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bm25_lite_topk(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), _BM25_TERMS, k=_BM25_K
+        _docs(spark, sf_dir, fan=False), _BM25_TERMS, k=_BM25_K
     )
 
 
@@ -1226,7 +1246,7 @@ _WSAMPLE_N = 50
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.corpus import weighted_priority_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return weighted_priority_sample(docs, "n_chars", n=_WSAMPLE_N)
 
 
@@ -1263,7 +1283,7 @@ _BOILER_LINE = "cookie notice accept terms"
 def corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.corpus import remove_boilerplate_lines
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _docs(spark, sf_dir, fan=False).select(
         "doc_id",
         "source",
         F.when(
@@ -1340,12 +1360,12 @@ _RRF_QVEC = 0  # query = the embedding of vec_id 0
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.similarity import cosine_topk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     n_docs = docs  # id range of documents bounds the fusible vector side
     text_ranks = X.bm25_lite_topk(docs, _BM25_TERMS, k=_RRF_DEPTH).select(
         "doc_id", F.col("rank").alias("r_text")
     )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     emb_docs = emb.join(docs.select("doc_id"), emb["vec_id"] == docs["doc_id"]).select(
         "vec_id", "embedding"
     )
@@ -1452,7 +1472,7 @@ register("search_hybrid_rrf", search_hybrid_rrf, _rrf_oracle())
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.graph import triangle_stats
 
-    c = corpus(spark, sf_dir)
+    c = corpus(spark, sf_dir, fan=False)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     keyed = c.select(
         F.col("doc_id").alias("id"),
@@ -1520,7 +1540,7 @@ FROM nodes CROSS JOIN ecnt CROSS JOIN wcnt CROSS JOIN tri
 # bm25_lite_topk precedent).
 # ---------------------------------------------------------------------------
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     toks = docs.select(
         "doc_id",
         F.when(F.length("text") >= 800, 1).otherwise(0).alias("is_tgt"),
@@ -1617,7 +1637,7 @@ register("corpus_dsir_weights", corpus_dsir_weights, _dsir_oracle())
 # order. Shuffle carries matching postings only, never the corpus.
 # ---------------------------------------------------------------------------
 def text_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir, fan=False).select("doc_id", "text")
     term_arr = F.array(*[F.lit(t) for t in _BM25_TERMS])
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("t"))
     occ = toks.select(
@@ -1665,7 +1685,7 @@ _PHRASE = ("data", "stream")
 
 def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1, w2 = _PHRASE
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("t"))
     occ = toks.select("doc_id", F.posexplode("t").alias("pos", "term")).filter(
         F.col("term").isin(w1, w2)
@@ -1718,7 +1738,7 @@ register("text_phrase_search", text_phrase_search, _phrase_oracle())
 # same relation.
 # ---------------------------------------------------------------------------
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = corpus(spark, sf_dir)
+    c = corpus(spark, sf_dir, fan=False)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     keyed = c.select(
         F.col("doc_id").alias("id"),
@@ -1800,7 +1820,7 @@ FROM ranked WHERE rn = 1
 # broadcast. The ≥5 frequency filter sits under both join inputs.
 # ---------------------------------------------------------------------------
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    docs = _docs(spark, sf_dir).select("text")
     occ = docs.select(F.explode(X.word_grams("text", 2)).alias("bg"))
     uni = docs.select(F.explode(X.tokens("text")).alias("tok"))
     # r14 tail diet: c2 feeds the totals AND the pair table; c1 feeds the
@@ -1953,7 +1973,7 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cyrela_etl_spark.functions.hashing import stable_hash64
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
     # a source with no trailing digits gets index 0 → weight 1 on BOTH
     # engines (unguarded, Spark's '' cast yields NULL — silently dropping
     # the source from the quota min — while DuckDB's CAST('') errors)
@@ -2081,7 +2101,7 @@ CROSS JOIN tk
 def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     scores = X.bigram_lm_scores(docs)
     j = scores.join(docs.select("doc_id", "lang"), "doc_id")
     w = Window.partitionBy("lang").orderBy(F.col("avg_prob_ppm").desc(), F.col("doc_id"))
@@ -2179,7 +2199,7 @@ _TFIDF_DF_CAP = 500  # absolute hot-term cap: per-term join fan-out <= cap**2
 
 
 def text_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = corpus(spark, sf_dir)
+    c = corpus(spark, sf_dir, fan=False)
     tf = (
         c.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -2359,7 +2379,7 @@ FROM r2 JOIN deg ON r2.v = deg.src
 # actually reads). Zero shuffles — one projection over the scan.
 # ---------------------------------------------------------------------------
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     toks = X.tokens(F.col("text"))
     n_words = F.size(toks).cast("long")
     sum_len = F.aggregate(
@@ -2471,7 +2491,7 @@ _URL_RE = "https?://([a-z0-9.-]+)"
 
 
 def text_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     planted = docs.select(
         "doc_id",
         F.when(
@@ -2541,7 +2561,7 @@ _LP_DF_MIN, _LP_DF_MAX = 2, 5
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.graph import link_prediction
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     posting = docs.select(
         F.col("doc_id"), F.explode(D.word_shingles(F.col("text"), n=3)).alias("g")
     )
@@ -2616,7 +2636,7 @@ LIMIT 20
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.graph import label_propagation
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     posting = docs.select(
         F.col("doc_id"), F.explode(D.word_shingles(F.col("text"), n=3)).alias("g")
     )
@@ -2697,7 +2717,7 @@ FROM l2 JOIN sizes s USING (lab)
 # JVM codegen); output is doc-sized.
 # ---------------------------------------------------------------------------
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     words = F.size(X.tokens(F.col("text")))
     sentences = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
     syllables = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
@@ -2765,7 +2785,7 @@ _RAKE_MAX_PHRASE, _RAKE_TOP, _RAKE_SCALE = 4, 20, 1_000_000
 def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "w")
     )
@@ -2883,7 +2903,7 @@ LIMIT {_RAKE_TOP}
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.graph import degree_assortativity
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     posting = docs.select(
         F.col("doc_id"), F.explode(D.word_shingles(F.col("text"), n=3)).alias("g")
     )
@@ -2965,7 +2985,7 @@ FROM counts, sums
 # postings (linear in token volume), never corpus².
 # ---------------------------------------------------------------------------
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     posting = docs.select(
         "doc_id", F.explode(D.word_shingles(F.col("text"), n=3)).alias("g")
     )
@@ -3101,7 +3121,7 @@ register("quality_filter_agreement", quality_filter_agreement, _agreement_oracle
 def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     base = docs.select(
         "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
@@ -3207,7 +3227,7 @@ FROM staged s JOIN b USING (stage)
 # TakeOrdered 20. Shuffles carry pair-vocabulary rows.
 # ---------------------------------------------------------------------------
 def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     # single-char words MUST be filtered first: Spark's sequence(1, 0)
     # produces a DESCENDING [1, 0] (not an empty array as in DuckDB), so
     # an unguarded transform would mint phantom pairs from 1-char words
@@ -3253,7 +3273,7 @@ LIMIT 20
 # key) hash agg → source agg; all ints.
 # ---------------------------------------------------------------------------
 def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     toks = F.size(X.tokens(F.col("text"))).cast("long")
     keyed = docs.select("source", F.md5(norm).alias("k"), toks.alias("n_tok"))
@@ -3315,7 +3335,7 @@ FROM groups GROUP BY source
 # ---------------------------------------------------------------------------
 def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = text_language_id(spark, sf_dir).select("doc_id", "lang_pred")
-    labeled = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    labeled = _docs(spark, sf_dir).select(
         "doc_id", F.col("lang").alias("lang_label")
     )
     cells = (
@@ -3373,7 +3393,7 @@ register("text_language_confusion", text_language_confusion, _lang_confusion_ora
 # the registry checks individually.
 # ---------------------------------------------------------------------------
 def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     toks = F.size(X.tokens(F.col("text"))).cast("long")
     base = docs.select("source", "lang", F.md5(norm).alias("k"), toks.alias("n_tok"))

@@ -27,6 +27,7 @@ from cyrela_etl_spark.operators.similarity import (
     rhp_lsh_topk,
 )
 from cyrela_etl_spark.queries import register
+from cyrela_etl_spark.sources.parquet import fan_out
 
 _K = 5
 _N_QUERIES = 8  # query set = vec_id < 8 (small by contract — broadcast side)
@@ -42,7 +43,12 @@ _SQL_COS = (
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # fan_out: the single-row-group file scans as ONE task, serializing
+    # every Arrow GEMM / cosine fold above it; repartition to session
+    # parallelism (no-op on splittable inputs — sources/parquet.py). The
+    # query-side subtree shares the identical scan+exchange, so the added
+    # shuffle is planned once and reused.
+    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
