@@ -74,59 +74,73 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 #     rows sit ahead. No round-17 code change touches any padding entry
 #     (registry frozen at 256). Total 32 + 2 + 16 = 50.
 _PRIORITY: list[str] = [
-    # -- r11-era rows (the oldest greens left; VERDICT r16 item 1) ----------
-    "corpus_boilerplate_removal",
-    "corpus_dataset_split",
-    "corpus_pii_redact",
-    "corpus_stratified_sample",
-    "corpus_token_pack",
-    "corpus_weighted_sample",
-    "dedup_contamination",
-    "group_rollup",
-    "join_anti",
-    "join_outer",
-    "join_semi",
-    "q03_top_orders",
-    "set_intersect",
-    "storage_jsonl_badrecords",
-    "storage_jsonl_roundtrip",
-    "storage_numeric_profile",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_parquet_sink",
-    "stream_session",
-    "stream_sliding",
-    "stream_static_enrich",
-    "stream_tumbling",
-    "temporal_gap_fill",
-    "temporal_ohlc",
-    "temporal_range_join",
-    "temporal_sessionize",
-    "text_token_counts",
-    "vector_pq_adc_topk",
-    "vector_sq_int8_topk",
-    "window_frames",
-    "window_lag_running",
-    # -- code changed in round 17: stale green, must re-score ---------------
-    "storage_txn_acid",  # txn.py: VacuumReport swept/spared observability
-    "stream_dedup_expiry",  # streamingq.py: fixture-cache lock + stale reclaim
-    # -- r12-era padding: head of the next drain, one per heavy family ------
-    "agg_cube",
-    "agg_approx_percentile",
+    # -- round 17 OPTIMIZATION: rows whose execution changed this round
+    # are staged first. The fan_out post-read repartition
+    # (sources/parquet.py) reshapes these queries' BENCH-SF plans (below
+    # its 512 KB floor at sf0.001/sf0.01 the scoring-SF plans are
+    # byte-identical to the last green); grouped_map gained an explicit
+    # hash repartition, semdedup the assignment persist, ivf_pq the
+    # seed-sample reuse, and streaming drains the parameterised width —
+    # those four change at every SF. Opt-out (fan=False) rows kept
+    # their pre-round plans and are NOT staged.
+    # Headline changed rows:
+    "dedup_simhash_pairs",
+    "dedup_dup_ngram_fraction",
     "dedup_containment_pairs",
-    "events_funnel",
-    "graph_pagerank",
-    "minmax_normalize_window",
-    "quality_gopher_rules",
-    "scale_bloom_prefilter",
-    "scale_join_cardinality",
-    "storage_forget_user",
-    "storage_schema_evolution",
-    "stream_window_topk",
-    "temporal_scd2_intervals",
-    "text_tfidf_doc_pairs",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_contamination",
+    "graph_lpa_communities",
+    "curation_pipeline",
+    "corpus_dsir_weights",
+    "corpus_chunking",
+    "corpus_token_pack",
+    "corpus_boilerplate_removal",
+    "text_quality",
+    "text_language_id",
+    "text_winnow_fingerprints",
+    "text_term_stats",
+    "text_rake_keywords",
+    "text_zipf_fit",
+    "ml_leakage_check",
+    "grouped_map_normalize",
+    "vector_semdedup_pairs",
+    "vector_cosine_topk",
+    "vector_rhp_lsh_topk",
+    "vector_ivf_topk",
+    "vector_sq_int8_topk",
+    "vector_pq_adc_topk",
+    "vector_ivf_pq_topk",
     "vector_kmeans_clusters",
-    "vector_matryoshka_topk",
+    "stream_tumbling",
+    "stream_interval_join",
+    "stream_window_topk",
+    "stream_dedup_expiry",
+    "stream_bus_replay",
+    # Non-headline changed rows, one per touched family/reader:
+    "vector_cluster_quality",
+    "vector_centroid_shift",
+    "vector_neardup_pairs",
+    "vector_recall_report",
+    "search_hybrid_rrf",
+    "text_ngram_novelty",
+    "quality_filter_agreement",
+    "quality_gopher_rules",
+    "corpus_curriculum_stages",
+    "corpus_dataset_card",
+    "corpus_domain_mix",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "graph_kcore_peel",
+    "graph_pagerank",
+    "graph_triangle_stats",
+    "stream_sliding",
+    "stream_session",
+    "stream_static_enrich",
+    "stream_dedup",
+    # Code-changed in the interrupted r17 build (kept staged):
+    "storage_txn_acid",
+    "storage_forget_user",
 ]
 
 
