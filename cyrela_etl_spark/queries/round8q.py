@@ -32,10 +32,13 @@ LN_DEC = "decimal(20,6)"   # a rounded ln()/pow() value
 ACC_DEC = "decimal(38,12)"  # sums of products of two LN_DECs
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, fan: bool = True) -> DataFrame:
     # fanned out: single-row-group file pins all per-row work above the
-    # scan to one task otherwise (sources/parquet.py fan_out)
-    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # scan to one task otherwise (sources/parquet.py fan_out).
+    # ``fan=False``: consumers whose first operation is itself a shuffle
+    # measurably pay the extra exchange — each opt-out cites its A/B.
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fan_out(raw) if fan else raw
 
 
 # ---------------------------------------------------------------------------
@@ -51,7 +54,10 @@ _ZIPF_TOP = 30
 
 
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _docs(spark, sf_dir).select(F.explode(X.tokens(F.col("text"))).alias("term"))
+    # fan=False: r18 interleaved A/B (5 reps, tools/ab_fan.py) — fanned
+    # 0.769 s vs raw 0.634 s median; the explode feeds one hash agg whose
+    # exchange dominates, so pre-exchange parallelism only adds a shuffle.
+    toks = _docs(spark, sf_dir, fan=False).select(F.explode(X.tokens(F.col("text"))).alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
     # Top-30 via orderBy().limit() = TakeOrderedAndProject (each partition
     # keeps 30, the driver merges — no single-reducer vocabulary sort; the

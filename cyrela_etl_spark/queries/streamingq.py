@@ -59,6 +59,12 @@ def _drain(spark: SparkSession, mk, *args, **kwargs) -> DataFrame:
     # local: production sizes this to state volume (~64-128 MB per state
     # partition) via SPARK_GRAFT_STREAM_DRAIN_PARTITIONS — the knob the
     # docstring's "size to the stream's key cardinality" rule lands on.
+    # r18: stream_dedup_expiry — the one r17 inheritor shipped without
+    # its own A/B (VERDICT r17 item 3) — measured at widths 4/8/16/32
+    # (tools/ab_drain_width.py, interleaved, identical checksums):
+    # 2.41 / 2.65 / 3.69 / 4.48 s medians. Width 4 wins for it too; the
+    # driver's 6.04 s r17 row was host weather (same HEAD re-read 1.97 s
+    # in a stable-probe run). No per-query override needed.
     import os as _os
 
     spark.conf.set(key, _os.environ.get("SPARK_GRAFT_STREAM_DRAIN_PARTITIONS", "4"))

@@ -817,7 +817,10 @@ _BUDGET, _N_SHARDS = 2048, 8
 def corpus_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyrela_etl_spark.operators.corpus import pack_token_budget
 
-    docs = _docs(spark, sf_dir)
+    # fan=False: r18 interleaved A/B (5 reps, tools/ab_fan.py) — fanned
+    # 0.504 s vs raw 0.485 s median; the shard window's exchange is the
+    # first operation, so the pre-exchange fan only adds a shuffle.
+    docs = _docs(spark, sf_dir, fan=False)
     out = pack_token_budget(docs, budget=_BUDGET, n_shards=_N_SHARDS)
     return out.select(
         "doc_id", F.col("shard").cast("long").alias("shard"), "n_tokens", "bin_id"
@@ -866,7 +869,10 @@ _TOP_TERMS = 5
 def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    # fan=False: r18 interleaved A/B (5 reps, tools/ab_fan.py) — fanned
+    # 1.600 s vs raw 1.497 s median; the (doc, term) hash agg shuffles
+    # immediately above the explode, so the fan's exchange is pure cost.
+    docs = _docs(spark, sf_dir, fan=False)
     terms = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
     # r14 tail diet: tf feeds the document-frequency agg AND the ranked
     # top-k — persist or the tokenize + doc-term shuffle runs twice.

