@@ -555,6 +555,20 @@ def connected_components(
         spark.conf.set(_conf_key, _old_parts)
 
 
+# r18 loop-round AQE switch: every CC round materializes 3 small joins +
+# an agg over the persisted edge table on explicitly-sized (8-partition)
+# exchanges — there is nothing for AQE to re-plan, but its per-stage
+# re-optimization turns each round's one action into ~6 stage-
+# materialization jobs, and the loop's cost at test SF is driver latency
+# (profiled: 32 jobs, 1.5 s of inter-job gaps on a 3 s wall). Interleaved
+# A/B at sf0.1 (tools/ab_conf.py, identical checksums): AQE off won all 5
+# paired reps on dedup_components, medians 2.525 vs 2.704 s. The EDGE
+# BUILD (self-joins over the corpus) stays under the caller's AQE — only
+# the rounds over the already-persisted edges run static. Flag, not
+# hardcode, so the A/B stays re-runnable.
+_LOOP_ROUNDS_DISABLE_AQE = True
+
+
 def _connected_components_loop(
     pairs: DataFrame, id_a: str, id_b: str, max_iters: int
 ) -> DataFrame:
@@ -564,9 +578,24 @@ def _connected_components_loop(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()  # release: paired unpersist after the CC loop below
+    # the eager checkpoint materializes the edge build (and fills the
+    # persist) under the CALLER's AQE setting — runtime re-planning keeps
+    # protecting the one genuinely data-dependent phase at scale
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
+    spark = pairs.sparkSession
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _aqe_old = spark.conf.get(_aqe_key)
+    if _LOOP_ROUNDS_DISABLE_AQE:
+        spark.conf.set(_aqe_key, "false")
+    try:
+        return _cc_rounds(edges, labels, max_iters)
+    finally:
+        spark.conf.set(_aqe_key, _aqe_old)
+
+
+def _cc_rounds(edges: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:
     prev_sum = None
     converged = False
     # max_iters bounds label-UPDATING rounds; one extra round is allowed

@@ -312,6 +312,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measurement as dedup_dup_ngram_fraction above).
     kept = posting.join(df_ok, "g").persist()  # release: caller (cache contract, queries/__init__)
     a, b = kept.alias("a"), kept.alias("b")
+    # r18 note — the grouped-map treatment (explicit hash repartition
+    # before this distinct, to undo AQE's byte-based coalescing of the
+    # ~831 KB candidate payload to one task, profiled as a 0.83 s
+    # single-task job) was MEASURED AND REJECTED: interleaved A/B at
+    # sf0.1 (5 reps, identical checksums) read 2.408 s with the
+    # repartition vs 2.390 s shipped — the added exchange costs what the
+    # extra parallelism buys back. The single-task distinct stands.
     cand = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
