@@ -49,98 +49,90 @@ def register(name: str, fn: SparkQuery, oracle: str | None) -> None:
 
 
 # Scoring-priority order: the driver walks the returned dict in insertion
-# order and scores AT MOST ~50 entries per round. Round-17 slot allocation
-# (VERDICT r16 item 1 — continue the freshness drain):
-#   r11-era (32): EVERY entry whose latest green driver row is still the
-#     round-11 one — the oldest greens left after the r16 scoring
-#     (recomputed from the union of CORRECTNESS_r01..r16; judge's r16
-#     histogram agrees: r11:32). After this round no entry's latest green
-#     predates r12. Pre-verified green under a plain driver-emulating
-#     session at sf0.01 this round (NOTES r17 pre-flight ledger).
-#   code-changed (2): storage_txn_acid — sources/txn.py changed again
-#     this round (vacuum returns a VacuumReport carrying swept_dirs/
-#     spared_dirs so space reclamation is observable, ADVICE r16) — and
-#     stream_dedup_expiry — its fixture cache gained the build lock,
-#     stale-dir reclaim on failed revalidation, and all-dirs atexit
-#     tracking (ADVICE r16); drain semantics and oracle unchanged, but
-#     the changed queries must re-score.
-#   r12-era padding (16): the sample size floats (~35-50 by round), so the
-#     tail is the start of the NEXT drain — 16 of the 37 r12-latest rows,
-#     one representative per heavy family (agg, approx-agg, dedup, events,
-#     graph, window-norm, quality, bloom, join-cardinality, storage-GDPR,
-#     schema-evolution, streaming, temporal-SCD2, text, vector-kmeans,
-#     vector-ANN) rather than alphabetical. If the driver scores fewer
-#     than 50, only padding is lost — every r11 row and both code-changed
-#     rows sit ahead. No round-17 code change touches any padding entry
-#     (registry frozen at 256). Total 32 + 2 + 16 = 50.
+# order and scores AT MOST ~50 entries per round. Round-18 slot allocation
+# (VERDICT r17 item 9 + ADVICE r17: changed rows must sit INSIDE the ~50
+# scoring window, and the header must describe the list that exists):
+#   code-changed (11), first so a short sample still re-scores them:
+#     - dedup_components / dedup_keep_best / graph_component_sizes — the
+#       connected-components loop now disables AQE for its rounds
+#       (operators/dedup.py, r18): execution changes at EVERY SF.
+#     - wallet_features, text_term_stats, text_zipf_fit,
+#       corpus_token_pack, vector_ivf_topk, vector_rhp_lsh_topk — r18
+#       fan_out decisions (wallet newly fanned; the other five opted
+#       out). At the sf0.01 scoring SF all six tables sit below
+#       fan_out's 512 KB floor, so the scoring plans are byte-identical
+#       to the last green — staged anyway, conservatively.
+#     - storage_txn_acid, storage_forget_user — their r17 code changes
+#       (sources/txn.py VacuumReport) were staged at positions 54-55
+#       last round and the driver's 50-row sample never reached them
+#       (ADVICE r17 medium): still unscored since the change, so they
+#       lead this round's drain.
+#   r11-era drain (24): EVERY entry whose latest green driver row is
+#     still round-11 (recomputed from the union of CORRECTNESS_r01..r17;
+#     histogram at r18 staging: r11:24, r12:31, r13:36, r14:41, r15:36,
+#     r16:38, r17:50). The r17 staging led with that round's 53 changed
+#     rows, so its planned r11 drain never got scoring slots; finishing
+#     it comes before starting the r12 drain.
+#   r12-era padding (15): the sample size floats (~35-50 by round), so
+#     the tail is the start of the NEXT drain — 15 of the 31 r12-latest
+#     rows, family-spread (agg/approx-agg x4, events x3, window-norm,
+#     quality x2, sketch x2, storage-schema, temporal-SCD2, vector-ANN).
+#     If the driver scores fewer than 50, only padding is lost — every
+#     code-changed and r11 row sits ahead. Total 11 + 24 + 15 = 50.
 _PRIORITY: list[str] = [
-    # -- round 17 OPTIMIZATION: rows whose execution changed this round
-    # are staged first. The fan_out post-read repartition
-    # (sources/parquet.py) reshapes these queries' BENCH-SF plans (below
-    # its 512 KB floor at sf0.001/sf0.01 the scoring-SF plans are
-    # byte-identical to the last green); grouped_map gained an explicit
-    # hash repartition, semdedup the assignment persist, ivf_pq the
-    # seed-sample reuse, and streaming drains the parameterised width —
-    # those four change at every SF. Opt-out (fan=False) rows kept
-    # their pre-round plans and are NOT staged.
-    # Headline changed rows:
-    "dedup_simhash_pairs",
-    "dedup_dup_ngram_fraction",
-    "dedup_containment_pairs",
-    "dedup_minhash_lsh",
+    # -- round 18 OPTIMIZATION: code-changed rows first.
     "dedup_components",
-    "dedup_contamination",
-    "graph_lpa_communities",
-    "curation_pipeline",
-    "corpus_dsir_weights",
-    "corpus_chunking",
-    "corpus_token_pack",
-    "corpus_boilerplate_removal",
-    "text_quality",
-    "text_language_id",
-    "text_winnow_fingerprints",
+    "dedup_keep_best",
+    "graph_component_sizes",
+    "wallet_features",
     "text_term_stats",
-    "text_rake_keywords",
     "text_zipf_fit",
-    "ml_leakage_check",
-    "grouped_map_normalize",
-    "vector_semdedup_pairs",
-    "vector_cosine_topk",
-    "vector_rhp_lsh_topk",
+    "corpus_token_pack",
     "vector_ivf_topk",
-    "vector_sq_int8_topk",
-    "vector_pq_adc_topk",
-    "vector_ivf_pq_topk",
-    "vector_kmeans_clusters",
-    "stream_tumbling",
-    "stream_interval_join",
-    "stream_window_topk",
-    "stream_dedup_expiry",
-    "stream_bus_replay",
-    # Non-headline changed rows, one per touched family/reader:
-    "vector_cluster_quality",
-    "vector_centroid_shift",
-    "vector_neardup_pairs",
-    "vector_recall_report",
-    "search_hybrid_rrf",
-    "text_ngram_novelty",
-    "quality_filter_agreement",
-    "quality_gopher_rules",
-    "corpus_curriculum_stages",
-    "corpus_dataset_card",
-    "corpus_domain_mix",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "graph_kcore_peel",
-    "graph_pagerank",
-    "graph_triangle_stats",
-    "stream_sliding",
-    "stream_session",
-    "stream_static_enrich",
-    "stream_dedup",
-    # Code-changed in the interrupted r17 build (kept staged):
+    "vector_rhp_lsh_topk",
     "storage_txn_acid",
     "storage_forget_user",
+    # -- r11-latest drain (all 24):
+    "corpus_dataset_split",
+    "corpus_pii_redact",
+    "corpus_stratified_sample",
+    "corpus_weighted_sample",
+    "group_rollup",
+    "join_anti",
+    "join_outer",
+    "join_semi",
+    "q03_top_orders",
+    "set_intersect",
+    "storage_jsonl_badrecords",
+    "storage_jsonl_roundtrip",
+    "storage_numeric_profile",
+    "stream_dedup",
+    "stream_parquet_sink",
+    "stream_session",
+    "stream_static_enrich",
+    "temporal_gap_fill",
+    "temporal_ohlc",
+    "temporal_range_join",
+    "temporal_sessionize",
+    "text_token_counts",
+    "window_frames",
+    "window_lag_running",
+    # -- r12-latest padding (15 of 31, family-spread):
+    "agg_approx_distinct",
+    "agg_cube",
+    "agg_exact_median",
+    "agg_pivot",
+    "events_ab_test",
+    "events_funnel",
+    "events_rolling_active_users",
+    "minmax_normalize_window",
+    "quality_classifier_filter",
+    "quality_perplexity_buckets",
+    "scale_bloom_prefilter",
+    "scale_countmin_estimate",
+    "storage_schema_evolution",
+    "temporal_scd2_intervals",
+    "vector_matryoshka_topk",
 ]
 
 

@@ -22,10 +22,12 @@ where an engineer will look for it:
 """
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_aqe_splits_planted_skew_join(spark):
     """One key owns ~95% of a 400k-row fact; with byte thresholds scaled
     to test data, the final adaptive plan must carry a skew=true

@@ -15,6 +15,7 @@ ts >= left ts, null when no such row.
 """
 
 from __future__ import annotations
+import pytest
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -51,6 +52,7 @@ def _model(left, right, direction):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_asof_join_matches_python_model(spark, left, right, direction):
     ldf = spark.createDataFrame(
         [(i, k, ts) for i, (k, ts) in enumerate(left)] or [(None, None, None)],
@@ -89,6 +91,7 @@ _R_RIGHT = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_range_join_buckets_matches_python_model(spark, left, right, window):
     """Same model pattern for the bucketized range join: the two-probe
     bucket equi-join must produce EXACTLY the pairs with same key and
@@ -138,6 +141,7 @@ _G_EVENTS = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_gap_fill_matches_python_model(spark, events):
     """Model check for gap_fill: per key, exactly one row for EVERY hour
     bucket between that key's first and last event — present buckets
@@ -181,6 +185,7 @@ _O_EVENTS = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_ohlc_matches_python_model(spark, events):
     """Model check for ohlc_downsample: per (key, hour bucket) the open
     is the value at the (ts, tiebreak)-minimal event and the close at the

@@ -8,6 +8,7 @@ bincount arithmetic including the empty-payload single-frame floor.
 """
 
 from __future__ import annotations
+import pytest
 
 from collections import Counter
 
@@ -32,6 +33,7 @@ def _df(spark, payloads):
     ).repartition(2)
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(payloads=_ROWS)
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_byte_histogram_matches_python_model(spark, payloads):
@@ -48,6 +50,7 @@ def test_byte_histogram_matches_python_model(spark, payloads):
     assert got == want
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(payloads=_ROWS, every_n=st.sampled_from([1, 2, 3]))
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_sample_frames_matches_python_model(spark, payloads, every_n):

@@ -20,6 +20,7 @@ What this pins beyond the oracle twin:
 """
 
 from __future__ import annotations
+import pytest
 
 import hashlib
 
@@ -54,6 +55,7 @@ def _model_candidates(probe: set[str], words: dict[int, int], m_bits: int, k: in
     }
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(build=_KEYS, probe=_KEYS, m_bits=st.sampled_from([128, 1024]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_bloom_bitmap_probe_and_report_match_python_model(spark, build, probe, m_bits):

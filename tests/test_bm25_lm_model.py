@@ -22,6 +22,7 @@ What these pin beyond the `text_bm25_topk` / `text_lm_score` oracle rows:
 """
 
 from __future__ import annotations
+import pytest
 
 from collections import Counter
 
@@ -58,6 +59,7 @@ def _model_bm25(docs: list[list[str]], terms: list[str], k: int):
 
 @given(docs=_DOCS, terms=st.sampled_from([["a"], ["a", "dd"], ["b", "c", "e"]]),
        k=st.sampled_from([2, 5]))
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_bm25_lite_topk_matches_python_model(spark, docs, terms, k):
     from cyrela_etl_spark.operators.text import bm25_lite_topk
@@ -91,6 +93,7 @@ def _model_bigram_lm(docs: list[list[str]]):
     return want
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_DOCS)
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_bigram_lm_scores_match_python_model(spark, docs):

@@ -11,6 +11,7 @@ phone-shaped digit runs (sequential redaction order matters).
 """
 
 from __future__ import annotations
+import pytest
 
 import re
 from collections import defaultdict
@@ -28,6 +29,7 @@ _EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 _PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_GROUPED)
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_remove_boilerplate_matches_python_model(spark, docs):
@@ -71,6 +73,7 @@ _PII_FRAGMENTS = [
 _PII_DOC = st.lists(st.sampled_from(_PII_FRAGMENTS), min_size=0, max_size=5)
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=st.lists(_PII_DOC, min_size=1, max_size=6))
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_redact_pii_matches_python_re(spark, docs):

@@ -9,6 +9,7 @@ must produce identical reports.
 """
 
 from __future__ import annotations
+import pytest
 
 import re
 
@@ -34,6 +35,7 @@ def _shingles(text: str, n: int) -> set[str]:
     n=st.sampled_from([2, 3]),
     broadcast_eval=st.booleans(),
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_contamination_report_matches_set_model(spark, train, eval_docs, n, broadcast_eval):
     from cyrela_etl_spark.operators.contamination import contamination_report

@@ -22,6 +22,7 @@ What these pin beyond the oracle twins:
 """
 
 from __future__ import annotations
+import pytest
 
 import hashlib
 import math
@@ -42,6 +43,7 @@ def _toks(text: str) -> list[str]:
     return [t for t in re.split(r"\s+", text.lower()) if t]
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_DOCS, chunk_size=st.sampled_from([4, 6]), overlap=st.sampled_from([0, 2]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_chunk_documents_matches_python_model(spark, docs, chunk_size, overlap):
@@ -78,6 +80,7 @@ def test_dataset_split_matches_python_model(spark, ids):
     assert got == want
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_DOCS, budget=st.sampled_from([4, 8]), n_shards=st.sampled_from([1, 3]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_pack_token_budget_matches_python_model(spark, docs, budget, n_shards):
@@ -105,6 +108,7 @@ def test_pack_token_budget_matches_python_model(spark, docs, budget, n_shards):
     strata=st.lists(st.sampled_from(["en", "pt", "de"]), min_size=1, max_size=15),
     keep_pct=st.sampled_from([20, 50]),
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_stratified_sample_matches_python_model(spark, strata, keep_pct):
     from cyrela_etl_spark.operators.corpus import stratified_sample
@@ -127,6 +131,7 @@ def test_stratified_sample_matches_python_model(spark, strata, keep_pct):
     weights=st.lists(st.integers(1, 9), min_size=1, max_size=12),
     n=st.sampled_from([1, 3, 5]),
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_weighted_priority_sample_matches_python_model(spark, weights, n):
     from cyrela_etl_spark.operators.corpus import weighted_priority_sample

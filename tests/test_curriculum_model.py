@@ -6,6 +6,7 @@ straight windowed computation — the semantics the re-plan must preserve
 exactly while never planning a global window."""
 
 from __future__ import annotations
+import pytest
 
 import os
 
@@ -69,6 +70,7 @@ def _write_docs(spark, path: str, rows: list[tuple[int, str]]) -> str:
     return path
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_distributed_plan_matches_windowed_reference_on_adversarial_corpora(
     spark, tmp_path
 ):

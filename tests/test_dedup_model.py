@@ -7,6 +7,7 @@ approximate, so its shingle extraction, pair canonicalization
 and the short-document single-shingle rule are all model-pinned here."""
 
 from __future__ import annotations
+import pytest
 
 import re
 
@@ -32,6 +33,7 @@ def _model_shingles(text: str, n: int) -> set[str]:
     deadline=None,    # model op here (~5s each); 10 examples still walk all
     suppress_health_check=[HealthCheck.too_slow],  # three parameter dims
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_ngram_jaccard_pairs_matches_set_model(spark, docs, n, threshold):
     from cyrela_etl_spark.operators.dedup import ngram_jaccard_pairs
 

@@ -8,6 +8,7 @@ at the diameter edge of the propagation loop.
 """
 
 from __future__ import annotations
+import pytest
 
 from itertools import combinations
 
@@ -32,6 +33,7 @@ def _canon(edges):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_triangle_stats_matches_python_model(spark, edges, orient):
     """Triangle counts vs brute force — under BOTH orientations.
     orient_by_degree=True accepts arbitrary orientation conventions
@@ -69,6 +71,7 @@ def test_triangle_stats_matches_python_model(spark, edges, orient):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_connected_components_matches_union_find(spark, edges):
     """Min-label propagation vs a plain union-find: every edge-touching
     vertex labeled with the MIN id of its component."""

@@ -26,6 +26,7 @@ votes for SimHash. What these tests pin beyond the oracle twins:
 """
 
 from __future__ import annotations
+import pytest
 
 import hashlib
 import re
@@ -96,6 +97,7 @@ def test_minhash_signatures_match_python_model(spark, docs, num_hashes, shingle_
             assert got[i] == [P] * num_hashes
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_DOCS, bands=st.sampled_from([2, 4]), threshold=st.sampled_from([0.0, 0.5]))
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_minhash_lsh_pairs_match_banded_model(spark, docs, bands, threshold):
@@ -136,6 +138,7 @@ def test_minhash_lsh_pairs_match_banded_model(spark, docs, bands, threshold):
     assert got == want
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_DOCS, bits=st.sampled_from([4, 16]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_simhash_matches_python_model(spark, docs, bits):
@@ -167,6 +170,7 @@ def test_simhash_repeated_tokens_vote_per_occurrence(spark):
             assert (got[1] >> j) & 1 == 0
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_DOCS, bits=st.sampled_from([16]), max_hamming=st.sampled_from([1, 2, 3]))
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_simhash_pairs_pigeonhole_is_complete(spark, docs, bits, max_hamming):

@@ -10,6 +10,7 @@ partitioning.
 """
 
 from __future__ import annotations
+import pytest
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -36,6 +37,7 @@ def _final_rows(state):
     }
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(batches=_BATCHES)
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_merge_is_order_and_tree_shape_invariant(spark, batches):

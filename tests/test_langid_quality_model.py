@@ -20,6 +20,7 @@ What these pin beyond the `text_language_id` / `text_quality_scores` /
 """
 
 from __future__ import annotations
+import pytest
 
 import hashlib
 import re
@@ -45,6 +46,7 @@ def _toks(text: str) -> list[str]:
     return [t for t in re.split(r"\s+", text.lower()) if t]
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_DOCS)
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_language_id_matches_python_model(spark, docs):
@@ -116,6 +118,7 @@ def _model_quality(t: str):
     return (n_tok, n_chr, avg_len, punct_ratio, stop_ratio, quality)
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_DOCS)
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_quality_features_match_python_model(spark, docs):

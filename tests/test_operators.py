@@ -88,6 +88,7 @@ def test_minhash_lsh_finds_planted_neardup(spark):
     assert pairs[0]["jaccard"] > 0.7
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_empty_and_whitespace_docs_excluded_from_pairing(spark):
     """Zero-token documents (empty/whitespace-only text) yield the empty
     shingle set and MUST be excluded from pairwise dedup: their Jaccard is

@@ -20,6 +20,7 @@ the same contract the triangle model records for pair-graph inputs.
 """
 
 from __future__ import annotations
+import pytest
 
 from collections import Counter
 
@@ -73,6 +74,7 @@ def _model_lpa(edges, iterations):
     return {v: (lab[v], sizes[lab[v]]) for v in nbr}
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(edges=_EDGES, iterations=st.sampled_from([1, 2, 3]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_integer_pagerank_matches_python_model(spark, edges, iterations):
@@ -109,6 +111,7 @@ def _model_link_prediction(edges, top_n, scale=1_000_000):
     return cands[:top_n]
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(edges=_EDGES, top_n=st.sampled_from([3, 50]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_link_prediction_matches_python_model(spark, edges, top_n):
@@ -127,6 +130,7 @@ def test_link_prediction_matches_python_model(spark, edges, top_n):
     spark.catalog.clearCache()
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(edges=_EDGES, iterations=st.sampled_from([1, 2, 3]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_label_propagation_matches_python_model(spark, edges, iterations):

@@ -14,6 +14,7 @@ exactly what the correctness gate does too.
 """
 
 from __future__ import annotations
+import pytest
 
 # Queries whose executed plans legitimately contain BNLJs: every one is a
 # broadcast of a contractually tiny relation (1-row aggregate totals,
@@ -94,6 +95,7 @@ SF = "/root/testdata/sf0.001"
 NOPART_WINDOW_SITES = 9
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_no_cartesian_anywhere_and_bnlj_only_allowlisted(spark):
     import os
     import sys

@@ -17,6 +17,7 @@ with Spark's round(double, n) modeled as Decimal(repr(x)) HALF_UP
 """
 
 from __future__ import annotations
+import pytest
 
 import math
 from decimal import ROUND_HALF_UP, Decimal
@@ -46,6 +47,7 @@ def _power_round(vecs: dict[int, list[float]], w: list[float]):
     return w_next, lam
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_power_iteration_pca_matches_python_model(spark, sf_dir):
     from cyrela_etl_spark.queries.vectorq import vector_power_iteration_pca
 

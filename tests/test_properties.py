@@ -3,6 +3,7 @@ bucketization boundaries, and null-guard behavior — hypothesis-generated
 inputs checked against plain-Python reference semantics."""
 
 from __future__ import annotations
+import pytest
 
 import datetime
 
@@ -32,6 +33,7 @@ _SETTINGS = dict(
         max_size=8,
     )
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_reformat_date_roundtrip_and_null_guard(spark, dates):
     raw = [(d.strftime("%d/%m/%Y") if d else None,) for d in dates]
     df = spark.createDataFrame(raw, T.StructType().add("s", T.StringType(), True))
@@ -44,6 +46,7 @@ def test_reformat_date_roundtrip_and_null_guard(spark, dates):
 @given(
     days=st.lists(st.integers(min_value=-1500, max_value=0), min_size=1, max_size=12)
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_bucketize_boundaries(spark, days):
     # Reference first-match CASE (spark/jobs/pr-wallet-data-tf.py:109-112):
     # >= -30 → 0, >= -90 → 1, else 2. Exercised through the REAL feature
@@ -83,6 +86,7 @@ WORD = st.text(alphabet="abcdefg", min_size=1, max_size=6)
 DOC = st.lists(WORD, min_size=1, max_size=40).map(" ".join)
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(DOC, min_size=1, max_size=5))
 def test_chunks_reconstruct_token_stream(spark, docs):
@@ -107,6 +111,7 @@ def test_chunks_reconstruct_token_stream(spark, docs):
         assert got == want, (i, got, want)
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(DOC, min_size=2, max_size=5))
 def test_minhash_signature_structure_and_exact_dup_equality(spark, docs):

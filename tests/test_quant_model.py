@@ -24,6 +24,7 @@ ops identical in CPython and the JVM.
 """
 
 from __future__ import annotations
+import pytest
 
 import hashlib
 import math
@@ -56,6 +57,7 @@ def _model_sq_cosine(q: list[float], d: list[float]) -> float:
     return _round_half_up(dot / (math.sqrt(nq) * math.sqrt(nd)), "0.000001")
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(data=st.lists(_VEC3, min_size=2, max_size=8), qids=_QIDS, k=st.sampled_from([1, 3]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_sq_int8_topk_matches_python_model(spark, data, qids, k):
@@ -119,6 +121,7 @@ def _model_encode(rows, books, m, dsub):
     ksub=st.sampled_from([2, 3]),
     k=st.sampled_from([2, 4]),
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_pq_encode_and_adc_topk_match_python_model(spark, data, qids, ksub, k):
     from cyrela_etl_spark.operators.similarity import pq_adc_topk, pq_codebooks, pq_encode

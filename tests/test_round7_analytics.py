@@ -6,6 +6,7 @@ offset-0 retention identity.
 """
 
 from __future__ import annotations
+import pytest
 
 import datetime
 
@@ -272,6 +273,7 @@ def test_stream_window_topk_is_true_topk(spark):
             assert a["n_events"] >= b["n_events"]
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_topk_view_merges_across_batches(spark, tmp_path):
     """Two single-file micro-batches counting the same group must SUM in
     the maintained view (additive merge, not last-writer-wins)."""

@@ -3,6 +3,7 @@ battery — hand-computed pins.
 """
 
 from __future__ import annotations
+import pytest
 
 import datetime
 
@@ -64,6 +65,7 @@ def test_bitwise_hand_computed(spark, tmp_path):
     assert row["or_shifted"] == (1 << 8) | (2 << 8) | (3 << 8)
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_recursive_cte_bfs_closed_form(spark, monkeypatch):
     """Next-3 ladder from the min key: BFS distance of offset k is
     ceil(k/3); depth bound 5 caps the frontier at seed+15."""

@@ -343,6 +343,7 @@ def test_partition_balance_ratios_sum(spark, sf_dir):
 
 
 # -- partition-count invariance ----------------------------------------------
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_shuffle_width_invariance_representatives(spark, sf_dir):
     """Results must not depend on shuffle width (what actually changes on
     a 1000-executor cluster). Full block-B sweep at 7-vs-32 partitions was

@@ -3,6 +3,7 @@ shuffle elimination (the plan property IS the feature)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cyrela_etl_spark.operators.skew import salted_agg, salted_join
@@ -130,6 +131,7 @@ def test_stateful_running_totals_resume_across_batches(spark, sf_dir):
     assert got == expect
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_stateful_running_totals_drops_cross_batch_late_rows(spark, tmp_path):
     """A row arriving in a LATER micro-batch with (ts, event_id) at or
     before the key's max already processed is a late arrival and must be

@@ -59,6 +59,7 @@ def test_hub_pairs_are_quadratic_in_group_size(spark, hub_corpus):
     assert hub_pairs == HUB_SIZE * (HUB_SIZE - 1) // 2
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_collapse_removes_hub_quadratic_term(spark, hub_corpus):
     reps, membership = collapse_exact_embeddings(hub_corpus)
     # background vectors are all distinct; the hub collapses to one rep
@@ -119,6 +120,7 @@ _VEC = st.tuples(st.integers(-2, 2), st.integers(-2, 2), st.integers(-2, 2))
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(vecs=st.lists(_VEC, min_size=1, max_size=12))
 def test_collapse_matches_python_model(spark, vecs):
     """collapse_exact_embeddings must reproduce plain-Python grouping:

@@ -31,6 +31,7 @@ ts' = max(ts) + 3660s + (event_id % 3600)s.
 """
 
 from __future__ import annotations
+import pytest
 
 from collections import Counter
 from datetime import timedelta
@@ -87,6 +88,7 @@ def test_stream_dedup_expiry_matches_state_machine_model(spark, sf_dir):
     assert 0 < n_resent_emitted < len(resent), (n_resent_emitted, len(resent))
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_sde_fixture_cache_lifecycle(spark, sf_dir):
     """ADVICE r16 pins for the fixture cache: (1) a second call reuses
     the cached dir, (2) a failed revalidation (externally-swept partial

@@ -211,6 +211,7 @@ def test_stream_foreachbatch_jdbc_sink(spark, sf_dir, tmp_path):
     assert spark.read.jdbc(url, "wh_events").count() == n_src
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_dedup_within_watermark_state_expires_after_cleanup_batch(spark, tmp_path):
     """Pins the eviction timing stream_dedup_expiry relies on: dedup
     state is evicted at END-of-batch cleanup, not at lookup — a resend in

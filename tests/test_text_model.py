@@ -19,6 +19,7 @@ What these pin beyond the oracle twins:
 """
 
 from __future__ import annotations
+import pytest
 
 import hashlib
 import re
@@ -48,6 +49,7 @@ def _model_winnow(text: str, k: int, window: int) -> set[int]:
     return {min(hs[i : i + window]) for i in range(n_windows)}
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_DOCS, k=st.sampled_from([2, 3]), window=st.sampled_from([2, 4]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_winnow_fingerprints_match_python_model(spark, docs, k, window):
@@ -81,6 +83,7 @@ def test_winnowing_shared_run_guarantee(spark):
         assert fps[i] == _model_winnow(t, k, window)
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(docs=_DOCS, n=st.sampled_from([1, 2]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_repetition_features_match_python_model(spark, docs, n):

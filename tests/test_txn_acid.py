@@ -84,6 +84,7 @@ def test_txn_upsert_retry_merges_both_writers(spark, store):
     assert latest_version(store, "curated", "accounts") == 3
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_two_threads_racing_upserts_all_land(spark, store):
     """A REAL race: two driver threads each upsert 4 distinct keys into
     the same table simultaneously. The put-if-absent publish serializes
@@ -134,6 +135,7 @@ def test_delete_rows_and_time_travel_and_vacuum(spark, store):
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (3, 300)}
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_crash_debris_does_not_corrupt_the_log(spark, store):
     """Crash artifacts a real deployment will leave behind: a _tmp
     manifest from a writer that died mid-publish, and an orphan snapshot
@@ -223,6 +225,7 @@ def test_upsert_rejects_duplicate_merge_keys(spark, store):
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100)}
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_lockfile_publisher_full_protocol(spark, store):
     """The external-coordinator publisher shape (create-if-absent claim
     record) drives the same protocol end-to-end: commits, claim-loss
@@ -267,6 +270,7 @@ def test_lockfile_publisher_full_protocol(spark, store):
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200), (3, 300)}
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_lockfile_publisher_two_thread_race(spark, store):
     """The thread race of test_two_threads_racing_upserts_all_land, under
     the claim-record publisher: serialization must hold there too."""
@@ -313,6 +317,7 @@ def test_time_travel_of_vacuumed_version_fails_cleanly(spark, store):
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 102)}
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_vacuum_under_concurrent_writer_never_removes_winnable_version(spark, store):
     """VERDICT r9 item 4: eager vacuum(keep_last=2) racing a committing writer.
     Safety statement: vacuum only ever removes versions <= latest-2 AT ITS
@@ -420,6 +425,7 @@ _OP = st.one_of(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(ops=st.lists(_OP, min_size=1, max_size=5))
 def test_txn_sequence_matches_dict_model(spark, tmp_path_factory, ops):
     """Any sequence of keyed upserts/deletes applied through the commit
@@ -579,6 +585,7 @@ def test_compact_resets_chain_and_vacuum_frees_old_dirs(spark, store):
     assert _rows(txn_read(store, "curated", "accounts")) == {(1, 100), (2, 200)}
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_append_auto_compact_bounds_chain_and_returns_head(spark, store):
     """Compaction cadence as code (VERDICT r14 item 4): with
     auto_compact_every=K, a winning append whose chain exceeds K dirs is
@@ -982,6 +989,7 @@ def test_reader_spanning_vacuum_stays_readable(spark, store):
     assert _rows(reader) == {(k, k * 100) for k in range(1, 8)}
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_reader_racing_vacuum_never_fails(spark, store):
     """A reader thread looping full reads of the retained latest while
     vacuum deletes the other versions' manifests: every read must succeed

@@ -12,6 +12,7 @@ NaN territory the operator does not contract for.
 """
 
 from __future__ import annotations
+import pytest
 
 import math
 from decimal import ROUND_HALF_UP, Decimal
@@ -51,6 +52,7 @@ def _cos_like_spark(q, v):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 def test_cosine_topk_matches_python_model(spark, data, qids, k):
     from cyrela_etl_spark.operators.similarity import cosine_topk
 

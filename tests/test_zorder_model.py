@@ -16,6 +16,7 @@ What these pin beyond the `storage_zorder_cluster` oracle row:
 """
 
 from __future__ import annotations
+import pytest
 
 import duckdb
 import pandas as pd
@@ -34,6 +35,7 @@ def _model_z(d1: int, d2: int, bits: int) -> int:
     return z
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(rows=_ROWS, bits=st.sampled_from([4, 8, 16]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_zvalue_expr_matches_python_morton(spark, rows, bits):
@@ -79,6 +81,7 @@ def test_zvalue_sql_twin_matches_expr_via_duckdb(spark, rows, bits):
     assert set(spark_z) == duck_z
 
 
+@pytest.mark.slow  # r18 slow tier: heavy model-check/e2e; default run skips (driver verify budget), full suite = -m ""
 @given(rows=_ROWS, shift=st.sampled_from([8, 22]))
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_zorder_cluster_stats_matches_python_model(spark, rows, shift):

@@ -1,5 +1,6 @@
 """Capture `.explain("formatted")` for bench headline queries (or a
-given subset) into plans/r17/<query>_<tag>.txt.
+given subset) into plans/<round>/<query>_<tag>.txt (round from
+$SPARK_GRAFT_PLANS_ROUND, default r18).
 
 Usage:
     python tools/capture_plans.py before [names...]
@@ -30,7 +31,9 @@ def main() -> None:
     registry = load_all()
     targets = names or bench.HEADLINE
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
