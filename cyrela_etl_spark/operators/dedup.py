@@ -575,12 +575,18 @@ def _connected_components_loop(
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
+    # localCheckpoint, not persist (r18): every round references the edge
+    # table, and with a persist each round's action still plans the full
+    # edge-build subtree; truncating to the materialized blocks removes
+    # that per-round planning and won all 5 interleaved A/B pairs on both
+    # consumers at sf0.1 (components 2.25 vs 2.40 s, keep_best 3.21 vs
+    # 3.30 s medians, identical checksums). Fault-tolerance trade is the
+    # same one this loop already makes per round (labels localCheckpoint
+    # below); the eager materialization happens under the CALLER's AQE,
+    # so the one data-dependent phase keeps runtime re-planning at scale.
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()  # release: paired unpersist after the CC loop below
-    # the eager checkpoint materializes the edge build (and fills the
-    # persist) under the CALLER's AQE setting — runtime re-planning keeps
-    # protecting the one genuinely data-dependent phase at scale
+    ).distinct().localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -638,7 +644,8 @@ def _cc_rounds(edges: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame
             converged = True
             break
         prev_sum = cur_sum
-    edges.unpersist()
+    # edges is localCheckpointed (not persisted) — its blocks are freed by
+    # the ContextCleaner when the RDD is garbage-collected; no unpersist.
     if not converged:
         # Silently-split components are a correctness hazard; with pointer
         # doubling (O(log diameter) rounds) hitting this at max_iters=20

@@ -195,10 +195,21 @@ def label_propagation(
     data, no broadcast of anything node-sized.
     """
     e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    # localCheckpoint, not persist (r18): the unrolled-round plan
+    # references `directed` once per round plus the label init — with a
+    # persist the optimizer still plans (and AQE re-optimizes) the full
+    # edge-build subtree at every reference, and the profiled cost of
+    # this query was ~1 s of planning on a 4 s wall with zero driver
+    # gaps elsewhere. Truncating to the materialized blocks won every
+    # one of 5 interleaved A/B pairs at sf0.1 (medians 4.25 vs 5.45 s,
+    # identical checksums). Same fault-tolerance trade as the CC loop's
+    # per-round checkpoints: lineage is gone, so a lost executor fails
+    # the job instead of recomputing — on a cluster swap for reliable
+    # checkpointing; the table is edge-sized either way.
     directed = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .persist()  # release: caller (cache contract, queries/__init__)
+        .localCheckpoint(eager=True)
     )
     labels = directed.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")

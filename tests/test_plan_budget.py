@@ -60,8 +60,14 @@ SHUFFLE_BUDGET = {
     # textual counters inflated to 33-180)
     "graph_pagerank": 10,
     # r13 diet: final labels persisted (two consumers — the size agg and
-    # the output join — each re-planned the whole unrolled iteration)
-    "graph_lpa_communities": 11,
+    # the output join — each re-planned the whole unrolled iteration).
+    # r18 re-pin 11 -> 8: the symmetrized edge table is localCheckpointed
+    # (operators/graph.py — per-reference planning of the edge-build
+    # subtree was ~1 s of a 4 s wall; A/B −22%), so the final plan starts
+    # at the checkpointed blocks and the edge build's 3 sites (posting
+    # agg, kept join, pair self-join) run at checkpoint time instead of
+    # appearing here. Structure above the checkpoint is unchanged.
+    "graph_lpa_communities": 8,
     # r13 degree-table diet: ONE deg agg per round feeds both the stats
     # row (n_nodes = count, n_edges = sum(deg)/2) and the next keep-set;
     # the per-round distinct-nodes shuffle + 1-row edge-count broadcast
